@@ -1,0 +1,9 @@
+"""Import every query module so REGISTRY is fully populated."""
+
+from kafka_map_reduce_spark.queries import (  # noqa: F401
+    aggregates,
+    audits,
+    scans,
+)
+
+from kafka_map_reduce_spark.registry import REGISTRY  # noqa: F401

@@ -1,0 +1,107 @@
+"""Scans, projection, filtering, distinct (SURVEY §2.2 scans/predicates).
+
+Each query is a pushdown-friendly declarative plan: the filter and the
+column list reach the parquet scan (PushedFilters / ReadSchema in
+``.explain``), which is what makes these survive a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_map_reduce_spark.registry import query
+from kafka_map_reduce_spark.sources import load_table
+
+
+@query(
+    "q_scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 25 AND l_returnflag = 'A'
+    """,
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with projection + predicate pushdown."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 25) & (F.col("l_returnflag") == "A"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "q_scan_json_lines",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+)
+def q_scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONEachRow decode — the reference's sink wire format
+    (/root/reference/src/clickhouse.rs:86-88, main.rs:24-31)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), T.StructType([T.StructField("k", T.IntegerType())]))
+    return ev.select("event_id", parsed.getField("k").alias("prop_k"))
+
+
+@query(
+    "q_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS net_price,
+           floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000 + 0.5) / 10000 AS charge,
+           (l_orderkey * 10 + l_linenumber) AS line_uid
+    FROM lineitem
+    """,
+)
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed arithmetic projections + aliasing — the audit's
+    ``(max-min)+1 AS offset_diff`` style (README.md:91-93) generalized."""
+    from kafka_map_reduce_spark.functions import round4
+
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        round4(net).alias("net_price"),
+        round4(net * (1 + F.col("l_tax"))).alias("charge"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_uid"),
+    )
+
+
+@query(
+    "q_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 50000
+      AND o_orderstatus IN ('O', 'F')
+      AND NOT (o_custkey % 7 = 0)
+      AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+      AND o_orderdate IS NOT NULL
+    """,
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface: comparison, AND/OR/NOT, BETWEEN, IN, LIKE, IS NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(1000, 50000)
+        & F.col("o_orderstatus").isin("O", "F")
+        & ~(F.col("o_custkey") % 7 == 0)
+        & (F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%"))
+        & F.col("o_orderdate").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row dedup — ``SELECT DISTINCT *`` of the delivery audit (README.md:95)."""
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()

@@ -1,0 +1,71 @@
+"""SparkSession factory and runtime configuration.
+
+The engine is designed for a multi-executor cluster at ~100 TB scale; these
+configs encode the scale-sensitive defaults (AQE on, skew-join handling,
+Arrow for the few Python-side operators). Tests run on local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe (and necessary) to set on an existing session at
+# runtime. The driver harness owns its own SparkSession, so everything the
+# engine depends on must be runtime-settable.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
+    # parquet reader rejects; read as long and convert (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics for TIMESTAMP <-> NTZ conversions.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning (coalesce post-shuffle partitions, skew join
+    # splitting, dynamic broadcast) — essential at 100 TB where static
+    # estimates are wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs / applyInPandas (Tier C operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Session-creation-time configs (only applied when *we* build the session).
+BUILD_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.ui.enabled": "false",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build — keep going, reads may still work
+    return spark
+
+
+def get_session(
+    app_name: str = "kafka-map-reduce-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = os.environ.get(
+            "SPARK_GRAFT_MASTER",
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]",
+        )
+    builder = builder.master(master)
+    confs = dict(BUILD_CONFS)
+    confs.update(RUNTIME_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
