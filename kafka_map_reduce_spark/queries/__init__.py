@@ -3,7 +3,11 @@
 from kafka_map_reduce_spark.queries import (  # noqa: F401
     aggregates,
     audits,
+    joins,
+    scalar_funcs,
     scans,
+    sorts_setops,
+    windows,
 )
 
 from kafka_map_reduce_spark.registry import REGISTRY  # noqa: F401

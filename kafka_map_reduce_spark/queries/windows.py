@@ -1,0 +1,140 @@
+"""Window functions (SURVEY §2.2): ranking, running totals, lead/lag,
+bounded frames.
+
+Determinism: every ORDER BY carries a unique tiebreaker; windowed double
+sums accumulate in DECIMAL so frame association order can't shift bits
+(functions/compat.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_map_reduce_spark.functions import round4
+from kafka_map_reduce_spark.registry import query
+from kafka_map_reduce_spark.sources import load_table
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+               row_number() OVER w AS rn,
+               rank() OVER w2 AS rk,
+               dense_rank() OVER w2 AS dr
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber),
+               w2 AS (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC)
+    ) WHERE rn <= 10
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank; top-10 per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy(F.desc("l_extendedprice"))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w2).alias("rk"),
+            F.dense_rank().over(w2).alias("dr"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+             AS running_value,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_cnt
+    FROM events
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum/count per key (cumulative frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+        .cast("double")
+        .alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_cnt"),
+    )
+
+
+@query(
+    "q_window_lead_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_id)  OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           event_id - lag(event_id) OVER w AS id_gap
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — the offset-gap detection of the delivery audit
+    (README.md:89-99) recast per-row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("id_gap"),
+    )
+
+
+@query(
+    "q_window_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
+             AS mov_sum,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                  / count(*) OVER w) * 10000 + 0.5) / 10000 AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded rows frame: 3-row moving sum + average."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(dec_sum, 4).cast("double").alias("mov_sum"),
+        round4(dec_sum.cast("double") / F.count(F.lit(1)).over(w)).alias("mov_avg"),
+    )

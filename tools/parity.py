@@ -72,6 +72,8 @@ def _canon_cell(v):
         return int(v)
     if isinstance(v, (datetime.datetime, pd.Timestamp)):
         return str(pd.Timestamp(v).floor("us"))
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)
     return v
