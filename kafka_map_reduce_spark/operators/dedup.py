@@ -1,0 +1,206 @@
+"""Deduplication operators (Tier C, SURVEY §2.2) — exact, MinHash-LSH,
+SimHash, n-gram Jaccard.
+
+Designed for the 100 TB training-data pipeline case:
+
+- exact dedup: one hash shuffle on a 16-byte digest, keep-min-id — the
+  cheapest possible global dedup.
+- MinHash+LSH: signatures are computed in ONE pass over exploded shingles
+  (64 mins in a single hash aggregate), banded so candidate generation is
+  an equi-join on (band, band_hash) buckets — never an all-pairs product.
+  Candidate verification joins shingle sets only for candidate pairs.
+  (ClusterJoin VLDB'14 / standard LSH banding; PAPERS.md corpus.)
+- SimHash: 64-bit signature per doc from token hashes, bit-majority.
+
+All hashing uses xxhash64 (JVM, whole-stage codegen) — no Python on the
+100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(text_col) -> F.Column:
+    return F.lower(F.trim(text_col))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by content digest, keep the smallest id as canonical."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("keep_id", "dup_cnt")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct k-word shingles per document."""
+    shingles = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {k}), ' ')) END"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("s"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
+    """One pass: num_perm min-hashes per id from exploded shingles.
+
+    Each 'permutation' is xxhash64(shingle, seed=i); the signature matrix
+    is a single hash aggregate — no per-permutation shuffle.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}") for i in range(num_perm)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def lsh_candidates(
+    signatures: DataFrame, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band the signature, bucket-join: candidate pairs (id_a < id_b)."""
+    rows_per_band = num_perm // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b].alias("bh"))
+                      for b in range(bands)])
+        ).alias("e"),
+    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    other = banded.select(
+        F.col("id").alias("id_b"), F.col("band").alias("band_b"), F.col("bh").alias("bh_b")
+    )
+    return (
+        banded.join(
+            other,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bh") == F.col("bh_b"))
+            & (F.col("id") < F.col("id_b")),
+        )
+        .select(F.col("id").alias("id_a"), F.col("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingled: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only (never all pairs)."""
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.select(F.col("id").alias("id_a"), "s")
+    b = shingled.select(F.col("id").alias("id_b2"), F.col("s").alias("s_b"))
+    inter = (
+        candidates.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("id_b2")) & (F.col("s") == F.col("s_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("jaccard") * 10000 + F.lit(0.5)) / F.lit(10000)).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, bit-majority vote.
+
+    Expressed as explode -> 64 conditional sums -> sign -> bit pack; all
+    JVM built-ins, single aggregation pass.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized(F.col(text_col)), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    hashed = toks.select("id", F.xxhash64("t").alias("h"))
+    bit_sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"bit{i}")
+            for i in range(64)
+        ]
+    )
+    packed = bit_sums.select(
+        "id",
+        sum(
+            [
+                F.when(F.col(f"bit{i}") > 0, F.lit(1).cast("long") * (2**i) if i < 63
+                       else F.lit(-(2**63))).otherwise(0).cast("long")
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return packed
+
+
+def hamming_pairs(sim: DataFrame, max_dist: int) -> DataFrame:
+    """Pairs with Hamming distance <= max_dist.
+
+    Candidate generation by the 4-block trick (two 16-bit blocks must match
+    exactly when max_dist <= 3 over 4 blocks): equi-join on block values,
+    then exact popcount verify — avoids the all-pairs product at scale.
+    """
+    blocks = sim.select(
+        "id",
+        "simhash",
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"blk{b}")
+            for b in range(4)
+        ],
+    )
+    exploded = blocks.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"blk{b}").alias("v"))
+                      for b in range(4)])
+        ).alias("e"),
+    ).select("id", "simhash", F.col("e.b").alias("b"), F.col("e.v").alias("v"))
+    other = exploded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("simhash_b"),
+        F.col("b").alias("b_b"), F.col("v").alias("v_b"),
+    )
+    cand = (
+        exploded.join(
+            other,
+            (F.col("b") == F.col("b_b"))
+            & (F.col("v") == F.col("v_b"))
+            & (F.col("id") < F.col("id_b")),
+        )
+        .select("id", "id_b", "simhash", "simhash_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash_b")))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select(F.col("id").alias("id_a"), "id_b", "dist")
+    )

@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns (Tier C, SURVEY §2.2).
+
+- ``cosine``: pure JVM expression (zip_with + sequential fold) — the dot
+  product stays inside whole-stage codegen; no Python, no UDF.
+- brute-force top-k: broadcast the (small) probe set against the corpus
+  scan; per-probe top-k via ranked window. One corpus scan regardless of
+  probe count — the right baseline at 100 TB.
+- IVF-style ANN: deterministic hyperplane-sign coarse quantizer (8 sign
+  bits -> 256 buckets); probes only search their bucket, cutting the
+  scanned fraction ~256x at the cost of recall (standard IVF trade).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left-fold sum of array<double> — matches DuckDB's
+    list_dot_product evaluation order for bit-identical results."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns (JVM-side)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = _fold_sum(F.zip_with(ad, bd, lambda x, y: x * y))
+    na = F.sqrt(_fold_sum(F.zip_with(ad, ad, lambda x, y: x * y)))
+    nb = F.sqrt(_fold_sum(F.zip_with(bd, bd, lambda x, y: x * y)))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    probes: DataFrame, corpus: DataFrame, k: int, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per probe: broadcast probes x corpus scan."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    scored = c.crossJoin(F.broadcast(p)).withColumn(
+        "sim", cosine(F.col("probe_vec"), F.col("vec"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("sim"),
+            "rank",
+        )
+    )
+
+
+def sign_bucket(vec_col: Column, bits: int = 8) -> Column:
+    """Deterministic IVF coarse quantizer: sign bits of the first dims."""
+    b = F.lit(0)
+    for i in range(bits):
+        b = b + F.when(F.element_at(vec_col, i + 1) > 0, F.lit(2**i)).otherwise(0)
+    return b.cast("int")
+
+
+def ivf_topk(
+    probes: DataFrame, corpus: DataFrame, k: int, vec_col: str = "embedding",
+    id_col: str = "vec_id", bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: equi-join probes to corpus on the coarse bucket
+    (shuffle on bucket id, not a cross product), rank within bucket."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bkt"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bkt"),
+    )
+    scored = c.join(F.broadcast(p), "bkt").withColumn(
+        "sim", cosine(F.col("probe_vec"), F.col("vec"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("sim"),
+            "rank",
+        )
+    )

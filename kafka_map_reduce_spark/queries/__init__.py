@@ -7,6 +7,11 @@ from kafka_map_reduce_spark.queries import (  # noqa: F401
     scalar_funcs,
     scans,
     sorts_setops,
+    streaming_batch,
+    tierc_dedup,
+    tierc_similarity,
+    tierc_text,
+    udfs,
     windows,
 )
 

@@ -1,0 +1,134 @@
+"""Tier C dedup queries over the documents/embeddings tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_map_reduce_spark.operators import dedup as D
+from kafka_map_reduce_spark.operators.similarity import cosine
+from kafka_map_reduce_spark.registry import query
+from kafka_map_reduce_spark.sources import load_table
+
+
+def _with_injected_dups(docs: DataFrame) -> DataFrame:
+    """The raw table has no exact dups; inject case/whitespace variants
+    (doc_id offset by 100000) so normalization-aware dedup has work to do."""
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(variants)
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, concat(upper(text), '  ') AS text
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_cnt
+    FROM all_docs
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content digest, keep-min-id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(_with_injected_dups(docs), "text", "doc_id")
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                                     i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram (word-shingle) Jaccard near-dup pairs on a doc subset
+    — the exact-verification half of the MinHash pipeline, SQL-checkable."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    shingled = D.word_shingles(docs, "text", "doc_id", k=3)
+    pairs = shingled.select(F.col("id").alias("id_a")).distinct().join(
+        shingled.select(F.col("id").alias("id_b")).distinct(),
+        F.col("id_a") < F.col("id_b"),
+    )
+    return D.jaccard_verify(pairs, shingled, min_jaccard=0.2)
+
+
+@query("q_dedup_near", oracle=None, tags=("approx",))
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) near-dup pairs, exact-Jaccard-verified
+    at 0.5 — the scale path: candidates come from band-bucket equi-joins,
+    never an all-pairs product."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.word_shingles(docs, "text", "doc_id", k=3)
+    sigs = D.minhash_signatures(shingled, num_perm=64)
+    cands = D.lsh_candidates(sigs, num_perm=64, bands=16)
+    return D.jaccard_verify(cands, shingled, min_jaccard=0.5).orderBy("id_a", "id_b")
+
+
+@query("q_dedup_simhash", oracle=None, tags=("approx",))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 via 16-bit block candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sim = D.simhash(docs, "text", "doc_id")
+    return D.hamming_pairs(sim, max_dist=3).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])))
+                 * 10000 + 0.5) / 10000 AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 200 AND b.vec_id < 200
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold (subset; the
+    all-pairs form — LSH-bucketed variant is q_sim_ivf)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("raw_sim", sim)
+        .filter(F.col("raw_sim") >= 0.4)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("raw_sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("sim"),
+        )
+    )

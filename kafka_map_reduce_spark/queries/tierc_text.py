@@ -1,0 +1,169 @@
+"""Tier C text-analysis + multimodal queries over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_map_reduce_spark.functions import davg4, o_avg4
+from kafka_map_reduce_spark.operators import multimodal as M
+from kafka_map_reduce_spark.operators import text as X
+from kafka_map_reduce_spark.registry import query
+from kafka_map_reduce_spark.sources import load_table
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT tok, CAST(count(*) AS BIGINT) AS tf
+    FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY tf DESC, tok ASC
+    LIMIT 100
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + global term frequencies, top-100."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {o_avg4('CAST(n_chars AS DOUBLE)', 'avg_chars')},
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg4(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS DOUBLE) AS n_toks,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                    AS DOUBLE) AS punct,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x IN ('the','a','and','of','to','in','is','on','for','with')))
+                    AS DOUBLE) AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id,
+           floor((least(n_chars / 1000.0, 1.0) * 0.25
+                  + (1.0 - least(punct / greatest(n_toks, 1.0), 1.0)) * 0.25
+                  + least(stop_hits / greatest(n_toks, 1.0) * 5.0, 1.0) * 0.25
+                  + least(((n_chars - (n_toks - 1)) / n_toks) / 10.0, 1.0) * 0.25)
+                 * 10000 + 0.5) / 10000 AS quality
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio / mean token
+    length heuristics, all JVM built-ins."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (
+            F.floor(X.quality_score(F.col("text")) * 10000 + F.lit(0.5)) / F.lit(10000)
+        ).alias("quality"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (JVM regexp_count)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.token_counts(d).select("doc_id", "ws_tokens", "bpe_ish_tokens")
+
+
+@query("q_text_langid", oracle=None, tags=("heuristic",))
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword/char-profile argmax, pandas UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query("q_text_fingerprint", oracle=None, tags=("heuristic",))
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprint (pandas UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.winnow_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS byte_len,
+           'image/fake' AS media_type,
+           CAST(doc_id % 640 + 32 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 24 AS INTEGER) AS height,
+           ascii(substr(text, 1, 1)) AS first_byte
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata plumbing (SQL-checkable half)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_media(d)
+    return media.select(
+        "doc_id",
+        F.octet_length("media").cast("long").alias("byte_len"),
+        "media_type",
+        "width",
+        "height",
+        F.ascii(F.col("media").cast("string")).alias("first_byte"),
+    )
+
+
+@query("q_multimodal_decode", oracle=None, tags=("stub",))
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media decode via mapInPandas (decoder stubbed with a
+    deterministic fake — see operators/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = M.decode_features(M.attach_media(d))
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        F.transform(
+            "features", lambda x: F.floor(x * 10000 + F.lit(0.5)) / F.lit(10000)
+        ).alias("features"),
+    )

@@ -36,16 +36,50 @@ BUILD_CONFS: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
+def _package_zip() -> str:
+    """Zip this package so executors can import it (the local analogue of
+    shipping the egg to a cluster via --py-files)."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "kafka_map_reduce_spark_pyfiles.zip"
+    )
+    with zipfile.ZipFile(out, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "kafka_map_reduce_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    z.write(full, rel)
+    return out
+
+
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply the engine's runtime confs to an existing session (idempotent)."""
+    """Apply the engine's runtime confs to an existing session (idempotent).
+
+    Also ships the package source to executor Python workers: pandas-UDF
+    closures reference this module, and the driver's sys.path does not
+    propagate to workers.
+    """
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — keep going, reads may still work
+    try:
+        sc = spark.sparkContext
+        if not getattr(sc, "_kmr_pyfiles_added", False):
+            sc.addPyFile(_package_zip())
+            sc._kmr_pyfiles_added = True
+    except Exception:
+        pass  # e.g. Spark Connect session without an accessible SparkContext
     return spark
 
 
