@@ -35,7 +35,7 @@ def quality_score(text_col: Column) -> Column:
         F.length(text_col) - F.length(F.regexp_replace(text_col, r"[.,;:!?]", ""))
     ).cast("double")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS)))).cast("double")
-    mean_tok_len = (n_chars - (n_toks - 1)) / n_toks
+    mean_tok_len = (n_chars - (n_toks - 1)) / F.greatest(n_toks, F.lit(1.0))
     return (
         F.least(n_chars / 1000.0, F.lit(1.0)) * 0.25
         + (1.0 - F.least(punct / F.greatest(n_toks, F.lit(1.0)), F.lit(1.0))) * 0.25

@@ -8,6 +8,7 @@ from kafka_map_reduce_spark.queries import (  # noqa: F401
     scans,
     sorts_setops,
     streaming_batch,
+    streaming_live,
     tierc_dedup,
     tierc_similarity,
     tierc_text,

@@ -1,0 +1,210 @@
+"""Live Structured-Streaming queries (Tier A): watermark, stateful
+reducer, DLQ split, JSONEachRow sink — executed as real streams
+(file-replay source, availableNow drain) whose results are read back as a
+DataFrame for the driver.
+
+These are the unbounded face of the reference pipeline: at-least-once
+delivery via checkpoint-after-sink (§1.3), DLQ routing (lib.rs:526-540),
+JSONEachRow batch sink (clickhouse.rs:86-88).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_map_reduce_spark.registry import query
+from kafka_map_reduce_spark.streaming import (
+    JsonLinesSink,
+    ParquetSink,
+    Pipeline,
+    file_replay_stream,
+)
+from kafka_map_reduce_spark.streaming.state import stateful_reduce
+
+
+def _work_dir(sf_dir: str, name: str) -> str:
+    """Fresh scratch dir per (query, sf) run."""
+    base = os.path.join(
+        tempfile.gettempdir(), "kmr_stream", name, os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+@query("q_stream_watermark", oracle=None, tags=("streaming",))
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed count with a 10-minute watermark over a multi-batch file
+    replay — late-data bound + state eviction (append mode: a window only
+    emits once its end passes the watermark)."""
+    wd = _work_dir(sf_dir, "watermark")
+    # Split events into 4 roughly ts-ordered files so the watermark
+    # actually advances across micro-batches.
+    from kafka_map_reduce_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = os.path.join(wd, "src")
+    ev.repartitionByRange(4, "ts").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    # Watermarks require TIMESTAMP (not NTZ); session tz is pinned to UTC
+    # by configure() so the cast is wall-clock-stable.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+    out = os.path.join(wd, "out")
+    (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .start(out)
+        .awaitTermination()
+    )
+    return spark.read.parquet(out)
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key reducer lifecycle (reduce/flush, lib.rs:703-713) via
+    applyInPandasWithState over a real stream; totals are exact-integer so
+    the batch SQL oracle hash-matches the streaming result."""
+    wd = _work_dir(sf_dir, "stateful")
+    stream = file_replay_stream(spark, sf_dir, "events", wd, files_per_trigger=1000)
+
+    def init():
+        return (0, 0)
+
+    def reduce_fn(acc, pdf: pd.DataFrame):
+        import numpy as np
+
+        cents = int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
+        return (acc[0] + len(pdf), acc[1] + cents)
+
+    def flush_fn(key, acc):
+        return {"user_id": key[0], "n": acc[0], "cents_sum": acc[1]}
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("cents_sum", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+    )
+    result = stateful_reduce(
+        stream, ["user_id"], init, reduce_fn, flush_fn, state_schema, out_schema
+    )
+    out = os.path.join(wd, "out")
+    (
+        # parquet rejects update mode; route through foreachBatch (append
+        # per emitted update — single input batch => one row per key).
+        result.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out)
+
+
+@query(
+    "q_stream_dlq",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           floor((value * CAST(json_extract_string(props, '$.k') AS INTEGER))
+                 * 10000 + 0.5) / 10000 AS weighted
+    FROM events
+    WHERE event_type <> 'error'
+    """,
+    tags=("streaming",),
+)
+def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Tier A pipeline as a real stream: par_map parse (poison records
+    of event_type='error' raise, mirroring the demo parse failure path) ->
+    expression map -> parquet sink with 128-row file batches + parquet DLQ.
+    The main-path output hash-matches the batch oracle; the DLQ holds
+    exactly the poisoned records."""
+    wd = _work_dir(sf_dir, "dlq")
+    stream = file_replay_stream(spark, sf_dir, "events", wd)
+
+    def parse(rec: dict) -> dict:
+        import json
+
+        if rec["event_type"] == "error":
+            raise ValueError("poison record")
+        return {"k": int(json.loads(rec["props"])["k"])}
+
+    pipe = (
+        Pipeline(stream)
+        .par_map(parse, T.StructType([T.StructField("k", T.IntegerType())]))
+        .map_expr(
+            weighted=F.floor((F.col("value") * F.col("k")) * 10000 + F.lit(0.5))
+            / F.lit(10000)
+        )
+    )
+    main = ParquetSink(os.path.join(wd, "main"), max_batch_rows=128)
+    dlq = ParquetSink(os.path.join(wd, "dlq"), max_batch_rows=128)
+    pipe.run_stream(
+        main, dlq=dlq, checkpoint_dir=os.path.join(wd, "ckpt")
+    )
+    return spark.read.parquet(main.path).select("event_id", "user_id", "k", "weighted")
+
+
+@query(
+    "q_sink_jsonl",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           floor(value * 10000 + 0.5) / 10000 AS value
+    FROM events
+    """,
+    tags=("streaming",),
+)
+def q_sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONEachRow sink round-trip (clickhouse.rs:86-88): stream events
+    through the pipeline into newline-JSON files (128 rows per file), read
+    back and hash-match the source."""
+    wd = _work_dir(sf_dir, "jsonl")
+    stream = file_replay_stream(spark, sf_dir, "events", wd).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.floor(F.col("value") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("value"),
+    )
+    sink = JsonLinesSink(os.path.join(wd, "out"), max_batch_rows=128)
+    Pipeline(stream).run_stream(sink, checkpoint_dir=os.path.join(wd, "ckpt"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(sink.path)

@@ -80,7 +80,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((least(n_chars / 1000.0, 1.0) * 0.25
                   + (1.0 - least(punct / greatest(n_toks, 1.0), 1.0)) * 0.25
                   + least(stop_hits / greatest(n_toks, 1.0) * 5.0, 1.0) * 0.25
-                  + least(((n_chars - (n_toks - 1)) / n_toks) / 10.0, 1.0) * 0.25)
+                  + least(((n_chars - (n_toks - 1)) / greatest(n_toks, 1.0)) / 10.0, 1.0) * 0.25)
                  * 10000 + 0.5) / 10000 AS quality
     FROM t
     """,

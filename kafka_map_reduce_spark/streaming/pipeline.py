@@ -1,0 +1,265 @@
+"""The Tier A pipeline builder: source -> par_map -> map/reduce chain ->
+sink + DLQ + commit, Spark-first.
+
+Reference model (/root/reference/src/lib.rs:235-383, the
+``processing_strategy!`` macro): a linear chain of stages over
+per-partition Kafka streams with a single error stage, batching sinks,
+and offset commit after sink ack. Spark translation decided in SURVEY §3:
+
+- the *pipeline* is the DataFrame logical plan (fluent chaining);
+- *par_map / map* are narrow transformations (column exprs or Arrow
+  mapInPandas) — Spark already runs them per-partition in parallel
+  (lib.rs:258-270's task-per-partition is the task scheduler's job);
+- *err routing* (lib.rs:526-540): Spark has no side-outputs, so failed
+  records carry an ``__err`` column; inside foreachBatch the micro-batch
+  is persisted once and filter-split to the main sink vs the DLQ sink —
+  per-RECORD granularity, a deliberate improvement over the reference's
+  whole-batch poisoning (lib.rs:715-726, noted in SURVEY §7.3);
+- *reduce's size+time flush* (lib.rs:786-835, 128 rows / 2 s demo):
+  trigger(processingTime) is the time trigger; the 128-row sink batch cap
+  maps to ``maxRecordsPerFile`` — each output file is one "sink request";
+- *ack + written-rows* (clickhouse.rs:147-184): foreachBatch is
+  synchronous; counts are recorded per batch, and a sink raise fails the
+  micro-batch so the checkpoint never commits its offsets (at-least-once,
+  §1.3);
+- *offset commit* (lib.rs:944-994): the checkpoint offset log.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ERR_COL = "__err"
+
+
+# --------------------------------------------------------------------------
+# Sinks (A7/A11 analogues)
+# --------------------------------------------------------------------------
+
+
+class ParquetSink:
+    """Columnar batch sink; ``max_batch_rows`` caps rows per output file —
+    the analogue of the sink's 128-row request batches (main.rs:115)."""
+
+    def __init__(self, path: str, max_batch_rows: int = 128):
+        self.path = path
+        self.max_batch_rows = max_batch_rows
+
+    def write(self, df: DataFrame, batch_id: int) -> int:
+        n = df.count()
+        (
+            df.write.mode("append")
+            .option("maxRecordsPerFile", self.max_batch_rows)
+            .parquet(self.path)
+        )
+        return n
+
+
+class JsonLinesSink:
+    """JSONEachRow sink — the reference's wire format
+    (clickhouse.rs:86-88): every row serialized as one JSON line."""
+
+    def __init__(self, path: str, max_batch_rows: int = 128):
+        self.path = path
+        self.max_batch_rows = max_batch_rows
+
+    def write(self, df: DataFrame, batch_id: int) -> int:
+        n = df.count()
+        (
+            df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+            .write.mode("append")
+            .option("maxRecordsPerFile", self.max_batch_rows)
+            .text(self.path)
+        )
+        return n
+
+
+class ConsoleSink:
+    """The OsStreamWriter analogue (os_stream.rs:12-70) — DLQ default."""
+
+    def __init__(self, num_rows: int = 20):
+        self.num_rows = num_rows
+
+    def write(self, df: DataFrame, batch_id: int) -> int:
+        n = df.count()
+        df.show(self.num_rows, truncate=False)
+        return n
+
+
+class MemorySink:
+    """Test sink: accumulates rows on the driver (unit tests only)."""
+
+    def __init__(self):
+        self.batches: list[tuple[int, list]] = []
+
+    def write(self, df: DataFrame, batch_id: int) -> int:
+        rows = df.collect()
+        self.batches.append((batch_id, rows))
+        return len(rows)
+
+    @property
+    def rows(self) -> list:
+        return [r for _, batch in self.batches for r in batch]
+
+
+# --------------------------------------------------------------------------
+# Stages
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Stage:
+    kind: str  # "map_expr" | "par_map" | "filter"
+    apply: Callable[[DataFrame], DataFrame]
+
+
+def _wrap_par_map(fn: Callable[[dict], dict], out_fields: T.StructType):
+    """Per-record transform with per-record error capture, executed over
+    Arrow batches (mapInPandas). Errors land in ERR_COL; the original
+    record columns are preserved for DLQ provenance (the reference sends
+    the *original* message to err — lib.rs:526-540)."""
+
+    def runner(in_schema: T.StructType):
+        out_schema = T.StructType(
+            list(in_schema.fields)
+            + [f for f in out_fields.fields]
+            + [T.StructField(ERR_COL, T.StringType())]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            out_names = [f.name for f in out_fields.fields]
+            for pdf in batches:
+                results = {name: [] for name in out_names}
+                errs = []
+                for rec in pdf.to_dict("records"):
+                    try:
+                        out = fn(rec)
+                        for name in out_names:
+                            results[name].append(out.get(name))
+                        errs.append(None)
+                    except Exception as e:  # per-record DLQ capture
+                        for name in out_names:
+                            results[name].append(None)
+                        errs.append(f"{type(e).__name__}: {e}")
+                for name in out_names:
+                    pdf[name] = results[name]
+                pdf[ERR_COL] = pd.Series(errs, dtype="object")
+                yield pdf
+
+        return run, out_schema
+
+    return runner
+
+
+# --------------------------------------------------------------------------
+# Pipeline
+# --------------------------------------------------------------------------
+
+
+class Pipeline:
+    """Fluent pipeline:  Pipeline(df).par_map(fn, schema).map_expr(...)
+    .sink(ParquetSink(...), dlq=ConsoleSink()).run_batch() / .run_stream().
+
+    The same pipeline object runs over a bounded DataFrame (oracle
+    checks) or an unbounded one (Structured Streaming) — SURVEY §1.2's
+    batch/stream equivalence.
+    """
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self._stages: list[_Stage] = []
+        self.metrics: dict[int, dict] = {}
+
+    # -- stage builders ----------------------------------------------------
+
+    def map_expr(self, **cols: Column) -> "Pipeline":
+        """Declarative 1->1 stage (JVM, codegen) — the fast path for the
+        reference's map/par_map when the transform is expressible."""
+        self._stages.append(
+            _Stage("map_expr", lambda df, c=dict(cols): df.withColumns(c))
+        )
+        return self
+
+    def par_map(self, fn: Callable[[dict], dict], out_fields: T.StructType) -> "Pipeline":
+        """Arbitrary per-record Python transform with per-record error
+        capture (the ``parse`` stage, main.rs:22-34)."""
+        wrapper = _wrap_par_map(fn, out_fields)
+
+        def apply(df: DataFrame) -> DataFrame:
+            run, out_schema = wrapper(df.schema)
+            return df.mapInPandas(run, schema=out_schema)
+
+        self._stages.append(_Stage("par_map", apply))
+        return self
+
+    def filter(self, cond: Column) -> "Pipeline":
+        self._stages.append(_Stage("filter", lambda df, c=cond: df.filter(c)))
+        return self
+
+    # -- execution ---------------------------------------------------------
+
+    def _transformed(self) -> DataFrame:
+        df = self._df
+        for st in self._stages:
+            df = st.apply(df)
+        return df
+
+    def _split_write(self, sink, dlq, drop_err_col: bool):
+        def write_batch(batch_df: DataFrame, batch_id: int):
+            has_err = ERR_COL in batch_df.columns
+            if has_err:
+                batch_df.persist()
+                ok = batch_df.filter(F.col(ERR_COL).isNull())
+                bad = batch_df.filter(F.col(ERR_COL).isNotNull())
+                if drop_err_col:
+                    ok = ok.drop(ERR_COL)
+                n_ok = sink.write(ok, batch_id)
+                n_bad = dlq.write(bad, batch_id) if dlq is not None else bad.count()
+                batch_df.unpersist()
+            else:
+                n_ok = sink.write(batch_df, batch_id)
+                n_bad = 0
+            # written-rows bookkeeping — the ack handler's
+            # x-clickhouse-summary check (clickhouse.rs:165-175).
+            self.metrics[batch_id] = {"written_rows": n_ok, "dlq_rows": n_bad}
+
+        return write_batch
+
+    def run_batch(self, sink, dlq=None, drop_err_col: bool = True) -> dict:
+        """Bounded execution: one logical 'micro-batch' (batch id 0)."""
+        self._split_write(sink, dlq, drop_err_col)(self._transformed(), 0)
+        return self.metrics[0]
+
+    def run_stream(
+        self,
+        sink,
+        dlq=None,
+        checkpoint_dir: Optional[str] = None,
+        trigger: Optional[dict] = None,
+        drop_err_col: bool = True,
+        await_termination: bool = True,
+    ):
+        """Unbounded execution: foreachBatch(split-write) + checkpoint.
+
+        ``trigger`` defaults to availableNow (drain-and-stop — the
+        ShutdownCondition::Drain analogue, lib.rs:685-689); pass
+        ``{"processingTime": "2 seconds"}`` for the reference demo's
+        cadence (main.rs:116).
+        """
+        out = self._transformed()
+        writer = out.writeStream.foreachBatch(self._split_write(sink, dlq, drop_err_col))
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        writer = writer.trigger(**(trigger or {"availableNow": True}))
+        query = writer.start()
+        if await_termination:
+            query.awaitTermination()
+        return query

@@ -1,0 +1,121 @@
+"""Operator unit tests on tiny in-memory DataFrames (the reference's
+mock-reducer style, lib.rs:1028-1192)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_basic(spark):
+    from kafka_map_reduce_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], "k int, ts int, lbl string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 200), (1, 20, 300), (2, 99, 400)],
+        "k int, ts int, payload int",
+    )
+    out = {
+        (r.lbl): r.r_payload
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["payload"]
+        ).collect()
+    }
+    assert out == {"a": 100, "b": 300, "c": None}  # <=, latest wins, no-match null
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    from kafka_map_reduce_spark.operators.similarity import cosine
+
+    a = [0.5, -1.0, 2.0, 0.25]
+    b = [1.0, 0.5, -0.5, 3.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first().c
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert math.isclose(got, want, rel_tol=1e-12)
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    from kafka_map_reduce_spark.operators.dedup import hamming_pairs, simhash
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "utterly different words entirely")],
+        "doc_id long, text string",
+    )
+    sig = simhash(df, "text", "doc_id")
+    pairs = {(r.id_a, r.id_b): r.dist for r in hamming_pairs(sig, max_dist=0).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    from kafka_map_reduce_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("gamma", "GAMMA2", 1)  # one shingle neighborhood changed
+    far = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sh = D.word_shingles(df, "text", "doc_id")
+    sigs = D.minhash_signatures(sh, num_perm=64)
+    cands = D.lsh_candidates(sigs, num_perm=64, bands=16)
+    verified = D.jaccard_verify(cands, sh, min_jaccard=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in verified} == {(1, 2)}
+    assert all(0.5 <= r.jaccard <= 1.0 for r in verified)
+
+
+def test_exact_dedup_normalization(spark):
+    from kafka_map_reduce_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "  hello world  "), (3, "HELLO WORLD"), (4, "bye")],
+        "doc_id long, text string",
+    )
+    out = {r.keep_id: r.dup_cnt for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_ivf_is_subset_of_brute_force_universe(spark):
+    from kafka_map_reduce_spark.operators.similarity import brute_force_topk, ivf_topk
+    from kafka_map_reduce_spark.sources import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes, corpus = e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
+    exact = brute_force_topk(probes, corpus, k=5).collect()
+    approx = ivf_topk(probes, corpus, k=5).collect()
+    assert len(exact) == 25
+    # IVF returns <= k per probe, only same-bucket neighbors, ranks valid
+    assert all(1 <= r.rank <= 5 for r in approx)
+
+
+def test_quality_score_bounds(spark):
+    from kafka_map_reduce_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",), ("",), ("a b! c?",)],
+        "text string",
+    )
+    vals = [r.q for r in df.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert all(v is None or 0.0 <= v <= 1.0 for v in vals)
+
+
+def test_multimodal_decode_shapes(spark):
+    from kafka_map_reduce_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_media,
+        decode_features,
+    )
+    from kafka_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    out = decode_features(attach_media(docs)).collect()
+    assert len(out) == 10
+    assert all(len(r.features) == FEATURE_DIM for r in out)
+    assert all(r.byte_len > 0 for r in out)

@@ -1,0 +1,31 @@
+"""Oracle-differential tests: every registered query with an oracle must
+hash-match DuckDB at sf0.001 (the driver runs the same check at sf0.01).
+
+This is the reference's own correctness methodology — SQL audits over the
+sink (/root/reference/README.md:86-113) — as a full differential harness.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tools.parity import compare
+
+
+def _specs():
+    from kafka_map_reduce_spark.registry import all_queries
+
+    return sorted(all_queries().items())
+
+
+@pytest.mark.parametrize("name,spec", _specs(), ids=[n for n, _ in _specs()])
+def test_query(name, spec, spark, duck):
+    sdf = spec.fn(spark, SF_SMOKE).toPandas()
+    if spec.oracle is None:
+        assert len(sdf) >= 0  # rows-only contract: executes, stable schema
+        return
+    ddf = duck.execute(spec.oracle).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{name}: {problems}"
+    assert len(sdf) > 0 or len(ddf) == 0
