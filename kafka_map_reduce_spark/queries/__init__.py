@@ -9,6 +9,7 @@ from kafka_map_reduce_spark.queries import (  # noqa: F401
     sorts_setops,
     streaming_batch,
     streaming_live,
+    subqueries,
     tierc_dedup,
     tierc_similarity,
     tierc_text,
