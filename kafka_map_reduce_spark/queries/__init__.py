@@ -4,6 +4,7 @@ from kafka_map_reduce_spark.queries import (  # noqa: F401
     aggregates,
     audits,
     joins,
+    pivots,
     scalar_funcs,
     scans,
     sorts_setops,

@@ -138,3 +138,57 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec_sum, 4).cast("double").alias("mov_sum"),
         round4(dec_sum.cast("double") / F.count(F.lit(1)).over(w)).alias("mov_avg"),
     )
+
+
+@query(
+    "q_window_dist",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           floor((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pct_rank,
+           floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000)  # noqa: E731
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cdist"),
+    )
+
+
+@query(
+    "q_window_value_funcs",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_id) OVER w AS first_ev,
+           last_value(event_id)  OVER w AS last_ev,
+           nth_value(event_id, 2) OVER w AS second_ev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first/last/nth over a full-partition frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_ev"),
+        F.last("event_id").over(w).alias("last_ev"),
+        F.nth_value("event_id", 2).over(w).alias("second_ev"),
+    )
