@@ -262,3 +262,46 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p90_price_approx"),
         )
     )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_ids,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set (sorted for deterministic comparison)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("order_ids"),
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        )
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(CAST(c_custkey AS VARCHAR), ','
+                      ORDER BY CAST(c_custkey AS VARCHAR)) AS members
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (sorted concat of group members)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("c_custkey").cast("string")))
+            ).alias("members")
+        )
+    )
