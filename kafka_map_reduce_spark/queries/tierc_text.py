@@ -167,3 +167,49 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features", lambda x: F.floor(x * 10000 + F.lit(0.5)) / F.lit(10000)
         ).alias("features"),
     )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf,
+           floor((tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)) * 10000 + 0.5) / 10000
+             AS tfidf
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, token): two hash aggregates + a broadcast join of
+    the (small) document-frequency table against the TF table."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            (
+                F.floor(
+                    (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000)
+            ).alias("tfidf"),
+        )
+    )

@@ -119,3 +119,42 @@ def test_multimodal_decode_shapes(spark):
     assert len(out) == 10
     assert all(len(r.features) == FEATURE_DIM for r in out)
     assert all(r.byte_len > 0 for r in out)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from kafka_map_reduce_spark.operators.skew import salted_join
+    from kafka_map_reduce_spark.sources import Tables
+
+    t = Tables(spark, "/root/testdata/sf0.001")
+    plain = (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .select("o_orderkey", "c_custkey")
+    )
+    salted = salted_join(
+        t.orders.withColumnRenamed("o_custkey", "c_custkey"),
+        t.customer,
+        on=["c_custkey"],
+        buckets=8,
+    ).select("o_orderkey", "c_custkey")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_round4_compat_property():
+    """Property: the floor-round4 formula is bit-identical between Spark's
+    JVM doubles and DuckDB — the invariant the whole oracle gate rests on."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(min_value=0, max_value=1e9, allow_nan=False))
+    def prop(x):
+        import math
+
+        py = math.floor(x * 10000 + 0.5) / 10000
+        duck = con.execute("SELECT floor(? * 10000 + 0.5) / 10000", [x]).fetchone()[0]
+        assert py == duck
+
+    prop()
