@@ -268,19 +268,30 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_ids,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
     FROM orders GROUP BY o_custkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list / collect_set (sorted for deterministic comparison)."""
+    """collect_list / collect_set, emitted as sorted comma-joined strings:
+    the driver canonicalizer can't sort/hash array cells, so driver-checked
+    queries emit only scalar columns (arrays sorted numerically BEFORE
+    stringification so both engines join in the same order)."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("order_ids"),
-            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("order_ids"),
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
+            ),
         )
     )
 

@@ -88,8 +88,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            floor((abs(l_discount - 0.05)) * 10000 + 0.5) / 10000 AS abs_disc,
-           ceil(l_quantity) AS qty_ceil,
-           floor(l_quantity) AS qty_floor,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
            floor((pow(l_quantity, 2)) * 10000 + 0.5) / 10000 AS qty_sq,
            CAST(l_linenumber % 3 AS INTEGER) AS line_mod,
            floor((sqrt(l_extendedprice)) * 10000 + 0.5) / 10000 AS price_sqrt,
@@ -175,26 +175,33 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS dim,
            floor((CAST(embedding[1] AS DOUBLE)) * 10000 + 0.5) / 10000 AS first_val,
-           list_transform(embedding[1:3],
-                          x -> floor(CAST(x AS DOUBLE) * 10000 + 0.5) / 10000)
-             AS head3,
+           array_to_string(list_transform(embedding[1:3],
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)),
+                           ',') AS head3,
            floor((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))))
                  * 10000 + 0.5) / 10000 AS vec_sum
     FROM embeddings
     """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """size/element_at/slice/transform/aggregate over ArrayType
-    (Tier C multimodal columns)."""
+    """size/element_at/slice/transform/aggregate over ArrayType (Tier C
+    multimodal columns). head3 is emitted as a comma-joined string of
+    floor-scaled ints — the driver canonicalizer only hashes scalar cells,
+    and integer-to-string rendering is engine-stable (doubles are not)."""
     e = load_table(spark, sf_dir, "embeddings")
-    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000)  # noqa: E731
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         round4(F.element_at("embedding", 1).cast("double")).alias("first_val"),
-        F.transform(F.slice("embedding", 1, 3), lambda x: r4(x.cast("double"))).alias(
-            "head3"
-        ),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+        ).alias("head3"),
         round4(
             F.aggregate(
                 "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")

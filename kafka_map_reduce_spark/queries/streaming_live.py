@@ -40,19 +40,34 @@ def _work_dir(sf_dir: str, name: str) -> str:
     return base
 
 
+def _drain(query, timeout: float = 300.0) -> None:
+    """Await an availableNow stream with a hard deadline: a stream error
+    propagates (the harness records it per-query), but a wedged stream is
+    stopped instead of hanging the whole harness run."""
+    try:
+        if not query.awaitTermination(timeout):
+            query.stop()
+    except Exception:
+        try:
+            query.stop()
+        except Exception:
+            pass
+        raise
+
+
 @query("q_stream_watermark", oracle=None, tags=("streaming",))
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed count with a 10-minute watermark over a multi-batch file
     replay — late-data bound + state eviction (append mode: a window only
     emits once its end passes the watermark)."""
     wd = _work_dir(sf_dir, "watermark")
-    # Split events into 4 roughly ts-ordered files so the watermark
+    # Split events into 2 roughly ts-ordered files so the watermark
     # actually advances across micro-batches.
     from kafka_map_reduce_spark.sources import load_table
 
     ev = load_table(spark, sf_dir, "events")
     src = os.path.join(wd, "src")
-    ev.repartitionByRange(4, "ts").write.parquet(src)
+    ev.repartitionByRange(2, "ts").write.parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
@@ -65,14 +80,15 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "cnt")
+        .coalesce(2)  # hourly windows at test SF: keep the writer fan-out tiny
     )
     out = os.path.join(wd, "out")
-    (
+    _drain(
         agg.writeStream.outputMode("append")
         .trigger(availableNow=True)
         .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .option("parquet.block.size", str(4 * 1024 * 1024))
         .start(out)
-        .awaitTermination()
     )
     return spark.read.parquet(out)
 
@@ -120,15 +136,19 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["user_id"], init, reduce_fn, flush_fn, state_schema, out_schema
     )
     out = os.path.join(wd, "out")
-    (
+    _drain(
         # parquet rejects update mode; route through foreachBatch (append
         # per emitted update — single input batch => one row per key).
+        # coalesce(1): ~150 keys land spread across every post-shuffle
+        # partition; without it the write opens one parquet writer per
+        # partition, which on a default-heap harness driver is the OOM path.
         result.writeStream.outputMode("update")
-        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+        .foreachBatch(
+            lambda df, _id: df.coalesce(1).write.mode("append").parquet(out)
+        )
         .trigger(availableNow=True)
         .option("checkpointLocation", os.path.join(wd, "ckpt"))
         .start()
-        .awaitTermination()
     )
     return spark.read.parquet(out)
 
@@ -169,8 +189,8 @@ def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000)
         )
     )
-    main = ParquetSink(os.path.join(wd, "main"), max_batch_rows=128)
-    dlq = ParquetSink(os.path.join(wd, "dlq"), max_batch_rows=128)
+    main = ParquetSink(os.path.join(wd, "main"), max_batch_rows=128, coalesce=4)
+    dlq = ParquetSink(os.path.join(wd, "dlq"), max_batch_rows=128, coalesce=2)
     pipe.run_stream(
         main, dlq=dlq, checkpoint_dir=os.path.join(wd, "ckpt")
     )
@@ -197,7 +217,7 @@ def q_sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.floor(F.col("value") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("value"),
     )
-    sink = JsonLinesSink(os.path.join(wd, "out"), max_batch_rows=128)
+    sink = JsonLinesSink(os.path.join(wd, "out"), max_batch_rows=128, coalesce=4)
     Pipeline(stream).run_stream(sink, checkpoint_dir=os.path.join(wd, "ckpt"))
     schema = T.StructType(
         [

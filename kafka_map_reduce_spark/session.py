@@ -28,11 +28,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for pandas UDFs / applyInPandas (Tier C operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Shuffle parallelism is runtime-settable and MUST be: an external
+    # harness session defaults to 200, which at small SF means up to 200
+    # near-empty post-shuffle partitions — and 200 concurrent parquet
+    # writers inside foreachBatch sinks, enough to exhaust a default-1g
+    # driver heap (each open writer buffers a row group). On a real
+    # cluster this is sized to data volume; AQE coalesces the excess.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
 }
 
 # Session-creation-time configs (only applied when *we* build the session).
 BUILD_CONFS: dict[str, str] = {
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.ui.enabled": "false",

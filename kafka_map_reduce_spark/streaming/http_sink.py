@@ -25,6 +25,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _written_rows(headers) -> int | None:
+    """ClickHouse reports progress in the ``x-clickhouse-summary`` JSON
+    header (reference ack handler: clickhouse.rs:159-169); the plain
+    ``x-written-rows`` form is kept as a fallback for simpler endpoints."""
+    summary = headers.get("x-clickhouse-summary")
+    if summary is not None:
+        try:
+            return int(json.loads(summary)["written_rows"])
+        except (ValueError, KeyError, TypeError):
+            pass
+    legacy = headers.get("x-written-rows")
+    if legacy is not None:
+        try:
+            return int(legacy)
+        except ValueError:
+            pass
+    return None
+
+
 def _post_chunk(url: str, lines: list[str], timeout: float) -> int:
     body = ("\n".join(lines) + "\n").encode("utf-8")
     req = urllib.request.Request(
@@ -32,11 +51,11 @@ def _post_chunk(url: str, lines: list[str], timeout: float) -> int:
     )
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         status = resp.status
-        summary = resp.headers.get("x-written-rows")
+        written = _written_rows(resp.headers)
     if status != 200:
         raise IOError(f"sink returned HTTP {status}")  # -> DLQ/retry path
-    if summary is not None and int(summary) != len(lines):
-        raise IOError(f"ack mismatch: sent {len(lines)} rows, sink wrote {summary}")
+    if written is not None and written != len(lines):
+        raise IOError(f"ack mismatch: sent {len(lines)} rows, sink wrote {written}")
     return len(lines)
 
 
@@ -55,17 +74,22 @@ class HttpJsonLinesSink:
     def write(self, df: DataFrame, batch_id: int) -> int:
         url, cap, timeout = self.url, self.max_buf_size, self.timeout
         lines_df = df.select(F.to_json(F.struct(*df.columns)).alias("line"))
-        n = lines_df.count()
+        # Single computation per micro-batch: the posted-row count rides an
+        # accumulator on the same foreachPartition action instead of a
+        # separate count() pass over the batch.
+        posted = df.sparkSession.sparkContext.accumulator(0)
 
         def post_partition(rows):
             buf: list[str] = []
+            n_part = 0
             for row in rows:
                 buf.append(row.line)
                 if len(buf) >= cap:
-                    _post_chunk(url, buf, timeout)
+                    n_part += _post_chunk(url, buf, timeout)
                     buf = []
             if buf:
-                _post_chunk(url, buf, timeout)
+                n_part += _post_chunk(url, buf, timeout)
+            posted.add(n_part)
 
         lines_df.foreachPartition(post_partition)
-        return n
+        return posted.value

@@ -28,16 +28,28 @@ and offset commit after sink ack. Spark translation decided in SURVEY §3:
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Iterator, Optional
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ERR_COL = "__err"
+
+
+def _observed_write(df: DataFrame, action: Callable[[DataFrame], None]) -> int:
+    """Run one write action and return the row count from the SAME
+    computation via the Observation API — never a second pass over the
+    batch (the round-1 sinks did count()-then-write, computing every
+    micro-batch twice on the no-error path)."""
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    action(observed)
+    return int(obs.get["rows"])
 
 
 # --------------------------------------------------------------------------
@@ -47,51 +59,82 @@ ERR_COL = "__err"
 
 class ParquetSink:
     """Columnar batch sink; ``max_batch_rows`` caps rows per output file —
-    the analogue of the sink's 128-row request batches (main.rs:115)."""
+    the analogue of the sink's 128-row request batches (main.rs:115).
 
-    def __init__(self, path: str, max_batch_rows: int = 128):
+    ``coalesce`` bounds the number of concurrent writers: with row-capped
+    files an open parquet writer still buffers a full row group, so N
+    post-shuffle partitions mean N row-group buffers — on a small driver
+    heap that is the OOM path. Small micro-batches should write with a
+    handful of writers; large ones scale ``coalesce`` to executor count.
+    ``parquet.block.size`` is lowered accordingly (128-row files never
+    benefit from 128 MiB row-group buffers)."""
+
+    def __init__(self, path: str, max_batch_rows: int = 128, coalesce: int | None = None):
         self.path = path
         self.max_batch_rows = max_batch_rows
+        self.coalesce = coalesce
 
     def write(self, df: DataFrame, batch_id: int) -> int:
-        n = df.count()
-        (
-            df.write.mode("append")
+        if self.coalesce is not None:
+            df = df.coalesce(self.coalesce)
+        return _observed_write(
+            df,
+            lambda d: d.write.mode("append")
             .option("maxRecordsPerFile", self.max_batch_rows)
-            .parquet(self.path)
+            .option("parquet.block.size", str(4 * 1024 * 1024))
+            .parquet(self.path),
         )
-        return n
 
 
 class JsonLinesSink:
     """JSONEachRow sink — the reference's wire format
     (clickhouse.rs:86-88): every row serialized as one JSON line."""
 
-    def __init__(self, path: str, max_batch_rows: int = 128):
+    def __init__(self, path: str, max_batch_rows: int = 128, coalesce: int | None = None):
         self.path = path
         self.max_batch_rows = max_batch_rows
+        self.coalesce = coalesce
 
     def write(self, df: DataFrame, batch_id: int) -> int:
-        n = df.count()
-        (
-            df.select(F.to_json(F.struct(*df.columns)).alias("value"))
-            .write.mode("append")
+        if self.coalesce is not None:
+            df = df.coalesce(self.coalesce)
+        lines = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        return _observed_write(
+            lines,
+            lambda d: d.write.mode("append")
             .option("maxRecordsPerFile", self.max_batch_rows)
-            .text(self.path)
+            .text(self.path),
         )
-        return n
 
 
 class ConsoleSink:
-    """The OsStreamWriter analogue (os_stream.rs:12-70) — DLQ default."""
+    """The OsStreamWriter analogue (os_stream.rs:12-70) — DLQ default.
 
-    def __init__(self, num_rows: int = 20):
+    ``min_interval`` is the reference's print-rate limit (1 record/s demo,
+    os_stream.rs:50, main.rs:106-107): a write arriving sooner than
+    ``min_interval`` seconds after the previous one sleeps the difference,
+    which back-pressures the micro-batch exactly like the reference's
+    ``sleep(print_duration)`` back-pressures its err channel.
+
+    Collects the batch to the driver — correct only for DLQ-scale data
+    (the reference's OsStreamWriter prints every record too); route bulk
+    errors to a ParquetSink DLQ instead."""
+
+    def __init__(self, num_rows: int = 20, min_interval: float = 0.0):
         self.num_rows = num_rows
+        self.min_interval = min_interval
+        self._last_write = 0.0
 
     def write(self, df: DataFrame, batch_id: int) -> int:
-        n = df.count()
-        df.show(self.num_rows, truncate=False)
-        return n
+        if self.min_interval > 0:
+            wait = self._last_write + self.min_interval - time.monotonic()
+            if wait > 0:
+                time.sleep(wait)
+        self._last_write = time.monotonic()
+        pdf = df.toPandas()  # one computation: count + display from the same pass
+        with pd.option_context("display.max_rows", self.num_rows):
+            print(pdf.head(self.num_rows).to_string(index=False))
+        return len(pdf)
 
 
 class MemorySink:
@@ -122,10 +165,13 @@ class _Stage:
 
 
 def _wrap_par_map(fn: Callable[[dict], dict], out_fields: T.StructType):
-    """Per-record transform with per-record error capture, executed over
-    Arrow batches (mapInPandas). Errors land in ERR_COL; the original
-    record columns are preserved for DLQ provenance (the reference sends
-    the *original* message to err — lib.rs:526-540)."""
+    """Per-record transform with per-record error capture. Data moves in
+    Arrow batches (mapInPandas) but ``fn`` itself runs row-at-a-time Python
+    — inherent to the arbitrary-user-function contract, same as the
+    reference's per-message par_map (lib.rs:490-547). For parse-shaped
+    stages prefer the JVM fast path: ``Pipeline.map_expr`` with
+    ``from_json``/built-ins. Errors land in ERR_COL; the original record
+    columns are preserved for DLQ provenance (lib.rs:526-540)."""
 
     def runner(in_schema: T.StructType):
         out_schema = T.StructType(
@@ -246,13 +292,16 @@ class Pipeline:
         trigger: Optional[dict] = None,
         drop_err_col: bool = True,
         await_termination: bool = True,
+        await_timeout: Optional[float] = 600.0,
     ):
         """Unbounded execution: foreachBatch(split-write) + checkpoint.
 
         ``trigger`` defaults to availableNow (drain-and-stop — the
         ShutdownCondition::Drain analogue, lib.rs:685-689); pass
         ``{"processingTime": "2 seconds"}`` for the reference demo's
-        cadence (main.rs:116).
+        cadence (main.rs:116). ``await_timeout`` bounds the drain so a
+        wedged stream is stopped rather than hanging the caller; stream
+        errors propagate either way.
         """
         out = self._transformed()
         writer = out.writeStream.foreachBatch(self._split_write(sink, dlq, drop_err_col))
@@ -261,5 +310,16 @@ class Pipeline:
         writer = writer.trigger(**(trigger or {"availableNow": True}))
         query = writer.start()
         if await_termination:
-            query.awaitTermination()
+            try:
+                if await_timeout is not None:
+                    if not query.awaitTermination(await_timeout):
+                        query.stop()
+                else:
+                    query.awaitTermination()
+            except Exception:
+                try:
+                    query.stop()
+                except Exception:
+                    pass
+                raise
         return query

@@ -89,6 +89,18 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         problems.append(f"row count differs: spark={len(a)} duck={len(b)}")
         return problems
     for c in a.columns:
+        # The driver's value-hash distinguishes 6 from 6.0: an integer
+        # column on one engine and a float column on the other is a
+        # mismatch even when every value coerces equal (this masked the
+        # q_math_funcs ceil/floor BIGINT-vs-DOUBLE failure in round 1).
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if {ka, kb} <= {"i", "u", "f"} and (ka in "iu") != (kb in "iu"):
+            problems.append(
+                f"column {c!r} dtype kind differs: spark={a[c].dtype} duck={b[c].dtype}"
+            )
+    if problems:
+        return problems
+    for c in a.columns:
         av, bv = a[c], b[c]
         neq = []
         for i, (x, y) in enumerate(zip(av, bv)):
