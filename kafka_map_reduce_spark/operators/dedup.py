@@ -62,9 +62,21 @@ def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
 
 
 def lsh_candidates(
-    signatures: DataFrame, num_perm: int = 64, bands: int = 16
+    signatures: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Band the signature, bucket-join: candidate pairs (id_a < id_b)."""
+    """Band the signature, bucket-join: candidate pairs (id_a < id_b).
+
+    ``max_bucket_size`` is the hot-band guard for the 100 TB case: a band
+    bucket holding N near-identical documents (boilerplate/template
+    clusters) would emit N^2/2 candidate pairs from a single join key —
+    the LSH skew pathology. When set, buckets with more than
+    ``max_bucket_size`` members are dropped from candidate generation
+    (their members are template clusters better handled by exact dedup).
+    Default None keeps every bucket — required for oracle parity.
+    """
     rows_per_band = num_perm // bands
     band_cols = [
         F.xxhash64(
@@ -79,6 +91,14 @@ def lsh_candidates(
                       for b in range(bands)])
         ).alias("e"),
     ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    if max_bucket_size is not None:
+        small_buckets = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+        banded = banded.join(small_buckets, ["band", "bh"])
     other = banded.select(
         F.col("id").alias("id_b"), F.col("band").alias("band_b"), F.col("bh").alias("bh_b")
     )
@@ -161,10 +181,20 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def hamming_pairs(sim: DataFrame, max_dist: int) -> DataFrame:
     """Pairs with Hamming distance <= max_dist.
 
-    Candidate generation by the 4-block trick (two 16-bit blocks must match
-    exactly when max_dist <= 3 over 4 blocks): equi-join on block values,
-    then exact popcount verify — avoids the all-pairs product at scale.
+    Candidate generation by the 4-block trick: with 64 bits split into 4
+    16-bit blocks, any pair at distance <= 3 must agree exactly on at
+    least one block (pigeonhole), so an equi-join on block values finds
+    every candidate, then an exact popcount verifies — never an all-pairs
+    product. The guarantee BREAKS at max_dist >= 4 (4 differing bits can
+    land one per block), which would silently drop pairs; rejected here
+    rather than returning incomplete results.
     """
+    if not 0 <= max_dist <= 3:
+        raise ValueError(
+            f"hamming_pairs 4-block candidate generation is complete only "
+            f"for max_dist in [0, 3]; got {max_dist}. For larger radii use "
+            f"more blocks (block count must exceed max_dist)."
+        )
     blocks = sim.select(
         "id",
         "simhash",

@@ -32,6 +32,42 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-probe top-k from a (probe_id, neighbor_id, sim) scored set,
+    scale-safe.
+
+    A single ``Window.partitionBy(probe_id)`` rank shuffles EVERY scored
+    row to the one reducer owning its probe — with a 100 TB corpus and few
+    probes, a handful of tasks sort the world. Instead: stage 1 takes each
+    *input partition's* top-k per probe (keys spread evenly across
+    reducers, output bounded at partitions x probes x k — the partial
+    TakeOrdered), stage 2 ranks that small survivor set per probe. Any
+    global top-k row is necessarily in its partition's top-k, and ties
+    break on neighbor_id in both stages, so the result is identical to
+    the one-window form.
+    """
+    w1 = Window.partitionBy("__pid", "probe_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+        .drop("__pid", "__r")
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("sim"),
+            "rank",
+        )
+    )
+
+
 def brute_force_topk(
     probes: DataFrame, corpus: DataFrame, k: int, vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -44,17 +80,7 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(p)).withColumn(
         "sim", cosine(F.col("probe_vec"), F.col("vec"))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "probe_id",
-            "neighbor_id",
-            (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("sim"),
-            "rank",
-        )
-    )
+    return ranked_topk(scored, k)
 
 
 def sign_bucket(vec_col: Column, bits: int = 8) -> Column:
@@ -84,14 +110,4 @@ def ivf_topk(
     scored = c.join(F.broadcast(p), "bkt").withColumn(
         "sim", cosine(F.col("probe_vec"), F.col("vec"))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "probe_id",
-            "neighbor_id",
-            (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("sim"),
-            "rank",
-        )
-    )
+    return ranked_topk(scored, k)

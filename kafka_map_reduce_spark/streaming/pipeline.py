@@ -205,6 +205,62 @@ def _wrap_par_map(fn: Callable[[dict], dict], out_fields: T.StructType):
     return runner
 
 
+def _wrap_par_map_async(
+    async_fn, out_fields: T.StructType, concurrency: int
+):
+    """Arrow-batch runner for ``Pipeline.par_map_async``: per batch, run
+    every record's coroutine under an asyncio semaphore of ``concurrency``
+    (the FuturesOrdered window, lib.rs:615-616, 660-671); ``gather``
+    returns results in submission order — the ordering guarantee the
+    reference's drain path has (lib.rs:584). Exceptions are captured
+    per-record into ERR_COL (lib.rs:649-656's per-record err routing)."""
+
+    def runner(in_schema: T.StructType):
+        out_schema = T.StructType(
+            list(in_schema.fields)
+            + [f for f in out_fields.fields]
+            + [T.StructField(ERR_COL, T.StringType())]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import asyncio
+
+            out_names = [f.name for f in out_fields.fields]
+
+            async def bounded(sem, rec):
+                async with sem:
+                    return await async_fn(rec)
+
+            async def run_batch(records):
+                sem = asyncio.Semaphore(concurrency)
+                return await asyncio.gather(
+                    *[bounded(sem, rec) for rec in records], return_exceptions=True
+                )
+
+            for pdf in batches:
+                records = pdf.to_dict("records")
+                outs = asyncio.run(run_batch(records))
+                results = {name: [] for name in out_names}
+                errs = []
+                for out in outs:
+                    if isinstance(out, BaseException):
+                        for name in out_names:
+                            results[name].append(None)
+                        errs.append(f"{type(out).__name__}: {out}")
+                    else:
+                        for name in out_names:
+                            results[name].append(out.get(name))
+                        errs.append(None)
+                for name in out_names:
+                    pdf[name] = results[name]
+                pdf[ERR_COL] = pd.Series(errs, dtype="object")
+                yield pdf
+
+        return run, out_schema
+
+    return runner
+
+
 # --------------------------------------------------------------------------
 # Pipeline
 # --------------------------------------------------------------------------
@@ -246,6 +302,30 @@ class Pipeline:
         self._stages.append(_Stage("par_map", apply))
         return self
 
+    def par_map_async(
+        self,
+        async_fn: Callable[[dict], "dict"],
+        out_fields: T.StructType,
+        concurrency: int = 16,
+    ) -> "Pipeline":
+        """Bounded-concurrency async transform — the reference's ``map``
+        runner (lib.rs:605-675): a ``FuturesOrdered`` window of
+        ``config.concurrency`` in-flight futures, submission order
+        preserved, per-record errors to DLQ. Spark-side: each Arrow batch
+        drives an asyncio loop with a semaphore of ``concurrency``; results
+        are gathered in submission order. Use for I/O-bound per-record work
+        (HTTP enrichment, external lookups) where overlapping requests
+        matters; CPU-bound transforms belong in ``par_map``/``map_expr``.
+        """
+        wrapper = _wrap_par_map_async(async_fn, out_fields, concurrency)
+
+        def apply(df: DataFrame) -> DataFrame:
+            run, out_schema = wrapper(df.schema)
+            return df.mapInPandas(run, schema=out_schema)
+
+        self._stages.append(_Stage("par_map_async", apply))
+        return self
+
     def filter(self, cond: Column) -> "Pipeline":
         self._stages.append(_Stage("filter", lambda df, c=cond: df.filter(c)))
         return self
@@ -258,17 +338,33 @@ class Pipeline:
             df = st.apply(df)
         return df
 
-    def _split_write(self, sink, dlq, drop_err_col: bool):
+    def _split_write(self, sink, dlq, drop_err_col: bool, poison_mode: str = "record"):
+        if poison_mode not in ("record", "batch"):
+            raise ValueError(f"poison_mode must be 'record' or 'batch', got {poison_mode!r}")
+
         def write_batch(batch_df: DataFrame, batch_id: int):
             has_err = ERR_COL in batch_df.columns
             if has_err:
                 batch_df.persist()
                 ok = batch_df.filter(F.col(ERR_COL).isNull())
                 bad = batch_df.filter(F.col(ERR_COL).isNotNull())
-                if drop_err_col:
-                    ok = ok.drop(ERR_COL)
-                n_ok = sink.write(ok, batch_id)
-                n_bad = dlq.write(bad, batch_id) if dlq is not None else bad.count()
+                if poison_mode == "batch" and not bad.isEmpty():
+                    # Whole-batch poisoning (opt-in): one failed record
+                    # sends the ENTIRE in-flight batch to the DLQ — the
+                    # reference reducer's handle_reducer_failure semantics
+                    # (lib.rs:715-726). Default stays per-record (SURVEY
+                    # §7.3's documented improvement).
+                    n_ok = 0
+                    n_bad = (
+                        dlq.write(batch_df, batch_id)
+                        if dlq is not None
+                        else batch_df.count()
+                    )
+                else:
+                    if drop_err_col:
+                        ok = ok.drop(ERR_COL)
+                    n_ok = sink.write(ok, batch_id)
+                    n_bad = dlq.write(bad, batch_id) if dlq is not None else bad.count()
                 batch_df.unpersist()
             else:
                 n_ok = sink.write(batch_df, batch_id)
@@ -279,9 +375,11 @@ class Pipeline:
 
         return write_batch
 
-    def run_batch(self, sink, dlq=None, drop_err_col: bool = True) -> dict:
+    def run_batch(
+        self, sink, dlq=None, drop_err_col: bool = True, poison_mode: str = "record"
+    ) -> dict:
         """Bounded execution: one logical 'micro-batch' (batch id 0)."""
-        self._split_write(sink, dlq, drop_err_col)(self._transformed(), 0)
+        self._split_write(sink, dlq, drop_err_col, poison_mode)(self._transformed(), 0)
         return self.metrics[0]
 
     def run_stream(
@@ -293,6 +391,7 @@ class Pipeline:
         drop_err_col: bool = True,
         await_termination: bool = True,
         await_timeout: Optional[float] = 600.0,
+        poison_mode: str = "record",
     ):
         """Unbounded execution: foreachBatch(split-write) + checkpoint.
 
@@ -304,7 +403,9 @@ class Pipeline:
         errors propagate either way.
         """
         out = self._transformed()
-        writer = out.writeStream.foreachBatch(self._split_write(sink, dlq, drop_err_col))
+        writer = out.writeStream.foreachBatch(
+            self._split_write(sink, dlq, drop_err_col, poison_mode)
+        )
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
         writer = writer.trigger(**(trigger or {"availableNow": True}))

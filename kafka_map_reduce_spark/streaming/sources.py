@@ -26,6 +26,31 @@ KAFKA_RECORD_COLUMNS = [
 ]
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 10000,
+) -> dict[str, str]:
+    """The exact option set a Kafka read is constructed with — factored
+    out so the source contract (subscribe topics, consumer bring-up
+    offsets, per-trigger admission cap) is unit-testable without a broker
+    or the spark-sql-kafka connector on the classpath.
+
+    Mirrors the reference's consumer bring-up (lib.rs:49-85: subscribe at
+    lib.rs:72-74); ``maxOffsetsPerTrigger`` is the admission-control
+    analogue of its bounded channels (lib.rs:254-256).
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -34,21 +59,14 @@ def kafka_source(
     max_offsets_per_trigger: int | None = 10000,
 ) -> DataFrame:
     """Unbounded Kafka read (requires the spark-sql-kafka connector on the
-    classpath; not present in the test container — covered by unit tests
-    only at the plan level).
-
-    ``maxOffsetsPerTrigger`` is the admission-control analogue of the
-    reference's bounded channels (lib.rs:254-256).
-    """
+    classpath; absent in the test container — the option contract is
+    covered by unit tests via ``kafka_reader_options``)."""
     configure(spark)
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topics, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 

@@ -9,6 +9,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 
 def test_asof_join_basic(spark):
     from kafka_map_reduce_spark.operators import asof_join
@@ -158,3 +160,69 @@ def test_round4_compat_property():
         assert py == duck
 
     prop()
+
+
+def test_hamming_pairs_rejects_incomplete_radius(spark):
+    """The 4-block pigeonhole only guarantees candidate completeness for
+    max_dist <= 3; larger radii must be rejected, not silently lossy."""
+    import pytest
+
+    from kafka_map_reduce_spark.operators.dedup import hamming_pairs
+
+    sim = spark.createDataFrame([(1, 0), (2, 15)], "id long, simhash long")
+    with pytest.raises(ValueError, match="max_dist"):
+        hamming_pairs(sim, 4)
+    assert hamming_pairs(sim, 3).count() == 0  # dist=4: correctly out of radius
+
+
+def test_lsh_hot_band_cap(spark):
+    """Template-cluster guard: a band bucket holding a planted clone
+    cluster is dropped when max_bucket_size is set, while genuine small-
+    bucket near-dup pairs survive; default (None) keeps everything."""
+    from kafka_map_reduce_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    template = "the quick brown fox jumps over the lazy dog every single day"
+    rows = [(i, template) for i in range(12)]  # hot bucket: 12 clones
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    sig = minhash_signatures(
+        word_shingles(spark.createDataFrame(rows, "doc_id long, text string"), "text", "doc_id")
+    )
+    uncapped = {(r.id_a, r.id_b) for r in lsh_candidates(sig).collect()}
+    capped = {
+        (r.id_a, r.id_b) for r in lsh_candidates(sig, max_bucket_size=10).collect()
+    }
+    assert (100, 101) in uncapped and any(a < 100 for a, _ in uncapped)
+    assert (100, 101) in capped  # small-bucket pair survives the cap
+    assert all(a >= 100 for a, _ in capped)  # clone-cluster pairs dropped
+
+
+def test_ranked_topk_matches_numpy(spark):
+    """The two-stage (partition-local prune + final rank) top-k must be
+    exactly the naive global top-k."""
+    import numpy as np
+
+    from kafka_map_reduce_spark.operators.similarity import brute_force_topk
+    from kafka_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter("vec_id < 3")
+    got = brute_force_topk(probes, emb, 5).collect()
+
+    mat = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype="float64"
+    )
+    ids = [r.vec_id for r in emb.orderBy("vec_id").collect()]
+    norms = np.linalg.norm(mat, axis=1)
+    for pid in range(3):
+        sims = (mat @ mat[ids.index(pid)]) / (norms * norms[ids.index(pid)])
+        order = sorted(zip(-sims, ids))[:5]  # sim desc, neighbor_id asc
+        expect = [i for _, i in order]
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.probe_id == pid]
+        assert mine == expect, f"probe {pid}: {mine} != {expect}"

@@ -137,3 +137,209 @@ def test_stateful_reduce_matches_batch(spark, tmp_path):
         a[["user_id", "n", "cents_sum"]].astype("int64"),
         b[["user_id", "n", "cents_sum"]].astype("int64"),
     )
+
+
+# --------------------------------------------------------------------------
+# Reducer lifecycle semantics (ReduceConfig parity: lib.rs:677-726)
+# --------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    """Deterministic stand-in for pyspark GroupState: records the
+    update/remove/timeout calls the reducer runner makes."""
+
+    def __init__(self, value=None, has_timed_out=False):
+        self._v = tuple(value) if value is not None else None
+        self.hasTimedOut = has_timed_out
+        self.timeout_set_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("state does not exist")
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set_ms = ms
+
+
+def _runner(**kw):
+    from kafka_map_reduce_spark.streaming.state import make_reducer_runner
+
+    return make_reducer_runner(
+        init=lambda: (0,),
+        reduce_fn=lambda acc, pdf: (acc[0] + int(pdf["x"].sum()),),
+        flush_fn=lambda key, acc: {"k": key[0], "total": acc[0]},
+        **kw,
+    )
+
+
+def test_reducer_runner_accumulates_and_flushes():
+    run = _runner()
+    st = _FakeGroupState()
+    out = list(run(("a",), [pd.DataFrame({"x": [1, 2, 3]})], st))
+    assert out[0].iloc[0]["total"] == 6
+    assert st.get == (6, 3)  # accumulator + rows-seen bookkeeping
+    assert st.timeout_set_ms is None  # NoTimeout: no eviction clock
+    # second batch continues from stored state
+    out = list(run(("a",), [pd.DataFrame({"x": [10]})], st))
+    assert out[0].iloc[0]["total"] == 16
+
+
+def test_reducer_runner_timeout_eviction():
+    """Idle-key eviction (ADVICE round 1): the timeout clock is armed on
+    every invocation and a timed-out key emits one final flush then
+    removes its state — bounded state on long streams."""
+    run = _runner(timeout="ProcessingTimeTimeout", timeout_duration_ms=1234)
+    st = _FakeGroupState()
+    list(run(("a",), [pd.DataFrame({"x": [5]})], st))
+    assert st.timeout_set_ms == 1234  # clock armed
+    # simulate Spark invoking the timed-out key (no new data)
+    st2 = _FakeGroupState(value=(5, 1), has_timed_out=True)
+    out = list(run(("a",), [], st2))
+    assert out[0].iloc[0]["total"] == 5  # final flush
+    assert not st2.exists  # state removed
+
+
+def test_reducer_runner_capacity_flush_reset():
+    """is_full -> WhenFull::Flush (lib.rs:697-701, 832-835): a key that
+    absorbed >= capacity rows emits and RESETS its accumulator."""
+    run = _runner(capacity=3)
+    st = _FakeGroupState()
+    list(run(("a",), [pd.DataFrame({"x": [1, 1]})], st))
+    assert st.get == (2, 2)  # below capacity: state kept
+    out = list(run(("a",), [pd.DataFrame({"x": [1]})], st))
+    assert out[0].iloc[0]["total"] == 3  # flush emitted at capacity
+    assert not st.exists  # ...and the accumulator reset
+    out = list(run(("a",), [pd.DataFrame({"x": [7]})], st))
+    assert out[0].iloc[0]["total"] == 7  # fresh cycle from init()
+
+
+def test_batch_poison_mode(spark, tmp_path):
+    """Opt-in whole-batch poisoning (lib.rs:715-726): one failed record
+    sends the entire micro-batch to the DLQ; clean batches still flow —
+    mirrors test_fail_on_reduce_* (lib.rs:1333-1409)."""
+    import shutil
+
+    from kafka_map_reduce_spark.streaming import MemorySink, Pipeline
+
+    ev = _events(spark)
+    clean = ev.filter("event_id < 500 AND event_type <> 'error'")
+    dirty = ev.filter("event_id >= 500")  # contains event_type='error' rows
+    n_clean, n_dirty = clean.count(), dirty.count()
+    assert dirty.filter("event_type = 'error'").count() > 0
+
+    # two-file replay -> two micro-batches (order doesn't matter)
+    stage_a, stage_b = str(tmp_path / "a"), str(tmp_path / "b")
+    clean.coalesce(1).write.parquet(stage_a)
+    dirty.coalesce(1).write.parquet(stage_b)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, stage in enumerate((stage_a, stage_b)):
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part), src / f"batch{i}.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    def parse(rec):
+        if rec["event_type"] == "error":
+            raise ValueError("poison")
+        return {"ok": 1}
+
+    sink, dlq = MemorySink(), MemorySink()
+    pipe = Pipeline(stream).par_map(
+        parse, T.StructType([T.StructField("ok", T.IntegerType())])
+    )
+    pipe.run_stream(
+        sink,
+        dlq=dlq,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        poison_mode="batch",
+    )
+    # whole dirty batch (clean rows included) in DLQ; whole clean batch sunk
+    assert len(sink.rows) == n_clean
+    assert len(dlq.rows) == n_dirty
+    assert {r.event_id for r in sink.rows} == {
+        r.event_id for r in clean.select("event_id").collect()
+    }
+
+
+def test_kafka_reader_options_contract():
+    """A1 source contract without a broker (lib.rs:49-85): subscription,
+    bring-up offsets, and the per-trigger admission cap."""
+    from kafka_map_reduce_spark.streaming.sources import kafka_reader_options
+
+    opts = kafka_reader_options("broker1:9092,broker2:9092", "ingest", "latest", 5000)
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "ingest",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    assert "maxOffsetsPerTrigger" not in kafka_reader_options(
+        "b:9092", "t", max_offsets_per_trigger=None
+    )
+
+
+def test_console_sink_rate_limit(spark):
+    """DLQ print-rate limit (os_stream.rs:50): consecutive writes are
+    spaced >= min_interval apart (back-pressuring the err path)."""
+    import time
+
+    from kafka_map_reduce_spark.streaming import ConsoleSink
+
+    sink = ConsoleSink(num_rows=2, min_interval=0.3)
+    df = spark.range(3)
+    t0 = time.monotonic()
+    assert sink.write(df, 0) == 3
+    assert sink.write(df, 1) == 3
+    assert time.monotonic() - t0 >= 0.3
+
+
+def test_par_map_async_bounded_concurrency(spark):
+    """The reference's ``map`` runner (lib.rs:605-675): async transforms
+    overlap up to the concurrency window, order-stable, per-record errors
+    to DLQ. 200 records x 20 ms awaits must finish far under serial time
+    (4 s) when 50 overlap."""
+    import time
+
+    from kafka_map_reduce_spark.streaming import MemorySink, Pipeline
+
+    async def enrich(rec):
+        import asyncio
+
+        await asyncio.sleep(0.02)  # simulated I/O wait
+        if rec["id"] % 97 == 13:
+            raise ValueError("lookup failed")
+        return {"doubled": rec["id"] * 2}
+
+    df = spark.range(200).coalesce(2)
+    sink, dlq = MemorySink(), MemorySink()
+    t0 = time.monotonic()
+    (
+        Pipeline(df)
+        .par_map_async(enrich, T.StructType([T.StructField("doubled", T.LongType())]),
+                       concurrency=50)
+        .run_batch(sink, dlq=dlq)
+    )
+    elapsed = time.monotonic() - t0
+    bad = {i for i in range(200) if i % 97 == 13}
+    assert {r.id for r in dlq.rows} == bad
+    assert {r.id: r.doubled for r in sink.rows} == {
+        i: i * 2 for i in range(200) if i not in bad
+    }
+    assert elapsed < 3.0, f"async overlap missing: {elapsed:.1f}s"
