@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kafka_map_reduce_spark.functions import round4
 from kafka_map_reduce_spark.registry import query
 from kafka_map_reduce_spark.streaming import (
     JsonLinesSink,
@@ -228,3 +229,96 @@ def q_sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(sink.path)
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           floor(e.value * 10000 + 0.5) / 10000 AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("streaming",),
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the unbounded events side streams while
+    the customer dimension is broadcast to every task — the canonical
+    lookup-join shape for a par_map-style enrichment stage (lib.rs:490-547
+    does this per record over the network; here it is a stateless
+    broadcast hash join, no watermark, no shuffle of the stream side)."""
+    from kafka_map_reduce_spark.sources import load_table
+
+    wd = _work_dir(sf_dir, "enrich")
+    stream = file_replay_stream(spark, sf_dir, "events", wd)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    import pyspark.sql.functions as _F
+
+    joined = stream.join(
+        _F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("c_mktsegment").alias("segment"),
+        round4(F.col("value")).alias("value"),
+    )
+    sink = ParquetSink(os.path.join(wd, "out"), coalesce=4)
+    Pipeline(joined).run_stream(sink, checkpoint_dir=os.path.join(wd, "ckpt"))
+    return spark.read.parquet(sink.path)
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           CAST(datediff('second', a.ts, b.ts) AS BIGINT) AS lag_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+    tags=("streaming",),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 10 minutes after a
+    click by the same user. Both sides carry watermarks so the join state
+    is bounded (rows outside the watermark+interval envelope are evicted);
+    the time-range predicate is what makes unbounded x unbounded joinable
+    at all. Inner matches emit as soon as both sides arrive, so the
+    availableNow drain equals the batch join — hash-checked against the
+    SQL oracle."""
+    wd = _work_dir(sf_dir, "sjoin")
+    s = file_replay_stream(spark, sf_dir, "events", wd).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    buys = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("buyer_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_s"),
+    )
+    sink = ParquetSink(os.path.join(wd, "out"), coalesce=4)
+    Pipeline(joined).run_stream(sink, checkpoint_dir=os.path.join(wd, "ckpt"))
+    return spark.read.parquet(sink.path)
