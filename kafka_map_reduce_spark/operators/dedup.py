@@ -234,3 +234,54 @@ def hamming_pairs(sim: DataFrame, max_dist: int) -> DataFrame:
         .filter(F.col("dist") <= max_dist)
         .select(F.col("id").alias("id_a"), "id_b", "dist")
     )
+
+
+def connected_components(
+    pairs: DataFrame, nodes: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Cluster duplicate-pair output into components: every node gets the
+    minimum reachable id as ``cluster_id`` (the canonical document).
+
+    Min-label propagation: each round, every node takes the min of its own
+    label and its neighbors' labels — one keyed shuffle per round,
+    converging in O(component diameter) rounds (near-dup clusters are
+    shallow, so a handful). ``localCheckpoint`` truncates the iterative
+    lineage so the plan doesn't grow per round. At extreme scale the
+    large-star/small-star variant halves round count; the per-round join
+    shape (edges x labels on dst) is the same.
+
+    ``pairs``: columns (id_a, id_b); ``nodes``: one id column (singletons
+    become their own cluster); returns (id, cluster_id).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.persist()
+    id_col = nodes.columns[0]
+    labels = (
+        nodes.select(F.col(id_col).alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), F.col("label").alias("nl"))
+            .groupBy("id")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(nmin, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("old_label"), F.coalesce(F.col("nmin"), F.col("old_label"))
+                ).alias("label"),
+                "old_label",
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.drop("old_label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

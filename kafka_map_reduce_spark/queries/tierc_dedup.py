@@ -42,6 +42,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_with_injected_dups(docs), "text", "doc_id")
 
 
+def _bounded_subset(df: DataFrame, id_col: str, bound: int, cap: int) -> DataFrame:
+    """LOAD-BEARING cap for the all-pairs oracle fixtures: the id filter
+    keeps the quadratic join bounded, and the count assertion makes the
+    bound survive refactors — an unbounded all-pairs product must fail
+    loudly here, never ship silently (the LSH/IVF paths are the scale
+    forms of these queries)."""
+    sub = df.filter(F.col(id_col) < bound)
+    n = sub.count()
+    if n > cap:
+        raise ValueError(
+            f"all-pairs fixture input has {n} rows (cap {cap}); "
+            f"use the LSH/IVF scale path instead"
+        )
+    return sub
+
+
 @query(
     "q_dedup_ngram_jaccard",
     oracle="""
@@ -72,7 +88,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram (word-shingle) Jaccard near-dup pairs on a doc subset
     — the exact-verification half of the MinHash pipeline, SQL-checkable."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _bounded_subset(
+        load_table(spark, sf_dir, "documents"), "doc_id", bound=200, cap=1000
+    )
     shingled = D.word_shingles(docs, "text", "doc_id", k=3)
     pairs = shingled.select(F.col("id").alias("id_a")).distinct().join(
         shingled.select(F.col("id").alias("id_b")).distinct(),
@@ -118,7 +136,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above threshold (subset; the
     all-pairs form — LSH-bucketed variant is q_sim_ivf)."""
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    e = _bounded_subset(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", bound=200, cap=1000
+    )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     sim = cosine(F.col("va"), F.col("vb"))
@@ -132,3 +152,64 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("raw_sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("sim"),
         )
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                                     i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+        UNION
+        SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> canonical doc: the step
+    that turns pairwise similarity into an actual keep/drop decision for
+    a training corpus. Pairs come from the deterministic n-gram Jaccard
+    fixture so the clustering hash-checks against a DuckDB recursive-CTE
+    transitive closure; at scale the same operator consumes the
+    MinHash-LSH pair stream (min-label propagation, one keyed shuffle per
+    round — operators/dedup.py:connected_components)."""
+    docs = _bounded_subset(
+        load_table(spark, sf_dir, "documents"), "doc_id", bound=200, cap=1000
+    )
+    shingled = D.word_shingles(docs, "text", "doc_id", k=3)
+    all_pairs = shingled.select(F.col("id").alias("id_a")).distinct().join(
+        shingled.select(F.col("id").alias("id_b")).distinct(),
+        F.col("id_a") < F.col("id_b"),
+    )
+    pairs = D.jaccard_verify(all_pairs, shingled, min_jaccard=0.2).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs, docs.select("doc_id"))
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id")

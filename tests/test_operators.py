@@ -226,3 +226,14 @@ def test_ranked_topk_matches_numpy(spark):
         expect = [i for _, i in order]
         mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.probe_id == pid]
         assert mine == expect, f"probe {pid}: {mine} != {expect}"
+
+
+def test_connected_components_clusters(spark):
+    """Planted chain a-b-c plus isolated d: one 3-cluster labeled by its
+    min id, one singleton."""
+    from kafka_map_reduce_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(2, 1), (2, 3)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id long")
+    got = {r.id: r.cluster_id for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
