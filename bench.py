@@ -54,8 +54,11 @@ def main() -> None:
     )
     specs = all_queries()
 
-    # JVM/codegen warm-up (not timed)
+    # Warm-up (not timed): JVM codegen via a tiny aggregate, and the
+    # Python-UDF worker pool via a small Arrow round-trip — so timings
+    # measure the plans, not one-time JVM JIT / worker-fork costs.
     materialize(specs["q_agg_group"].fn(spark, sf_dir).limit(1))
+    materialize(specs["q_udf_scalar"].fn(spark, sf_dir).limit(256))
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
