@@ -213,3 +213,54 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
+    f AS (SELECT doc_id,
+                 unnest(range(0, CAST(ceil(octet_length(b)/256.0) AS BIGINT)))
+                   AS frame_idx,
+                 b
+          FROM m)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, frame_idx,
+           CAST(least(256, octet_length(b) - frame_idx*256) AS BIGINT) AS frame_len
+    FROM f WHERE frame_idx % 2 = 0
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over the opaque binary column: 256-byte
+    frames, every 2nd kept — 1->N expansion in mapInPandas, no shuffle
+    (operators/multimodal.py:sample_frames). The frame payload itself is
+    dropped here so the driver hashes only scalar columns."""
+    from kafka_map_reduce_spark.operators.multimodal import attach_media, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_media(docs), frame_size=256, every_n=2).select(
+        "doc_id", "frame_idx", "frame_len"
+    )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           64 AS width, 48 AS height,
+           CAST(greatest(1, floor(octet_length(encode(text)) *
+                ((64.0*48.0) / ((doc_id % 640 + 32) * (doc_id % 480 + 24)))))
+             AS BIGINT) AS byte_len
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: deterministic fake scaler (payload scaled by the
+    pixel-area ratio) with metadata rewrite — the oracle reproduces the
+    exact float expression (ratio computed first, then one multiply) so
+    the byte counts hash-match."""
+    from kafka_map_reduce_spark.operators.multimodal import attach_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(attach_media(docs), 64, 48).select(
+        "doc_id", "width", "height", "byte_len"
+    )

@@ -237,3 +237,38 @@ def test_connected_components_clusters(spark):
     nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id long")
     got = {r.id: r.cluster_id for r in connected_components(pairs, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_sample_frames_reassembles_original(spark):
+    """every_n=1 frame sampling must tile back to the exact source bytes
+    (lossless chunking contract); every_n=2 keeps only even frames."""
+    from kafka_map_reduce_spark.operators.multimodal import attach_media, sample_frames
+    from kafka_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 20")
+    media = attach_media(docs)
+    src = {r.doc_id: bytes(r.media) for r in media.collect()}
+
+    all_frames = sample_frames(media, frame_size=64, every_n=1).collect()
+    by_doc = {}
+    for r in sorted(all_frames, key=lambda r: (r.doc_id, r.frame_idx)):
+        by_doc.setdefault(r.doc_id, b"")
+        by_doc[r.doc_id] += bytes(r.frame)
+    assert by_doc == {k: v for k, v in src.items() if v}
+
+    sampled = sample_frames(media, frame_size=64, every_n=2).collect()
+    assert all(r.frame_idx % 2 == 0 for r in sampled)
+
+
+def test_resize_media_area_ratio(spark):
+    """Fake resize follows the pixel-area ratio in both directions."""
+    from kafka_map_reduce_spark.operators.multimodal import attach_media, resize_media
+    from kafka_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 10")
+    media = attach_media(docs)
+    src = {r.doc_id: (len(bytes(r.media)), r.width, r.height) for r in media.collect()}
+    out = {r.doc_id: r.byte_len for r in resize_media(media, 64, 48).collect()}
+    for d, (n, w, h) in src.items():
+        expect = max(1, int(n * ((64 * 48) / float(w * h))))
+        assert out[d] == expect, f"doc {d}"
