@@ -105,3 +105,55 @@ def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row dedup — ``SELECT DISTINCT *`` of the delivery audit (README.md:95)."""
     return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), "kmr_scan", name,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
+@query(
+    "q_scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip: write a header CSV, read it back with a
+    locked schema — the text-format face of the source surface (schema
+    inference is deliberately NOT used: at 100 TB an inference pass is a
+    second full scan)."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = _scratch(sf_dir, "csv")
+    n.coalesce(1).write.option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip — the second columnar format (vectorized
+    reader, predicate pushdown) so a user isn't parquet-locked."""
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = _scratch(sf_dir, "orc")
+    r.coalesce(1).write.orc(out)
+    return spark.read.orc(out)
