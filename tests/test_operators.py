@@ -272,3 +272,25 @@ def test_resize_media_area_ratio(spark):
     for d, (n, w, h) in src.items():
         expect = max(1, int(n * ((64 * 48) / float(w * h))))
         assert out[d] == expect, f"doc {d}"
+
+
+def test_jaccard_verify_prune_equivalence(spark):
+    """Candidate-pruned verification returns exactly the unpruned result
+    (the 100 TB knob changes shuffle volume, never answers)."""
+    from kafka_map_reduce_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidates,
+        minhash_signatures,
+        word_shingles,
+    )
+    from kafka_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = word_shingles(docs, "text", "doc_id", k=3)
+    cands = lsh_candidates(minhash_signatures(sh))
+    plain = {tuple(r) for r in jaccard_verify(cands, sh, 0.5).collect()}
+    pruned = {
+        tuple(r)
+        for r in jaccard_verify(cands, sh, 0.5, prune_to_candidates=True).collect()
+    }
+    assert plain == pruned and len(plain) > 0
