@@ -157,3 +157,32 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch(sf_dir, "orc")
     r.coalesce(1).write.orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "q_scan_partitioned",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           floor(value * 10000 + 0.5) / 10000 AS value
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: events written
+    partitionBy(event_type), then read with an equality filter — the scan
+    must touch ONLY the matching directory (PartitionFilters in the plan,
+    asserted by tools/plancheck.py). At 100 TB partition pruning is the
+    difference between scanning one partition and scanning the lake."""
+    from kafka_map_reduce_spark.functions import round4
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = _scratch(sf_dir, "partitioned")
+    ev.write.partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", round4(F.col("value")).alias("value"))
+    )

@@ -36,6 +36,10 @@ FULL_SCAN_OK = {"q_scan_json_lines"}
 
 PUSHDOWN_REQUIRED = {"q_scan_parquet", "q_filter", "q_join_inner", "q_subquery_in"}
 
+# Queries whose filter must prune PARTITIONS (directory-level skip), not
+# merely push into the row-group reader.
+PARTITION_PRUNE_REQUIRED = {"q_scan_partitioned"}
+
 
 def plan_of(df) -> str:
     return df._jdf.queryExecution().explainString(
@@ -69,6 +73,8 @@ def main() -> int:
             problems.append("unexpected cartesian/nested-loop join")
         if name in PUSHDOWN_REQUIRED and "PushedFilters: []" in plan:
             problems.append("no predicates pushed to scan")
+        if name in PARTITION_PRUNE_REQUIRED and "PartitionFilters: []" in plan:
+            problems.append("partition filter not pruned to directories")
         if problems:
             print(f"FAIL {name}: {problems}")
             bad += 1
