@@ -316,3 +316,60 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("members")
         )
     )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           floor((sqrt((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                        - CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                          * CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+                       / (count(*) - 1))) * 10000 + 0.5) / 10000 AS qty_stddev,
+           floor(((CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   - CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                     * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+                  / (count(*) - 1)) * 10000 + 0.5) / 10000 AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev, covariance) computed from exact
+    DECIMAL power sums instead of the engines' native one-pass estimators:
+    native stddev/covar accumulate doubles in partition order, so their
+    last ulps are nondeterministic across engines AND across cluster runs
+    — the decimal-sum formulation is associative, hash-stable, and the
+    right construction at 1000-executor scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    sum_q = F.sum(q.cast("decimal(18,6)")).cast("double")
+    sum_q2 = F.sum((q * q).cast("decimal(18,6)")).cast("double")
+    sum_qp = F.sum((q * p).cast("decimal(18,6)")).cast("double")
+    sum_p = F.sum(p.cast("decimal(18,6)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        round4(F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - 1))).alias("qty_stddev"),
+        round4(((sum_qp - sum_q * sum_p / n) / (n - 1))).alias("qty_price_covar"),
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based systematic sampling (~2/16 of rows): the
+    training-pipeline sampling primitive that is reproducible across
+    engines, runs, and cluster sizes — unlike RNG-based sample(), the
+    same row always lands in the same split, so train/eval membership is
+    stable under re-partitioning. Stratified variants apply the same
+    predicate with per-stratum thresholds."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
