@@ -259,3 +259,41 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_cols=["event_id"],
     ).select("purchase_id", "user_id", "r_event_id")
+
+
+@query(
+    "q_join_range_bucket",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS other_id, a.user_id,
+           CAST(datediff('second', a.ts, b.ts) AS BIGINT) AS lag_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def q_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucketed equi-join (operators/rangejoin.py): the
+    range predicate is reduced to a hash join on (user_id, time-bucket)
+    plus a residual filter — the plan that replaces the nested-loop a raw
+    BETWEEN would produce, and the batch face of q_stream_join."""
+    from kafka_map_reduce_spark.operators.rangejoin import interval_bucket_join
+
+    ev = Tables(spark, sf_dir).events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("other_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    joined = interval_bucket_join(
+        clicks, buys, ["user_id"], "ts", "b_ts", window_seconds=300
+    )
+    return joined.select(
+        "click_id",
+        "other_id",
+        "user_id",
+        (F.unix_timestamp("b_ts") - F.unix_timestamp("ts")).alias("lag_s"),
+    )

@@ -294,3 +294,37 @@ def test_jaccard_verify_prune_equivalence(spark):
         for r in jaccard_verify(cands, sh, 0.5, prune_to_candidates=True).collect()
     }
     assert plain == pruned and len(plain) > 0
+
+
+def test_interval_bucket_join_equals_theta(spark):
+    """Bucketed interval join == naive range theta join (including rows
+    that straddle bucket boundaries), with no duplicate pairs."""
+    from kafka_map_reduce_spark.operators.rangejoin import interval_bucket_join
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:59"), (2, "k", "2024-01-01 00:04:30"),
+         (3, "x", "2024-01-01 00:00:00")],
+        "lid long, k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(10, "k", "2024-01-01 00:01:00"),   # within 60s of lid=1 (straddles bucket)
+         (11, "k", "2024-01-01 00:05:20"),   # within 60s of lid=2
+         (12, "k", "2024-01-01 00:02:30"),   # matches nothing within 60s
+         (13, "x", "2024-01-01 00:00:30")],  # different key group
+        "rid long, k string, rts string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_bucket_join(left, right, ["k"], "ts", "rts", 60).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(
+            right,
+            (left["k"] == right["k"])
+            & (right["rts"] >= left["ts"])
+            & (right["rts"] <= left["ts"] + F.expr("INTERVAL 60 SECONDS")),
+        ).collect()
+    )
+    assert got == naive == [(1, 10), (2, 11), (3, 13)]
