@@ -328,3 +328,43 @@ def test_interval_bucket_join_equals_theta(spark):
         ).collect()
     )
     assert got == naive == [(1, 10), (2, 11), (3, 13)]
+
+
+def test_lsh_scale_smoke(spark):
+    """Scale smoke: the full MinHash-LSH pipeline over 20k synthetic docs
+    (40x the fixture tables) stays bucketed — it must complete quickly and
+    find exactly the planted near-dup pairs without drowning in
+    candidates. Guards against accidental all-pairs regressions that the
+    500-doc fixtures would never expose."""
+    import time
+
+    from kafka_map_reduce_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidates,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    # 20k distinct docs: 12 words derived from the doc id -> no accidental
+    # near-dups; plant pairs by cloning doc 10i -> id 100000+i with one
+    # word changed (high Jaccard).
+    base = spark.range(20000).selectExpr(
+        "id AS doc_id",
+        """array_join(transform(sequence(0, 11),
+           i -> concat('w', CAST(id AS STRING), '_', CAST(i AS STRING))), ' ')
+           AS text""",
+    )
+    clones = base.filter("doc_id % 1000 = 0").selectExpr(
+        "doc_id + 100000 AS doc_id", "concat(text, ' tail') AS text"
+    )
+    docs = base.unionByName(clones)
+
+    t0 = time.time()
+    sh = word_shingles(docs, "text", "doc_id", k=3)
+    cands = lsh_candidates(minhash_signatures(sh), max_bucket_size=50)
+    pairs = jaccard_verify(cands, sh, 0.5, prune_to_candidates=True).collect()
+    elapsed = time.time() - t0
+
+    expect = {(i, i + 100000) for i in range(0, 20000, 1000)}
+    assert {(r.id_a, r.id_b) for r in pairs} == expect
+    assert elapsed < 120, f"LSH at 20k docs took {elapsed:.0f}s — plan regressed?"
