@@ -302,5 +302,16 @@ def connected_components(
         labels = new_labels.drop("old_label")
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would split one component into several
+        # cluster_ids with no signal — fail loudly instead (a >max_iter
+        # diameter means the caller should raise max_iter or switch to
+        # the large-star/small-star variant).
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); component diameter exceeds "
+            f"max_iter"
+        )
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -36,7 +36,19 @@ def interval_bucket_join(
     their own bucket and the successor (a row's window can span at most
     two buckets when bucket width == window width); the equi-join on
     (keys, bucket) is what keeps the plan a hash join.
+
+    Non-key column names must be disjoint between the two sides
+    (including the two timestamp columns): the residual predicate
+    references both by name, and duplicate names would be ambiguous after
+    the join. Rename before calling — validated here so the failure is an
+    explicit contract error, not an AMBIGUOUS_REFERENCE deep in analysis.
     """
+    shared = (set(left.columns) & set(right.columns)) - set(keys)
+    if shared:
+        raise ValueError(
+            f"interval_bucket_join requires disjoint non-key column names; "
+            f"rename the shared columns {sorted(shared)} on one side"
+        )
     bucket = lambda c: (F.unix_timestamp(c) / window_seconds).cast("long")  # noqa: E731
 
     l = left.withColumn(

@@ -112,8 +112,10 @@ def _scratch(sf_dir: str, name: str) -> str:
     import shutil
     import tempfile
 
+    # pid-scoped: two concurrent runs (parity + plancheck, xdist workers)
+    # must never rmtree a directory the other is lazily scanning.
     out = os.path.join(
-        tempfile.gettempdir(), "kmr_scan", name,
+        tempfile.gettempdir(), "kmr_scan", f"pid{os.getpid()}", name,
         os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(out, ignore_errors=True)

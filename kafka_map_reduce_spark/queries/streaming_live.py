@@ -32,9 +32,12 @@ from kafka_map_reduce_spark.streaming.state import stateful_reduce
 
 
 def _work_dir(sf_dir: str, name: str) -> str:
-    """Fresh scratch dir per (query, sf) run."""
+    """Fresh scratch dir per (query, sf, process) run — pid-scoped so a
+    concurrent harness/parity process can't rmtree a checkpoint or source
+    directory this one's stream is actively reading."""
     base = os.path.join(
-        tempfile.gettempdir(), "kmr_stream", name, os.path.basename(os.path.normpath(sf_dir))
+        tempfile.gettempdir(), "kmr_stream", f"pid{os.getpid()}", name,
+        os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
@@ -42,18 +45,12 @@ def _work_dir(sf_dir: str, name: str) -> str:
 
 
 def _drain(query, timeout: float = 300.0) -> None:
-    """Await an availableNow stream with a hard deadline: a stream error
-    propagates (the harness records it per-query), but a wedged stream is
-    stopped instead of hanging the whole harness run."""
-    try:
-        if not query.awaitTermination(timeout):
-            query.stop()
-    except Exception:
-        try:
-            query.stop()
-        except Exception:
-            pass
-        raise
+    """Await an availableNow stream with a hard deadline: errors AND
+    wedges surface (per-query) instead of hanging the whole harness run
+    or silently returning partial output."""
+    from kafka_map_reduce_spark.streaming.pipeline import drain_query
+
+    drain_query(query, timeout)
 
 
 @query("q_stream_watermark", oracle=None, tags=("streaming",))
@@ -251,10 +248,8 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = _work_dir(sf_dir, "enrich")
     stream = file_replay_stream(spark, sf_dir, "events", wd)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    import pyspark.sql.functions as _F
-
     joined = stream.join(
-        _F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
     ).select(
         "event_id",
         "user_id",

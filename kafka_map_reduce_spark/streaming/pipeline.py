@@ -41,6 +41,30 @@ from pyspark.sql import types as T
 ERR_COL = "__err"
 
 
+def drain_query(query, timeout: Optional[float] = 600.0) -> None:
+    """Await a (typically availableNow) streaming query with a hard
+    deadline. Stream errors propagate after stopping the query; a wedged
+    stream is stopped AND raises TimeoutError — partial sink output must
+    never be mistaken for a completed drain (a truncated result returned
+    as success would pass rows-only checks silently)."""
+    try:
+        if timeout is not None:
+            if not query.awaitTermination(timeout):
+                query.stop()
+                raise TimeoutError(
+                    f"streaming query did not drain within {timeout}s; "
+                    f"stopped with partial progress"
+                )
+        else:
+            query.awaitTermination()
+    except Exception:
+        try:
+            query.stop()
+        except Exception:
+            pass
+        raise
+
+
 def _observed_write(df: DataFrame, action: Callable[[DataFrame], None]) -> int:
     """Run one write action and return the row count from the SAME
     computation via the Observation API — never a second pass over the
@@ -116,9 +140,10 @@ class ConsoleSink:
     which back-pressures the micro-batch exactly like the reference's
     ``sleep(print_duration)`` back-pressures its err channel.
 
-    Collects the batch to the driver — correct only for DLQ-scale data
-    (the reference's OsStreamWriter prints every record too); route bulk
-    errors to a ParquetSink DLQ instead."""
+    Only ``num_rows`` rows ever reach the driver: the batch is persisted
+    once, the display takes a limit() slice, and the returned count runs
+    over the same materialized partitions — one computation, bounded
+    driver memory even for a bulk error burst."""
 
     def __init__(self, num_rows: int = 20, min_interval: float = 0.0):
         self.num_rows = num_rows
@@ -131,10 +156,14 @@ class ConsoleSink:
             if wait > 0:
                 time.sleep(wait)
         self._last_write = time.monotonic()
-        pdf = df.toPandas()  # one computation: count + display from the same pass
-        with pd.option_context("display.max_rows", self.num_rows):
-            print(pdf.head(self.num_rows).to_string(index=False))
-        return len(pdf)
+        df.persist()
+        try:
+            n = df.count()
+            pdf = df.limit(self.num_rows).toPandas()
+            print(pdf.to_string(index=False))
+        finally:
+            df.unpersist()
+        return n
 
 
 class MemorySink:
@@ -248,9 +277,19 @@ def _wrap_par_map_async(
                             results[name].append(None)
                         errs.append(f"{type(out).__name__}: {out}")
                     else:
-                        for name in out_names:
-                            results[name].append(out.get(name))
-                        errs.append(None)
+                        # Same per-record capture as the sync par_map: a fn
+                        # returning a non-dict (e.g. None on a lookup miss)
+                        # is that RECORD's error, never a task failure.
+                        try:
+                            vals = [out.get(name) for name in out_names]
+                        except Exception as e:
+                            for name in out_names:
+                                results[name].append(None)
+                            errs.append(f"{type(e).__name__}: {e}")
+                        else:
+                            for name, v in zip(out_names, vals):
+                                results[name].append(v)
+                            errs.append(None)
                 for name in out_names:
                     pdf[name] = results[name]
                 pdf[ERR_COL] = pd.Series(errs, dtype="object")
@@ -398,9 +437,9 @@ class Pipeline:
         ``trigger`` defaults to availableNow (drain-and-stop — the
         ShutdownCondition::Drain analogue, lib.rs:685-689); pass
         ``{"processingTime": "2 seconds"}`` for the reference demo's
-        cadence (main.rs:116). ``await_timeout`` bounds the drain so a
-        wedged stream is stopped rather than hanging the caller; stream
-        errors propagate either way.
+        cadence (main.rs:116). ``await_timeout`` bounds the drain: a
+        wedged stream is stopped and raises TimeoutError (never silent
+        partial output); stream errors propagate either way.
         """
         out = self._transformed()
         writer = out.writeStream.foreachBatch(
@@ -411,16 +450,5 @@ class Pipeline:
         writer = writer.trigger(**(trigger or {"availableNow": True}))
         query = writer.start()
         if await_termination:
-            try:
-                if await_timeout is not None:
-                    if not query.awaitTermination(await_timeout):
-                        query.stop()
-                else:
-                    query.awaitTermination()
-            except Exception:
-                try:
-                    query.stop()
-                except Exception:
-                    pass
-                raise
+            drain_query(query, await_timeout)
         return query

@@ -20,8 +20,10 @@ Lifecycle parity:
   where the engine expresses backpressure (SURVEY §4.2);
 - state eviction (the explicit ``reset`` on idle keys) -> ``timeout``:
   with ``ProcessingTimeTimeout``, a key idle for ``timeout_duration_ms``
-  is re-invoked with ``hasTimedOut``; it emits a final flush and removes
-  its state, so long-running streams don't grow state without bound.
+  is re-invoked with ``hasTimedOut`` and its state is removed WITHOUT
+  re-emitting (update mode already flushed the accumulator on its last
+  data batch — an eviction emit would duplicate that row), so
+  long-running streams don't grow state without bound.
 """
 
 from __future__ import annotations
@@ -56,12 +58,12 @@ def make_reducer_runner(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if timeout != "NoTimeout" and state.hasTimedOut:
-            # Idle-key eviction: final flush, then drop the state —
-            # the reference's reset() on the flush_interval tick.
+            # Idle-key eviction: drop the state WITHOUT emitting — update
+            # mode already flushed this accumulator on its last data batch,
+            # so an eviction-time emit would always be an exact duplicate
+            # row (double-counting for any consumer that sums the output).
             if state.exists:
-                *acc, _seen = tuple(state.get)
                 state.remove()
-                yield pd.DataFrame([flush_fn(key, tuple(acc))])
             return
 
         if state.exists:
@@ -104,7 +106,7 @@ def stateful_reduce(
     ``flush_fn(key, state) -> row dict`` emits the current accumulator
     (every batch, update-mode) — the reduce->flush cycle of lib.rs:750-840.
     ``timeout="ProcessingTimeTimeout"`` evicts idle keys after
-    ``timeout_duration_ms`` (one final flush, then state removal);
+    ``timeout_duration_ms`` (state removal, no duplicate emission);
     ``capacity`` flushes-and-resets a key after that many absorbed rows
     (``is_full`` + ``WhenFull::Flush``, lib.rs:697-701, 832-835).
     """

@@ -368,3 +368,31 @@ def test_lsh_scale_smoke(spark):
     expect = {(i, i + 100000) for i in range(0, 20000, 1000)}
     assert {(r.id_a, r.id_b) for r in pairs} == expect
     assert elapsed < 120, f"LSH at 20k docs took {elapsed:.0f}s — plan regressed?"
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iter must fail loudly, not
+    return split clusters."""
+    import pytest
+
+    from kafka_map_reduce_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, nodes, max_iter=2)
+    ok = connected_components(chain, nodes, max_iter=20)
+    assert {r.cluster_id for r in ok.collect()} == {0}
+
+
+def test_interval_bucket_join_rejects_shared_columns(spark):
+    import pytest
+
+    from kafka_map_reduce_spark.operators.rangejoin import interval_bucket_join
+
+    l = spark.createDataFrame([(1, "k", "2024-01-01 00:00:00")], "a long, k string, ts string")
+    r = spark.createDataFrame([(2, "k", "2024-01-01 00:00:30")], "a long, k string, ts string")
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_bucket_join(l, r, ["k"], "ts", "ts", 60)

@@ -198,8 +198,9 @@ def test_reducer_runner_accumulates_and_flushes():
 
 def test_reducer_runner_timeout_eviction():
     """Idle-key eviction (ADVICE round 1): the timeout clock is armed on
-    every invocation and a timed-out key emits one final flush then
-    removes its state — bounded state on long streams."""
+    every invocation and a timed-out key removes its state WITHOUT
+    re-emitting — the accumulator was already flushed on its last data
+    batch, so an eviction emit would be an exact duplicate row."""
     run = _runner(timeout="ProcessingTimeTimeout", timeout_duration_ms=1234)
     st = _FakeGroupState()
     list(run(("a",), [pd.DataFrame({"x": [5]})], st))
@@ -207,7 +208,7 @@ def test_reducer_runner_timeout_eviction():
     # simulate Spark invoking the timed-out key (no new data)
     st2 = _FakeGroupState(value=(5, 1), has_timed_out=True)
     out = list(run(("a",), [], st2))
-    assert out[0].iloc[0]["total"] == 5  # final flush
+    assert out == []  # no duplicate emission
     assert not st2.exists  # state removed
 
 
@@ -403,3 +404,21 @@ def test_failed_batch_redelivers_after_restart(spark, tmp_path):
     got = spark.read.parquet(sink.path)
     assert got.count() == 1000
     assert got.select("event_id").distinct().count() == 1000  # no dupes
+
+
+def test_par_map_async_non_dict_return_goes_to_dlq(spark):
+    """A fn returning None (lookup miss) is that RECORD's error — per-record
+    DLQ routing, never a task crash (parity with sync par_map)."""
+    from kafka_map_reduce_spark.streaming import MemorySink, Pipeline
+
+    async def lookup(rec):
+        return None if rec["id"] % 3 == 0 else {"v": rec["id"]}
+
+    sink, dlq = MemorySink(), MemorySink()
+    (
+        Pipeline(spark.range(9).coalesce(1))
+        .par_map_async(lookup, T.StructType([T.StructField("v", T.LongType())]))
+        .run_batch(sink, dlq=dlq)
+    )
+    assert {r.id for r in dlq.rows} == {0, 3, 6}
+    assert {r.id for r in sink.rows} == {1, 2, 4, 5, 7, 8}
