@@ -22,6 +22,7 @@ from kafka_map_reduce_spark.queries import (  # noqa: F401
     tierc_dedup,
     tierc_similarity,
     scalar_funcs,
+    timeseries,
     aggregates,
     joins,
     pivots,

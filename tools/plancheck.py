@@ -25,9 +25,10 @@ CROSS_OK = {
     "q_dedup_ngram_jaccard",
     "q_join_theta",  # inequality-only residual after tiny-dim equi part
     # Single-ROW broadcast (scalar subquery shape): crossJoin of a 1-row
-    # aggregate (total doc count). O(rows × 1), safe at any scale — not an
-    # all-pairs product.
+    # aggregate (doc count / time bounds). O(rows × 1), safe at any scale
+    # — not an all-pairs product.
     "q_text_tfidf",
+    "q_timeseries_gapfill",
 }
 
 # Queries where a full-schema scan is the point (unpivot of many columns,
