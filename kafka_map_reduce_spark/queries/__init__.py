@@ -23,6 +23,7 @@ from kafka_map_reduce_spark.queries import (  # noqa: F401
     tierc_similarity,
     scalar_funcs,
     timeseries,
+    analytics,
     aggregates,
     joins,
     pivots,
