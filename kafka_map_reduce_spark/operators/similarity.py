@@ -111,3 +111,166 @@ def ivf_topk(
         "sim", cosine(F.col("probe_vec"), F.col("vec"))
     )
     return ranked_topk(scored, k)
+
+
+# ---- IVF with a TRAINED coarse quantizer (Lloyd k-means, DataFrame-only) ----
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance (JVM zip_with + fold, codegen)."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def _nearest(vec: Column, cents: Column) -> Column:
+    """struct(d, cid) of the nearest centroid from a broadcast centroid
+    array — argmin computed INLINE per row (array_min over k candidates),
+    so assignment needs no join, no window, no shuffle."""
+    return F.array_min(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                _l2sq(vec, c["centroid"]).alias("d"), c["cluster_id"].alias("cid")
+            ),
+        )
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd k-means over an embedding column, pure DataFrame ops — the
+    trained coarse quantizer for IVF ANN (the reference has no ANN; this is
+    the Tier-C scale path the north star mandates).
+
+    Deterministic: init = the ``n_clusters`` lowest-id vectors; a fixed
+    iteration count; argmin ties break on cluster_id. Returns
+    (cluster_id int, centroid array<double>).
+
+    Scale shape per iteration: assignment is shuffle-free (centroids ride
+    along as ONE broadcast row holding an array<struct> — k centroids x
+    64 dims is KBs even at k=4096); the mean update is posexplode +
+    (cluster, dim) hash aggregate — 2 shuffles whose width is rows x dims,
+    with map-side partial aggregation collapsing it to clusters x dims x
+    partitions. Centroids never touch the driver.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    # Farthest-first init (deterministic k-center traversal): seed with the
+    # lowest-id vector, then k-1 times add the point farthest from the
+    # chosen set. Guarantees one seed per well-separated cluster — the
+    # lowest-k-ids init degenerates when the id order correlates with the
+    # clustering. Costs k passes; for coarse quantizers with large k,
+    # switch to a one-pass hash-spread pick (min-hash per hash bucket).
+    cents = vecs.orderBy("__vid").limit(1).select(
+        F.lit(0).cast("int").alias("cluster_id"), F.col("__v").alias("centroid")
+    )
+    for i in range(1, n_clusters):
+        cent_row = cents.agg(
+            F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
+        )
+        far = (
+            vecs.join(F.broadcast(cent_row))
+            .withColumn(
+                "__dmin",
+                F.array_min(
+                    F.transform(
+                        F.col("__cents"), lambda c: _l2sq(F.col("__v"), c["centroid"])
+                    )
+                ),
+            )
+            .agg(
+                F.max_by(F.col("__v"), F.struct("__dmin", "__vid")).alias("centroid")
+            )
+            .select(F.lit(i).cast("int").alias("cluster_id"), "centroid")
+        )
+        cents = cents.unionByName(far)
+    cents = cents.localCheckpoint(eager=True)
+    for _ in range(iters):
+        cent_row = cents.agg(
+            F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
+        )
+        assigned = (
+            vecs.join(F.broadcast(cent_row))
+            .withColumn("__cid", _nearest(F.col("__v"), F.col("__cents"))["cid"])
+            .select("__vid", "__v", "__cid")
+        )
+        cents = (
+            assigned.select("__cid", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__cid", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("centroid")
+            )
+            .select(F.col("__cid").alias("cluster_id"), "centroid")
+        )
+        # truncate the growing iterative lineage (same pattern as the
+        # connected-components loop in operators/dedup.py)
+        cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
+def ivf_kmeans_topk(
+    probes: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int = 8,
+    iters: int = 3, nprobe: int = 2, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with a k-means-trained coarse quantizer: corpus rows live in
+    their nearest-centroid bucket; each probe searches its ``nprobe``
+    nearest buckets (recall knob). One equi-join on bucket id — never an
+    all-pairs product. Same output contract as brute_force_topk."""
+    cents = kmeans_fit(corpus, n_clusters, iters, vec_col, id_col)
+    cent_row = cents.agg(
+        F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+        )
+        .join(F.broadcast(cent_row))
+        .withColumn("bkt", _nearest(_as_double(F.col("vec")), F.col("__cents"))["cid"])
+        .drop("__cents")
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        )
+        .join(F.broadcast(cent_row))
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.transform(
+                                F.col("__cents"),
+                                lambda cc: F.struct(
+                                    _l2sq(
+                                        _as_double(F.col("probe_vec")), cc["centroid"]
+                                    ).alias("d"),
+                                    cc["cluster_id"].alias("cid"),
+                                ),
+                            )
+                        ),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+        .drop("__cents")
+    )
+    scored = c.join(F.broadcast(p), "bkt").withColumn(
+        "sim", cosine(F.col("probe_vec"), F.col("vec"))
+    )
+    return ranked_topk(scored, k)

@@ -82,3 +82,18 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         e.filter(F.col("vec_id") < 20), e.filter(F.col("vec_id") >= 20), k=5
     ).orderBy("probe_id", "rank")
+
+
+@query("q_sim_ivf_kmeans", oracle=None, tags=("approx",))
+def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: Lloyd k-means (DataFrame
+    ops only, centroids broadcast as one row, never collected) learns 8
+    cells; probes search their 2 nearest cells. Versus q_sim_ivf's static
+    hyperplane quantizer, trained cells track the data distribution —
+    higher recall at the same scanned fraction. Iterative => no SQL
+    oracle; determinism + recall are pytest-asserted (planted clusters)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_kmeans_topk(
+        e.filter(F.col("vec_id") < 20), e.filter(F.col("vec_id") >= 20),
+        k=5, n_clusters=8, iters=3, nprobe=2,
+    ).orderBy("probe_id", "rank")

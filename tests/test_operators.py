@@ -396,3 +396,63 @@ def test_interval_bucket_join_rejects_shared_columns(spark):
     r = spark.createDataFrame([(2, "k", "2024-01-01 00:00:30")], "a long, k string, ts string")
     with pytest.raises(ValueError, match="disjoint"):
         interval_bucket_join(l, r, ["k"], "ts", "ts", 60)
+
+
+class TestKmeansIVF:
+    def _fixture(self, spark):
+        # 3 well-separated planted clusters in 8-d: center one-hot axes
+        # 0/3/6 scaled 10, plus small deterministic per-point offsets.
+        rows = []
+        vid = 0
+        for c, axis in enumerate((0, 3, 6)):
+            for j in range(20):
+                v = [0.0] * 8
+                v[axis] = 10.0
+                v[(axis + 1) % 8] = (j % 5) * 0.1  # jitter, stays near center
+                rows.append((vid, v, c))
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, planted int"
+        )
+
+    def test_kmeans_recovers_planted_clusters(self, spark):
+        from kafka_map_reduce_spark.operators import similarity as S
+
+        data = self._fixture(spark)
+        cents = S.kmeans_fit(data, n_clusters=3, iters=4)
+        assert cents.count() == 3
+        # every point's nearest learned centroid must be shared by exactly
+        # its planted cluster (bijection planted <-> learned)
+        cent_row = cents.agg(
+            F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
+        )
+        assigned = (
+            data.join(F.broadcast(cent_row))
+            .withColumn("cid", S._nearest(F.col("embedding"), F.col("__cents"))["cid"])
+            .groupBy("planted")
+            .agg(F.countDistinct("cid").alias("n_learned"))
+        )
+        assert all(r.n_learned == 1 for r in assigned.collect())
+
+    def test_ivf_kmeans_matches_brute_force_on_separated_data(self, spark):
+        from kafka_map_reduce_spark.operators import similarity as S
+
+        data = self._fixture(spark)
+        probes = data.filter(F.col("vec_id").isin(0, 20, 40))
+        corpus = data.filter(~F.col("vec_id").isin(0, 20, 40))
+        exact = S.brute_force_topk(probes, corpus, k=5).collect()
+        approx = S.ivf_kmeans_topk(
+            probes, corpus, k=5, n_clusters=3, iters=4, nprobe=1
+        ).collect()
+        # clusters are separated -> nprobe=1 already achieves recall 1.0
+        assert sorted(map(tuple, approx)) == sorted(map(tuple, exact))
+
+    def test_ivf_kmeans_deterministic(self, spark):
+        from kafka_map_reduce_spark.operators import similarity as S
+
+        data = self._fixture(spark)
+        p = data.filter(F.col("vec_id") < 3)
+        c = data.filter(F.col("vec_id") >= 3)
+        r1 = S.ivf_kmeans_topk(p, c, k=3, n_clusters=3, iters=2).collect()
+        r2 = S.ivf_kmeans_topk(p, c, k=3, n_clusters=3, iters=2).collect()
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))

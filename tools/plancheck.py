@@ -29,6 +29,7 @@ CROSS_OK = {
     # — not an all-pairs product.
     "q_text_tfidf",
     "q_timeseries_gapfill",
+    "q_sim_ivf_kmeans",  # 1-row broadcast centroid array (k-means state)
 }
 
 # Queries where a full-schema scan is the point (unpivot of many columns,
