@@ -1,0 +1,110 @@
+"""Parquet table maintenance: small-file compaction and sort-clustering.
+
+The reference's sink writes fixed-size micro-batches (128-row HTTP inserts,
+clickhouse.rs demo config) and delegates storage health to ClickHouse's
+merge tree. A parquet lake has no such daemon: a streaming sink emitting a
+file per micro-batch per partition produces millions of KB-sized files at
+100 TB, and scan cost becomes dominated by file-open overhead instead of
+bytes. These two operators are the merge-tree analogue:
+
+- ``compact_parquet`` rewrites a directory to ~``target_file_bytes`` files
+  (count derived from the *actual* on-disk bytes, not a guess).
+- ``cluster_parquet`` additionally sorts by given keys during the rewrite
+  (range-partition + sortWithinPartitions) so parquet row-group min/max
+  stats become selective — point/range filters on the cluster keys then
+  skip whole files and row groups instead of scanning everything.
+
+Both write to a temp sibling directory and swap only after the new data is
+fully committed (write-audit-publish): readers never observe a half-written
+table, and a failed rewrite leaves the original untouched. The swap relies
+on directory rename, atomic on HDFS/POSIX; on object stores without atomic
+rename, publish via a metastore/table-format pointer flip instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs_for(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` (works for file://, hdfs://, s3a://)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def parquet_file_stats(spark: SparkSession, path: str) -> dict:
+    """Recursive (n_files, total_bytes) for the data files under ``path``."""
+    fs, hpath, _ = _fs_for(spark, path)
+    it = fs.listFiles(hpath, True)
+    n = total = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums, hidden
+        n += 1
+        total += f.getLen()
+    return {"n_files": n, "total_bytes": total}
+
+
+def _swap(spark: SparkSession, tmp: str, path: str) -> None:
+    fs, dest, jvm = _fs_for(spark, path)
+    trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    if not fs.rename(dest, trash):
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(src, dest):
+        fs.rename(trash, dest)  # roll back, original table intact
+        raise IOError(f"compaction swap failed: could not publish {tmp}")
+    fs.delete(trash, True)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite the parquet directory at ``path`` into
+    ceil(total_bytes / target_file_bytes) files of ~equal size.
+
+    Round-robin repartition (not coalesce): coalesce merges whole input
+    partitions and inherits their skew, while repartition rebalances by
+    bytes-backed row counts — the point of the exercise. Returns
+    before/after file stats."""
+    before = parquet_file_stats(spark, path)
+    n_out = max(1, -(-before["total_bytes"] // target_file_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(path).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    _swap(spark, tmp, path)
+    after = parquet_file_stats(spark, path)
+    return {"before": before, "after": after, "target_files": n_out}
+
+
+def cluster_parquet(
+    spark: SparkSession,
+    path: str,
+    cluster_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact + sort-cluster by ``cluster_cols``: range-repartition on the
+    keys, then sort within each output file. Each file then covers a
+    narrow, near-disjoint key range, so parquet min/max row-group stats
+    turn key predicates into file/row-group skips — the cheap half of
+    Z-ordering, exact for single-key and prefix predicates."""
+    before = parquet_file_stats(spark, path)
+    n_out = max(1, -(-before["total_bytes"] // target_file_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df: DataFrame = spark.read.parquet(path)
+    (
+        df.repartitionByRange(n_out, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _swap(spark, tmp, path)
+    after = parquet_file_stats(spark, path)
+    return {"before": before, "after": after, "target_files": n_out}
