@@ -189,8 +189,9 @@ def kmeans_fit(
             )
             .select(F.lit(i).cast("int").alias("cluster_id"), "centroid")
         )
-        cents = cents.unionByName(far)
-    cents = cents.localCheckpoint(eager=True)
+        # checkpoint per step: far's plan embeds cents twice (scan + union),
+        # so an unbroken lineage doubles every iteration
+        cents = cents.unionByName(far).localCheckpoint(eager=True)
     for _ in range(iters):
         cent_row = cents.agg(
             F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")

@@ -1,0 +1,75 @@
+"""Mergeable frequency sketch: Misra-Gries candidate pruning for exact
+heavy hitters at scale.
+
+A naive "terms above x% frequency" plan shuffles EVERY distinct term to a
+reducer — at 100 TB of text that is billions of group keys moved for a
+result of a few hundred rows. The classic two-phase fix:
+
+1. per-partition Misra-Gries summaries (capacity m) — executor-local, no
+   shuffle; the MG invariant (total decrement <= n_p/(m+1) per item)
+   guarantees every item with partition frequency > n_p/m survives, and
+   summing over partitions, every item with GLOBAL frequency > N/m is in
+   the union of the summaries;
+2. exact counting restricted to that candidate union (a broadcast semi-join
+   pushes the candidate filter into the scan), then the exact threshold
+   filter.
+
+The result is bit-identical to the full GROUP BY (the sketch only *prunes*,
+never decides), so it hash-checks against a plain SQL oracle — while the
+shuffle carries at most ``capacity x partitions`` keys.
+
+Per-batch merging is vectorized: a pandas ``value_counts`` is itself a
+valid MG summary (exact counts), and two summaries merge by adding counts
+then subtracting the (m+1)-th largest and dropping non-positives
+(Agarwal et al., "Mergeable Summaries", PODS'12).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_merge(counters: dict, batch: "pd.Series", capacity: int) -> dict:
+    for tok, c in batch.items():
+        counters[tok] = counters.get(tok, 0) + int(c)
+    if len(counters) > capacity:
+        kth = sorted(counters.values(), reverse=True)[capacity]
+        counters = {t: c - kth for t, c in counters.items() if c - kth > 0}
+    return counters
+
+
+def mg_candidates(items: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries over ``items[col]``; returns the
+    distinct candidate union (one narrow column, <= capacity rows per input
+    partition). Superset of every item with global frequency > N/capacity."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            counters = _mg_merge(counters, pdf[col].value_counts(), capacity)
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return items.mapInPandas(summarize, schema=f"{col} string").distinct()
+
+
+def heavy_hitters(
+    items: DataFrame, col: str, min_share: float, capacity: int | None = None
+) -> DataFrame:
+    """Exact items with frequency > ``min_share`` of all rows, computed via
+    MG pruning + exact verification. ``capacity`` defaults to the tightest
+    value honoring the guarantee (ceil(1/min_share))."""
+    capacity = capacity or int(1 / min_share) + 1
+    cand = mg_candidates(items, col, capacity)
+    total = items.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        items.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("__total") * F.lit(min_share))
+        .drop("__total")
+    )

@@ -264,3 +264,31 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(attach_media(docs), 64, 48).select(
         "doc_id", "width", "height", "byte_len"
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    nonempty AS (SELECT tok FROM toks WHERE tok <> ''),
+    tot AS (SELECT count(*) AS n FROM nonempty)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM nonempty CROSS JOIN tot
+    GROUP BY tok, n
+    HAVING count(*) > 0.002 * n
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens above 0.2% corpus frequency) via
+    Misra-Gries candidate pruning + exact verification
+    (operators/sketches.py). Bit-identical to the plain GROUP BY the
+    oracle runs — the sketch only prunes the shuffle from every-distinct-
+    token to <= capacity x partitions keys, which is the 100 TB plan."""
+    from kafka_map_reduce_spark.operators import sketches as SK
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+    return SK.heavy_hitters(toks, "tok", min_share=0.002)

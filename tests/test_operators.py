@@ -456,3 +456,37 @@ class TestKmeansIVF:
         r1 = S.ivf_kmeans_topk(p, c, k=3, n_clusters=3, iters=2).collect()
         r2 = S.ivf_kmeans_topk(p, c, k=3, n_clusters=3, iters=2).collect()
         assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+class TestMisraGries:
+    def test_mg_guarantee_under_adversarial_partitioning(self, spark):
+        from kafka_map_reduce_spark.operators import sketches as SK
+
+        # 2 heavy items spread thinly across 8 partitions + noise tokens:
+        # the union-of-summaries guarantee must still surface them.
+        rows = []
+        for p in range(8):
+            rows += [(f"heavy{h}",) for h in range(2) for _ in range(30)]
+            rows += [(f"noise_{p}_{i}",) for i in range(300)]
+        df = spark.createDataFrame(rows, "tok string").repartition(8)
+        n = len(rows)
+        share = 200 / n  # heavy items have 240 > 200 occurrences
+        cand = {r.tok for r in SK.mg_candidates(df, "tok", int(1 / share) + 1).collect()}
+        assert {"heavy0", "heavy1"} <= cand
+
+        hh = SK.heavy_hitters(df, "tok", min_share=share)
+        exact = (
+            df.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > n * share)
+        )
+        assert sorted(map(tuple, hh.collect())) == sorted(map(tuple, exact.collect()))
+
+    def test_mg_merge_is_count_conservative(self):
+        import pandas as pd
+
+        from kafka_map_reduce_spark.operators.sketches import _mg_merge
+
+        c = _mg_merge({}, pd.Series({"a": 10, "b": 2, "c": 1}), capacity=2)
+        # (m+1)-th largest (1) subtracted from all, non-positives dropped
+        assert c == {"a": 9, "b": 1}

@@ -30,6 +30,7 @@ CROSS_OK = {
     "q_text_tfidf",
     "q_timeseries_gapfill",
     "q_sim_ivf_kmeans",  # 1-row broadcast centroid array (k-means state)
+    "q_heavy_hitters",  # 1-row broadcast total-count (threshold scalar)
 }
 
 # Queries where a full-schema scan is the point (unpivot of many columns,
