@@ -188,3 +188,35 @@ def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .select("event_id", "user_id", round4(F.col("value")).alias("value"))
     )
+
+
+@query(
+    "q_scan_binary",
+    oracle="""
+    SELECT regexp_extract(filename, '[^/]+$', 0) AS fname,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary file source (the multimodal ingestion path, SURVEY
+    §2.2 Tier C): every file becomes one row of (name, size, content
+    bytes). The content digest is md5-of-hex so both engines hash the
+    identical byte string (DuckDB 1.0's md5 is VARCHAR-only). At 100 TB
+    the binaryFile source parallelizes per file and prunes columns — a
+    metadata-only projection (fname, size) never reads the payload.
+
+    The oracle path is pinned to the driver's sf0.01 dir (the driver runs
+    oracle SQL verbatim against pre-registered views, no dir parameter);
+    tools/parity.py rewrites it when sweeping other scale factors."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.hex(F.col("content"))).alias("content_md5"),
+        )
+    )

@@ -162,7 +162,11 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            ddf = con.execute(spec.oracle).df()
+            # oracles that read files directly (read_blob) pin the driver's
+            # sf0.01 path; rewrite it when sweeping another scale factor
+            ddf = con.execute(
+                spec.oracle.replace("/root/testdata/sf0.01", sf_dir)
+            ).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
