@@ -24,6 +24,14 @@ Lifecycle parity:
   re-emitting (update mode already flushed the accumulator on its last
   data batch — an eviction emit would duplicate that row), so
   long-running streams don't grow state without bound.
+
+Spark 4's ``transformWithStateInPandas`` (state-v2: typed ValueState,
+native TTL, timers, RocksDB) is the forward-looking home for this
+operator; its Python worker requires ``google.protobuf``, which this
+runtime does not ship, so the engine stays on ``applyInPandasWithState``
+(verified: a TWS query crashes the StreamingPythonRunner on protobuf
+import here). The runner contract below is API-agnostic — porting means
+swapping the ``run`` adapter, not the reducer lifecycle.
 """
 
 from __future__ import annotations
