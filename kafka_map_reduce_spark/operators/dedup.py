@@ -315,3 +315,50 @@ def connected_components(
         )
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def deletion_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """FastSS deletion neighborhood for edit distance 1: a string's
+    signatures are itself plus every single-character deletion. Two
+    strings within edit distance 1 necessarily share a signature
+    (substitution: delete the differing position from both; indel: the
+    shorter string IS a deletion of the longer), so candidate pairs come
+    from a plain equi-join on the signature — the shuffle key spreads over
+    the whole signature space and no all-pairs product ever forms."""
+    sigs = F.expr(
+        f"array_union(array({text_col}), "
+        f"transform(sequence(1, length({text_col})), "
+        f"i -> concat(substr({text_col}, 1, i - 1), "
+        f"substr({text_col}, i + 1, length({text_col})))))"
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt"), F.explode(sigs).alias("sig")
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_dist: int = 1
+) -> DataFrame:
+    """Pairs of rows whose ``text_col`` values are within edit distance
+    ``max_dist``, exact-verified with ``levenshtein``. The deletion-
+    neighborhood candidate scheme is complete only for max_dist == 1
+    (FastSS generalizes via recursive deletions but the signature count
+    grows as len^d); larger distances are rejected rather than silently
+    dropping pairs — same contract as hamming_pairs."""
+    if max_dist != 1:
+        raise ValueError(
+            f"deletion-signature candidates are complete only for "
+            f"max_dist=1 (got {max_dist})"
+        )
+    s = deletion_signatures(df, text_col, id_col)
+    a = s.select(F.col("id").alias("id_a"), F.col("txt").alias("ta"), "sig")
+    b = s.select(F.col("id").alias("id_b"), F.col("txt").alias("tb"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ta", "tb")
+        .distinct()
+        .withColumn("dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

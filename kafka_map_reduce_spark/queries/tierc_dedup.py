@@ -213,3 +213,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = D.connected_components(pairs, docs.select("doc_id"))
     return comp.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "q_dedup_editdist",
+    oracle="""
+    WITH base AS (
+        SELECT p_partkey AS id, p_name AS name FROM part WHERE p_partkey < 300
+    ),
+    inj AS (
+        SELECT id + 100000 AS id, 'z' || substr(name, 2) AS name
+        FROM base WHERE id % 7 = 0
+    ),
+    all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM inj)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+    FROM all_rows a JOIN all_rows b ON a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1
+    """,
+)
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dup pairs (edit distance <= 1) via FastSS deletion-
+    neighborhood signatures: candidates from a plain equi-join on deletion
+    signatures (complete by pigeonhole for d=1), exact levenshtein verify
+    — the oracle computes the same pairs all-pairs on the bounded subset,
+    the engine never forms a product. Injected 'z'-substitution variants
+    (id offset 100000) guarantee planted matches."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    base = p.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+    inj = base.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.concat(F.lit("z"), F.expr("substr(name, 2)")).alias("name"),
+    )
+    all_rows = base.unionByName(inj)
+    return D.edit_distance_pairs(all_rows, "name", "id", max_dist=1)

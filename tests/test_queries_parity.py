@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_SMOKE
-from tools.parity import compare
+from tools.parity import compare, oracle_for
 
 
 def _specs():
@@ -25,7 +25,7 @@ def test_query(name, spec, spark, duck):
     if spec.oracle is None:
         assert len(sdf) >= 0  # rows-only contract: executes, stable schema
         return
-    ddf = duck.execute(spec.oracle).df()
+    ddf = duck.execute(oracle_for(spec, SF_SMOKE)).df()
     problems = compare(sdf, ddf)
     assert not problems, f"{name}: {problems}"
     assert len(sdf) > 0 or len(ddf) == 0

@@ -135,6 +135,13 @@ def _cell_eq(x, y) -> bool:
     return x == y
 
 
+def oracle_for(spec, sf_dir: str) -> str:
+    """Oracle SQL adjusted to ``sf_dir``: oracles that read files directly
+    (read_blob) pin the DRIVER's sf0.01 path (the driver runs them
+    verbatim, no dir parameter); local sweeps rewrite the path."""
+    return spec.oracle.replace("/root/testdata/sf0.01", sf_dir)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -162,11 +169,7 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            # oracles that read files directly (read_blob) pin the driver's
-            # sf0.01 path; rewrite it when sweeping another scale factor
-            ddf = con.execute(
-                spec.oracle.replace("/root/testdata/sf0.01", sf_dir)
-            ).df()
+            ddf = con.execute(oracle_for(spec, sf_dir)).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
