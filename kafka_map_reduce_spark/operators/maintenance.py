@@ -108,3 +108,74 @@ def cluster_parquet(
     _swap(spark, tmp, path)
     after = parquet_file_stats(spark, path)
     return {"before": before, "after": after, "target_files": n_out}
+
+
+def _zvalue(cols: list[str], bits: int = 16):
+    """Z-order (Morton) key: each column min-max-normalized to ``bits``
+    bits (bounds supplied as ``__min_<c>`` / ``__max_<c>`` columns from a
+    1-row broadcast aggregate), then bit-interleaved so file ranges stay
+    narrow in EVERY clustered dimension, not just the leading sort key.
+    Pure JVM bit arithmetic — whole-stage codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    quantized = []
+    for c in cols:
+        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        q = F.floor(
+            (F.col(c).cast("double") - lo) / span * ((1 << bits) - 1)
+        ).cast("long")
+        quantized.append(q)
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(quantized):
+            z = z + F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)), i * k + j
+            )
+    return z
+
+
+def zorder_parquet(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 16,
+) -> dict:
+    """Compact + Z-ORDER by ``zorder_cols``: unlike ``cluster_parquet``
+    (lexicographic — selective only for the leading key), the Morton curve
+    keeps every file's bounding box small in all listed dimensions, so the
+    data-skipping index (operators/skipping.py) prunes on ANY of them.
+    The standard layout for a fact table filtered/joined on two or three
+    independent keys."""
+    from pyspark.sql import functions as F
+
+    before = parquet_file_stats(spark, path)
+    n_out = max(1, -(-before["total_bytes"] // target_file_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df = spark.read.parquet(path)
+    bounds = df.agg(
+        *[
+            f
+            for c in zorder_cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            )
+        ]
+    )
+    aux = [f"__min_{c}" for c in zorder_cols] + [f"__max_{c}" for c in zorder_cols]
+    (
+        df.join(F.broadcast(bounds))
+        .withColumn("__z", _zvalue(zorder_cols, bits))
+        .drop(*aux)
+        .repartitionByRange(n_out, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _swap(spark, tmp, path)
+    after = parquet_file_stats(spark, path)
+    return {"before": before, "after": after, "target_files": n_out}
