@@ -34,6 +34,9 @@ HEADLINE = [
     "q_sim_topk",         # brute-force ANN baseline
     "q_text_tokens",      # tokenize + TF + top-k
     "q_stream_tumbling",  # event-time windowing (batch face)
+    "q_heavy_hitters",    # Misra-Gries pruned exact heavy hitters
+    "q_dedup_editdist",   # FastSS deletion-signature similarity join
+    "q_funnel",           # co-partitioned multi-stage event funnel
 ]
 
 

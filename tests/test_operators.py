@@ -490,3 +490,41 @@ class TestMisraGries:
         c = _mg_merge({}, pd.Series({"a": 10, "b": 2, "c": 1}), capacity=2)
         # (m+1)-th largest (1) subtracted from all, non-positives dropped
         assert c == {"a": 9, "b": 1}
+
+
+def test_deletion_signature_completeness_property():
+    """FastSS pigeonhole: ANY two strings within edit distance 1 share a
+    deletion signature — checked in pure python against brute-force edit
+    distance over random short strings (the Spark operator builds exactly
+    this signature set, operators/dedup.py deletion_signatures)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def sigs(s: str) -> set:
+        return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+    def ed1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        st.text(alphabet="abc", min_size=0, max_size=6),
+    )
+    def check(a, b):
+        if ed1(a, b):
+            assert sigs(a) & sigs(b), (a, b)
+
+    check()
