@@ -292,3 +292,113 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
     return SK.heavy_hitters(toks, "tok", min_share=0.002)
+
+
+# Simple, RE2-and-Java-compatible PII shapes (kept dialect-neutral: no
+# backrefs, no lookaround — Spark regexes run on Java, the oracle on RE2).
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "q_text_redact",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN text || ' contact: user' || doc_id ||
+                         '@example.com or 555-867-' ||
+                         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                + len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+             AS n_redactions
+    FROM injected
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction stage (emails/phones -> placeholder tokens): the
+    standard pre-training scrub, pure JVM regexp — codegen, no UDF, one
+    narrow projection, embarrassingly parallel at any scale. Deterministic
+    PII is injected into a quarter of the docs so the oracle checks real
+    replacements; output carries md5 of the redacted text (compact
+    whole-content hash) plus the per-doc redaction count."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    n_red = F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)")) + F.size(
+        F.expr(f"regexp_extract_all(text, '{_PHONE_RE}', 0)")
+    )
+    return injected.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
+@query(
+    "q_text_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS a FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(a, i * 40 + 1, i * 40 + 50), ' ') AS chunk,
+           CAST(len(list_slice(a, i * 40 + 1, i * 40 + 50)) AS INTEGER)
+             AS n_tokens
+    FROM toks,
+         unnest(range(0, greatest(CAST(ceil((len(a) - 10) / 40.0) AS BIGINT), 1)))
+           AS t(i)
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (50-token windows, stride 40 => 10-token
+    overlap): the stage that turns documents into model-sized training
+    rows. Token array computed once per doc; chunks materialize as a JVM
+    transform + posexplode — a narrow 1->N operator with no shuffle, so
+    it streams at scan speed at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("a")
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.size("a") - F.lit(10)) / F.lit(40.0)).cast("long"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(F.slice("a", i * 40 + 1, 50), " ").alias("chunk"),
+            F.size(F.slice("a", i * 40 + 1, 50)).cast("int").alias("n_tokens"),
+        ),
+    )
+    return toks.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
