@@ -402,3 +402,89 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk").alias("chunk"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+@query(
+    "q_pipeline_e2e",
+    oracle=f"""
+    WITH keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents GROUP BY md5(lower(trim(text)))
+    ),
+    kept AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN keep USING (doc_id)
+        WHERE d.lang IN ('en', 'fr') AND d.n_chars >= 200
+          AND len(string_split_regex(d.text, '\\s+')) >= 30
+    ),
+    red AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g') AS text
+        FROM kept
+    ),
+    toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS a FROM red
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           md5(array_to_string(list_slice(a, i * 40 + 1, i * 40 + 50), ' '))
+             AS chunk_md5,
+           CAST(len(list_slice(a, i * 40 + 1, i * 40 + 50)) AS INTEGER)
+             AS n_tokens
+    FROM toks,
+         unnest(range(0, greatest(CAST(ceil((len(a) - 10) / 40.0) AS BIGINT), 1)))
+           AS t(i)
+    """,
+    tags=("flagship",),
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, documents -> model-ready
+    chunks in one logical plan: exact dedup (keep-min-id) -> quality gate
+    (chars + token count) -> language gate -> PII redaction -> 50/40
+    context-window chunking. Exactly ONE shuffle (the dedup aggregate);
+    every later stage is a narrow projection/explode, so the whole
+    pipeline runs at scan speed after the dedup exchange — the shape a
+    100 TB corpus build needs. Every stage is the oracle-checked operator
+    registered individually (q_dedup_exact, q_text_quality family,
+    q_text_redact, q_text_chunks); this query checks their composition."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    deduped = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    kept = deduped.filter(
+        F.col("lang").isin("en", "fr")
+        & (F.col("n_chars") >= 200)
+        & (F.size(F.split(F.col("text"), r"\s+")) >= 30)
+    )
+    red = kept.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("text"),
+    )
+    toks = red.select("doc_id", F.split(F.col("text"), r"\s+").alias("a"))
+    n_chunks = F.greatest(
+        F.ceil((F.size("a") - F.lit(10)) / F.lit(40.0)).cast("long"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.md5(F.array_join(F.slice("a", i * 40 + 1, 50), " ")).alias("chunk_md5"),
+            F.size(F.slice("a", i * 40 + 1, 50)).cast("int").alias("n_tokens"),
+        ),
+    )
+    return toks.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.chunk_md5").alias("chunk_md5"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
