@@ -97,3 +97,51 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < 20), e.filter(F.col("vec_id") >= 20),
         k=5, n_clusters=8, iters=3, nprobe=2,
     ).orderBy("probe_id", "rank")
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, a,
+               greatest(list_max(list_transform(a, x -> abs(x))), 1e-12)
+                 AS max_abs
+        FROM v
+    )
+    SELECT vec_id,
+           to_json(list_transform(a,
+                   x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS INTEGER)))
+             AS q_json,
+           floor((127.0 / max_abs) * 10000 + 0.5) / 10000 AS scale
+    FROM s
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (per-vector absmax scaling):
+    4x storage/bandwidth reduction for the vector corpus, the standard
+    preprocessing for ANN serving. Pure JVM array math (aggregate fold for
+    absmax, transform for the scaled round), shuffle-free, emitted as JSON
+    text so the driver canonicalizer sees scalar columns. floor(x*s + 0.5)
+    is the cross-engine deterministic round (identical IEEE ops, incl.
+    negatives) — see functions/compat.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ad = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.greatest(
+        F.aggregate(ad, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))),
+        F.lit(1e-12),
+    )
+    scale = F.lit(127.0) / max_abs
+    with_s = e.select("vec_id", ad.alias("a"), scale.alias("s"))
+    return with_s.select(
+        "vec_id",
+        F.to_json(
+            F.transform(
+                F.col("a"),
+                lambda x: F.floor(x * F.col("s") + F.lit(0.5)).cast("int"),
+            )
+        ).alias("q_json"),
+        (F.floor(F.col("s") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("scale"),
+    )
