@@ -43,14 +43,9 @@ def _list_files(spark: SparkSession, path: str) -> list[str]:
     return out
 
 
-def collect_file_stats(
-    spark: SparkSession, path: str, columns: list[str]
+def _stats_for_files(
+    spark: SparkSession, files: list[str], columns: list[str]
 ) -> DataFrame:
-    """Skipping index for numeric ``columns``: (file, column, min_val,
-    max_val, null_count, num_rows), one row per file x column, computed
-    from parquet footers on the executors (mapInPandas over the file
-    list — scales to millions of files; the driver only lists names)."""
-    files = _list_files(spark, path)
     cols = list(columns)
 
     def footer_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,7 +87,22 @@ def collect_file_stats(
             schema="file string, column string, min_val double, max_val double,"
             " null_count bigint, num_rows bigint",
         )
+        # Materialize: an index is a STORED artifact (production: its own
+        # parquet table). A lazy plan here would re-read footers on every
+        # use — and break outright once compaction/Z-order replaces the
+        # files it captured at build time.
+        .localCheckpoint(eager=True)
     )
+
+
+def collect_file_stats(
+    spark: SparkSession, path: str, columns: list[str]
+) -> DataFrame:
+    """Skipping index for numeric ``columns``: (file, column, min_val,
+    max_val, null_count, num_rows), one row per file x column, computed
+    from parquet footers on the executors (mapInPandas over the file
+    list — scales to millions of files; the driver only lists names)."""
+    return _stats_for_files(spark, _list_files(spark, path), columns)
 
 
 def pruned_read(
@@ -126,3 +136,23 @@ def pruned_read(
         .parquet(*keep)
         .filter(F.col(column).between(lo, hi))
     )
+
+
+def update_file_stats(
+    spark: SparkSession, path: str, existing: DataFrame, columns: list[str]
+) -> tuple[DataFrame, int]:
+    """Incremental index maintenance: footer-scan ONLY files not yet in
+    ``existing`` (and drop index rows for files that no longer exist, e.g.
+    after compaction). Returns (fresh index, n_new_files). The production
+    cadence: the streaming sink appends files continuously; the index job
+    diffs the listing — a metadata-only operation — instead of re-reading
+    every footer, so index maintenance cost tracks the WRITE rate, not the
+    table size."""
+    current = set(_list_files(spark, path))
+    known = {r.file for r in existing.select("file").distinct().collect()}
+    new_files = sorted(current - known)
+    kept = existing.filter(F.col("file").isin(list(current)) if current else F.lit(False))
+    if not new_files:
+        return kept.localCheckpoint(eager=True), 0
+    fresh = _stats_for_files(spark, new_files, columns)
+    return kept.unionByName(fresh).localCheckpoint(eager=True), len(new_files)

@@ -115,3 +115,36 @@ def test_zorder_pruned_read_matches_full_scan(spark, tmp_path):
         full = spark.read.parquet(path).filter(F.col(col).between(5, 15))
         assert pruned.count() == full.count() == 1100
         assert len(pruned.inputFiles()) < n_files
+
+
+def test_incremental_index_update(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _clustered_table(spark, path)
+    idx = SK.collect_file_stats(spark, path, ["key"])
+    n0 = M.parquet_file_stats(spark, path)["n_files"]
+
+    # append two new files (a streaming sink's next micro-batches)
+    (
+        spark.range(8000, 9000)
+        .select(F.col("id"), (F.col("id") % 400).alias("key"))
+        .repartition(2)
+        .write.mode("append")
+        .parquet(path)
+    )
+    idx2, n_new = SK.update_file_stats(spark, path, idx, ["key"])
+    assert n_new == 2
+    assert idx2.select("file").distinct().count() == n0 + 2
+    # incremental == from-scratch
+    full = SK.collect_file_stats(spark, path, ["key"])
+    assert sorted(map(tuple, idx2.collect())) == sorted(map(tuple, full.collect()))
+
+    # no change -> no new footer reads
+    idx3, n_new3 = SK.update_file_stats(spark, path, idx2, ["key"])
+    assert n_new3 == 0 and idx3.count() == idx2.count()
+
+    # compaction replaces every file; stale index rows must drop
+    M.compact_parquet(spark, path, target_file_bytes=1 << 30)
+    idx4, n_new4 = SK.update_file_stats(spark, path, idx2, ["key"])
+    full4 = SK.collect_file_stats(spark, path, ["key"])
+    assert n_new4 == M.parquet_file_stats(spark, path)["n_files"]
+    assert sorted(map(tuple, idx4.collect())) == sorted(map(tuple, full4.collect()))
