@@ -5,6 +5,8 @@ queries viable at 100 TB.
   cross products by definition (cross join, all-pairs similarity).
 - Parquet scans read pruned schemas (no SELECT * scans).
 - Filter queries push predicates into the scan (PushedFilters non-empty).
+- Shuffle budgets: selected plans must not exceed their designed Exchange
+  count (a silent extra shuffle is the costliest regression at 100 TB).
 
 Usage: python tools/plancheck.py [sf_dir]
 """
@@ -12,6 +14,7 @@ Usage: python tools/plancheck.py [sf_dir]
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -42,6 +45,23 @@ PUSHDOWN_REQUIRED = {"q_scan_parquet", "q_filter", "q_join_inner", "q_subquery_i
 # Queries whose filter must prune PARTITIONS (directory-level skip), not
 # merely push into the row-group reader.
 PARTITION_PRUNE_REQUIRED = {"q_scan_partitioned"}
+
+# Shuffle budgets: the number of Exchange nodes these plans are DESIGNED
+# to have (docstring claims, enforced). A refactor that sneaks in an extra
+# shuffle — the dominant cost at 100 TB — fails here, not in production.
+MAX_EXCHANGES = {
+    "q_pipeline_e2e": 1,  # the dedup window; later stages narrow
+    "q_agg_group": 2,  # partial+final hash aggregate + presentation sort
+    "q_histogram": 1,  # single hash aggregate on bin key
+    "q_agg_argmax": 1,  # single hash aggregate
+    "q_dedup_exact": 1,  # one shuffle on content digest
+    "q_text_chunks": 0,  # narrow 1->N explode, scan speed
+    "q_text_redact": 0,  # narrow projection
+    "q_embed_quantize": 0,  # narrow array math
+    "q_scan_parquet": 0,
+    "q_projection": 0,
+    "q_filter": 0,
+}
 
 
 def plan_of(df) -> str:
@@ -78,6 +98,14 @@ def main() -> int:
             problems.append("no predicates pushed to scan")
         if name in PARTITION_PRUNE_REQUIRED and "PartitionFilters: []" in plan:
             problems.append("partition filter not pruned to directories")
+        if name in MAX_EXCHANGES:
+            # formatted explain lists each node twice (tree + details);
+            # count the numbered detail headers only
+            n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+            if n_ex > MAX_EXCHANGES[name]:
+                problems.append(
+                    f"{n_ex} shuffles in plan, budget {MAX_EXCHANGES[name]}"
+                )
         if problems:
             print(f"FAIL {name}: {problems}")
             bad += 1
