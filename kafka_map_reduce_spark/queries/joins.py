@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from kafka_map_reduce_spark.functions import dsum4, o_sum4
 from kafka_map_reduce_spark.operators import asof_join
 from kafka_map_reduce_spark.registry import query
-from kafka_map_reduce_spark.sources import Tables
+from kafka_map_reduce_spark.sources import Tables, load_table
 
 
 @query(
@@ -296,4 +296,58 @@ def q_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "other_id",
         "user_id",
         (F.unix_timestamp("b_ts") - F.unix_timestamp("ts")).alias("lag_s"),
+    )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                    ELSE o_orderkey % 50 END AS k
+        FROM orders WHERE o_orderkey < 100
+    ),
+    c AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN NULL
+                    ELSE c_custkey % 50 END AS k
+        FROM customer WHERE c_custkey < 100
+    )
+    SELECT o.o_orderkey, c.c_custkey,
+           CAST(coalesce(o.k, -1) AS BIGINT) AS k
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the join SQL NULL semantics
+    make easy to get wrong. Spark keeps eqNullSafe a hash-join key
+    (EqualNullSafe is sargable), so the plan is the same shuffled equi-join
+    as q_join_inner, no nested loop. Derived nullable keys (every 10th id)
+    guarantee both the null-match and value-match paths are exercised."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+            .otherwise(F.col("o_orderkey") % 50)
+            .alias("ko"),
+        )
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit(None))
+            .otherwise(F.col("c_custkey") % 50)
+            .alias("kc"),
+        )
+    )
+    return o.join(c, F.col("ko").eqNullSafe(F.col("kc"))).select(
+        "o_orderkey",
+        "c_custkey",
+        F.coalesce(F.col("ko"), F.lit(-1)).cast("long").alias("k"),
     )
