@@ -157,15 +157,26 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_multimodal_decode", oracle=None, tags=("stub",))
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media decode via mapInPandas (decoder stubbed with a
-    deterministic fake — see operators/multimodal.py)."""
+    deterministic fake — see operators/multimodal.py).
+
+    The feature vector is emitted as one comma-joined string column: array
+    cells are unhashable/unsortable in the external harness canonicalizer,
+    so every registered query scalarizes complex outputs (enforced by
+    tests/test_registry_contract.py)."""
     d = load_table(spark, sf_dir, "documents")
     feats = M.decode_features(M.attach_media(d))
     return feats.select(
         "doc_id",
         "byte_len",
-        F.transform(
-            "features", lambda x: F.floor(x * 10000 + F.lit(0.5)) / F.lit(10000)
-        ).alias("features"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features",
+                lambda x: (F.floor(x * 10000 + F.lit(0.5)) / F.lit(10000)).cast(
+                    "string"
+                ),
+            ),
+        ).alias("features_csv"),
     )
 
 

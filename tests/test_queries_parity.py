@@ -21,7 +21,23 @@ def _specs():
 
 @pytest.mark.parametrize("name,spec", _specs(), ids=[n for n, _ in _specs()])
 def test_query(name, spec, spark, duck):
-    sdf = spec.fn(spark, SF_SMOKE).toPandas()
+    df = spec.fn(spark, SF_SMOKE)
+    # Harness canonicalizer contract: pandas sort_values over every column,
+    # so array/map/struct cells (unhashable ndarray/dict) crash the external
+    # check — recurred three times (q_agg_collect, q_array_funcs,
+    # q_multimodal_decode r2). Every query must scalarize complex outputs.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: top-level complex-typed columns {complex_cols} would crash "
+        "the external harness canonicalizer — scalarize (concat_ws/to_json)"
+    )
+    sdf = df.toPandas()
     if spec.oracle is None:
         assert len(sdf) >= 0  # rows-only contract: executes, stable schema
         return
