@@ -15,10 +15,13 @@ bytes. These two operators are the merge-tree analogue:
   skip whole files and row groups instead of scanning everything.
 
 Both write to a temp sibling directory and swap only after the new data is
-fully committed (write-audit-publish): readers never observe a half-written
-table, and a failed rewrite leaves the original untouched. The swap relies
-on directory rename, atomic on HDFS/POSIX; on object stores without atomic
-rename, publish via a metastore/table-format pointer flip instead.
+fully committed (write-audit-publish): readers never observe half-written
+DATA, and a failed rewrite leaves the original untouched. The publish is
+two renames, so there is a brief window where ``path`` itself is absent —
+run maintenance without concurrent readers (or behind a retrying reader).
+For a truly atomic publish, flip a metastore/table-format pointer instead;
+plain directory rename is atomic per-rename on HDFS/POSIX but not across
+the pair, and object stores lack atomic rename entirely.
 """
 
 from __future__ import annotations
@@ -53,6 +56,11 @@ def _swap(spark: SparkSession, tmp: str, path: str) -> None:
     fs, dest, jvm = _fs_for(spark, path)
     trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
     src = jvm.org.apache.hadoop.fs.Path(tmp)
+    # A trash dir surviving a crashed prior run is committed garbage (the
+    # prior swap either published or rolled back before deleting it); left
+    # in place it makes the first rename fail on every later compaction.
+    if fs.exists(trash):
+        fs.delete(trash, True)
     if not fs.rename(dest, trash):
         raise IOError(f"compaction swap failed: could not move {path} aside")
     if not fs.rename(src, dest):

@@ -26,6 +26,7 @@ then subtracting the (m+1)-th largest and dropping non-positives
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -61,8 +62,18 @@ def heavy_hitters(
 ) -> DataFrame:
     """Exact items with frequency > ``min_share`` of all rows, computed via
     MG pruning + exact verification. ``capacity`` defaults to the tightest
-    value honoring the guarantee (ceil(1/min_share))."""
-    capacity = capacity or int(1 / min_share) + 1
+    value honoring the guarantee (ceil(1/min_share)); a smaller caller
+    value is rejected loudly — an undersized summary silently drops true
+    heavy hitters, voiding the completeness guarantee."""
+    min_capacity = math.ceil(1 / min_share)
+    if capacity is None:
+        capacity = min_capacity
+    elif capacity < min_capacity:
+        raise ValueError(
+            f"capacity={capacity} < ceil(1/min_share)={min_capacity}: the "
+            "Misra-Gries candidate set would no longer be a superset of the "
+            "true heavy hitters"
+        )
     cand = mg_candidates(items, col, capacity)
     total = items.agg(F.count(F.lit(1)).alias("__total"))
     return (

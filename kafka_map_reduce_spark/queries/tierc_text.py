@@ -360,9 +360,12 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PHONE_RE,
         "[PHONE]",
     )
-    n_red = F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)")) + F.size(
-        F.expr(f"regexp_extract_all(text, '{_PHONE_RE}', 0)")
-    )
+    # Python-API regexp_extract_all, NOT F.expr interpolation: SQL string
+    # literals unescape '\.' to '.', silently loosening the pattern vs the
+    # regexp_replace above (found live: 'a@bXcd' counted but not redacted).
+    n_red = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0))
+    ) + F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0)))
     return injected.select(
         "doc_id",
         F.md5(redacted).alias("redacted_md5"),

@@ -76,7 +76,11 @@ class HttpJsonLinesSink:
         lines_df = df.select(F.to_json(F.struct(*df.columns)).alias("line"))
         # Single computation per micro-batch: the posted-row count rides an
         # accumulator on the same foreachPartition action instead of a
-        # separate count() pass over the batch.
+        # separate count() pass over the batch. Like the posts themselves,
+        # the counter is AT-LEAST-ONCE: a retried/speculative task re-posts
+        # its partition and adds again, so the metric can exceed the batch
+        # row count exactly when duplicate posts happened — by design it
+        # counts rows POSTED, not distinct rows acknowledged.
         posted = df.sparkSession.sparkContext.accumulator(0)
 
         def post_partition(rows):

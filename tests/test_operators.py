@@ -482,6 +482,17 @@ class TestMisraGries:
         )
         assert sorted(map(tuple, hh.collect())) == sorted(map(tuple, exact.collect()))
 
+    def test_undersized_capacity_rejected(self, spark):
+        import pytest as _pytest
+
+        from kafka_map_reduce_spark.operators import sketches as SK
+
+        df = spark.createDataFrame([("a",)], "tok string")
+        with _pytest.raises(ValueError, match="capacity"):
+            SK.heavy_hitters(df, "tok", min_share=0.01, capacity=50)
+        # capacity == ceil(1/min_share) is the tightest legal value
+        SK.heavy_hitters(df, "tok", min_share=0.01, capacity=100).collect()
+
     def test_mg_merge_is_count_conservative(self):
         import pandas as pd
 
