@@ -37,6 +37,7 @@ HEADLINE = [
     "q_heavy_hitters",    # Misra-Gries pruned exact heavy hitters
     "q_dedup_editdist",   # FastSS deletion-signature similarity join
     "q_funnel",           # co-partitioned multi-stage event funnel
+    "q_dedup_near_capped",  # LSH with the hot-band guard ON (skew path)
 ]
 
 
@@ -63,11 +64,19 @@ def main() -> None:
     materialize(specs["q_agg_group"].fn(spark, sf_dir).limit(1))
     materialize(specs["q_udf_scalar"].fn(spark, sf_dir).limit(256))
 
+    # n repeats per query, report the MIN: single-run timings at sf0.1
+    # carry ~0.4 s of fixed harness noise plus host-load jitter, which
+    # masqueraded as >20% "regressions" between rounds. The min of n>=3
+    # is the standard low-variance estimator for a cold-cache-free plan.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        materialize(specs[name].fn(spark, sf_dir))
-        per_query[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            materialize(specs[name].fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -78,6 +87,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "runs_per_query": n_runs,
+                "estimator": "min",
                 "sf": float(sf) if sf else None,
             }
         )

@@ -123,42 +123,56 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view -> click -> purchase) per user: each
-    stage's entry time must follow the previous stage's. Three keyed
-    min-aggregations, all hash-partitioned on user_id, so stages 2/3's
-    joins reuse the stage-1 partitioning (Spark's EnsureRequirements
-    inserts no extra exchange for an equi-join between two aggregates
-    already keyed on user_id). State per user is one timestamp per stage
-    — at 100 TB this is the standard sessionless funnel plan."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    stage's entry time must follow the previous stage's.
+
+    ONE scan of events and ONE wide shuffle: narrow (user_id, type, ts)
+    rows hash-partition by user_id once, then three layered conditional
+    window-mins (all the same partitioning — no extra exchange) derive
+    t1 <= t2 <= t3 per user, a per-user groupBy reuses the partitioning,
+    and only the final scalar rollup moves a second (single-row-per-
+    partition) exchange. The previous join-of-three-aggregates shape
+    planned 6 exchanges and FIVE scans of events because each aggregate
+    subtree is duplicated across the final joins (Catalyst does no
+    cross-branch common-subtree reuse) — this is the plan-audited
+    replacement, budget-enforced at 2 exchanges in tools/plancheck.py."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .agg(
-            F.count("t1").alias("users_view"),
-            F.count("t2").alias("users_click"),
-            F.count("t3").alias("users_purchase"),
-            round4(
-                F.count("t3").cast("double")
-                / F.nullif(F.count("t1"), F.lit(0))
-            ).alias("conversion"),
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
         )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("users_view"),
+        F.count("t2").alias("users_click"),
+        F.count("t3").alias("users_purchase"),
+        round4(
+            F.count("t3").cast("double") / F.nullif(F.count("t1"), F.lit(0))
+        ).alias("conversion"),
     )

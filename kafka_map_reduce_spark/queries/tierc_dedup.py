@@ -111,6 +111,21 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_verify(cands, shingled, min_jaccard=0.5).orderBy("id_a", "id_b")
 
 
+@query("q_dedup_near_capped", oracle=None, tags=("approx", "skew-guard"))
+def q_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_near with the LSH hot-band guard ON (max_bucket_size=16):
+    the 100 TB configuration, where a boilerplate/template cluster of N
+    near-identical docs must not emit N^2/2 candidate pairs from one band
+    bucket. Oracle parity stays on the cap-OFF q_dedup_near; this entry
+    exists so the skew-guarded plan is benchmarked and driver-run too
+    (candidate-count linearity is unit-tested in tests/test_operators.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.word_shingles(docs, "text", "doc_id", k=3)
+    sigs = D.minhash_signatures(shingled, num_perm=64)
+    cands = D.lsh_candidates(sigs, num_perm=64, bands=16, max_bucket_size=16)
+    return D.jaccard_verify(cands, shingled, min_jaccard=0.5).orderBy("id_a", "id_b")
+
+
 @query("q_dedup_simhash", oracle=None, tags=("approx",))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3 via 16-bit block candidates)."""

@@ -39,16 +39,28 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid (users x sequence of hours — the bounds row is a 1-row broadcast),
     then the as-of join operator carries the fill in ONE keyed window —
     never a range join. Hours before a user's first event stay NULL.
-    Grid size = users x span-hours, independent of event count."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    Grid size = users x span-hours, independent of event count.
+
+    Four exchanges by design, but only ONE moves O(rows): the (user, ts)
+    dedup aggregate ships post-partial rows, distinct-users ships
+    O(users x partitions), the bounds rollup ships one row per partition,
+    and the as-of window shuffles the grid∪events union (the intrinsic
+    cost of the fill). users/bounds read the RAW scan, not the deduped
+    branch — (user, ts) dedup changes neither the user set nor the ts
+    bounds, and deriving them upstream keeps the expensive dedup subtree
+    out of the duplicated branches (Catalyst does no cross-branch
+    common-subtree reuse; a pre-shuffle repartition("user_id") was tried
+    and is WORSE — it turns every branch's map-side partial aggregation
+    into a full-row O(events) shuffle)."""
+    raw = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     # deduplicate (user, ts) identically to the oracle: as-of fill needs a
     # unique right side for deterministic tie-breaks
-    ev = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
-    bounds = ev.agg(
+    ev = raw.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    bounds = raw.agg(
         F.date_trunc("hour", F.min("ts")).alias("t0"),
         F.date_trunc("hour", F.max("ts")).alias("t1"),
     )
-    users = ev.select("user_id").distinct()
+    users = raw.select("user_id").distinct()
     grid = users.crossJoin(F.broadcast(bounds)).select(
         "user_id",
         F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),

@@ -203,6 +203,35 @@ def test_lsh_hot_band_cap(spark):
     assert all(a >= 100 for a, _ in capped)  # clone-cluster pairs dropped
 
 
+def test_lsh_hot_band_cap_keeps_candidates_linear(spark):
+    """Quantitative skew guard: a planted 60-clone template cluster emits
+    O(N^2) candidate pairs uncapped (>= C(60,2)), but with
+    max_bucket_size=16 the candidate count stays below a small linear
+    bound — the property that makes LSH survive boilerplate at 100 TB."""
+    from kafka_map_reduce_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    template = (
+        "terms of service boilerplate paragraph repeated across the corpus "
+        "all rights reserved governing law severability entire agreement"
+    )
+    rows = [(i, template) for i in range(60)]
+    rows += [
+        (1000 + i, f"organic document {i} discussing topic{i} with unique "
+                   f"words w{i * 7} w{i * 13} w{i * 29} and its own phrasing")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(word_shingles(docs, "text", "doc_id"))
+    uncapped = lsh_candidates(sig).count()
+    capped = lsh_candidates(sig, max_bucket_size=16).count()
+    assert uncapped >= 60 * 59 // 2  # quadratic in the cluster size
+    assert capped <= len(rows)  # linear bound: cluster buckets dropped
+
+
 def test_ranked_topk_matches_numpy(spark):
     """The two-stage (partition-local prune + final rank) top-k must be
     exactly the naive global top-k."""

@@ -61,6 +61,13 @@ MAX_EXCHANGES = {
     "q_scan_parquet": 0,
     "q_projection": 0,
     "q_filter": 0,
+    "q_funnel": 2,  # one O(events) shuffle on user_id + final scalar rollup
+    # dedup partial-agg + distinct-users (small) + 1-row bounds + as-of
+    # window over grid∪events: only the first and last move O(rows).
+    "q_timeseries_gapfill": 4,
+    "q_join_range_bucket": 2,  # bucket-pair equi-join + presentation sort
+    # MG candidates distinct (small) + post-partial count agg + 1-row total
+    "q_heavy_hitters": 3,
 }
 
 
