@@ -1,0 +1,70 @@
+"""Contiguous global row-id assignment without a global sort.
+
+Training-data pipelines need stable, dense sample ids (shard manifests,
+example indexing, resumable epoch ordering). The naive
+``row_number() OVER (ORDER BY key)`` funnels every row through a single
+ordered partition — the one plan that cannot scale. The scale-safe shape
+is the classic two-phase enumeration (what ``RDD.zipWithIndex`` does,
+re-expressed declaratively):
+
+1. range-partition by the order key and sort within partitions — the only
+   O(rows) shuffle in the plan;
+2. stamp ``monotonically_increasing_id()`` = (partition << 33) + local
+   row index, pure JVM, which after (1) is ordered exactly like the key;
+3. roll partition row-counts into prefix-sum offsets (O(partitions) rows
+   through a single tiny window);
+4. broadcast the offsets back: id = offset[partition] + local index + 1.
+
+``localCheckpoint`` after (2) is a CORRECTNESS barrier, not a cache:
+range-exchange sampling and monotonically_increasing_id are both
+nondeterministic across re-executions, and steps (3) and (4) consume the
+same subtree twice — without materialization Catalyst recomputes it per
+branch and the two executions may disagree on partition boundaries,
+producing silently wrong ids. On a cluster-with-storage deployment the
+same barrier is a persisted temp table / DISK_ONLY persist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MID = "__mid"
+_PID = "__pid"
+_OFFSET = "__offset"
+
+_LOCAL_BITS = 33  # monotonically_increasing_id: partition_id << 33 | local
+
+
+def contiguous_row_ids(
+    df: DataFrame, order_cols: list[str], id_col: str = "row_id"
+) -> DataFrame:
+    """Add ``id_col`` = 1-based dense global rank by ``order_cols``.
+
+    ``order_cols`` must be a total order (include a unique key as the last
+    tie-breaker) — with ties the assignment within a tie group follows
+    physical row order, which is not reproducible across runs."""
+    stamped = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftright(F.col(_MID), _LOCAL_BITS).alias(_PID)
+    local = F.col(_MID).bitwiseAND((1 << _LOCAL_BITS) - 1)
+    counts = stamped.groupBy(pid).agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        _PID,
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias(_OFFSET),
+    )
+    return (
+        stamped.withColumn(_PID, pid)
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(id_col, (F.col(_OFFSET) + local + 1).cast("long"))
+        .drop(_MID, _PID, _OFFSET)
+    )

@@ -27,6 +27,7 @@ the pair, and object stores lack atomic rename entirely.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _fs_for(spark: SparkSession, path: str):
@@ -116,6 +117,49 @@ def cluster_parquet(
     _swap(spark, tmp, path)
     after = parquet_file_stats(spark, path)
     return {"before": before, "after": after, "target_files": n_out}
+
+
+def merge_upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> dict:
+    """Keyed upsert into a parquet table: base rows whose key collides
+    with an update are replaced, new keys are appended — latest-wins
+    semantics, the batch analogue of the ClickHouse ReplacingMergeTree
+    the reference's sink writes into (clickhouse.rs demo table engine).
+
+    Plan shape: one LEFT ANTI join of base against the (typically much
+    smaller, broadcastable) update set's distinct keys, then a union with
+    the updates and a write-audit-publish swap (same two-rename publish
+    as compaction; same no-concurrent-reader caveat). Cost scales with
+    the BASE table scan + rewrite, not with update count — at 100 TB you
+    run it per partition-predicate slice, not whole-table; pair with
+    ``cluster_parquet`` so update keys localize to few files.
+
+    ``updates`` must not contain duplicate keys (latest-wins among
+    duplicates would be nondeterministic); violations raise."""
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(f"updates contain duplicate keys on {keys}")
+    base = spark.read.parquet(path)
+    key_set = updates.select(*keys).distinct()
+    survivors = base.join(F.broadcast(key_set), keys, "left_anti")
+    merged = survivors.unionByName(updates.select(*base.columns))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _swap(spark, tmp, path)
+    return {
+        "n_rows": spark.read.parquet(path).count(),
+        "n_updates": updates.count(),
+    }
 
 
 def _zvalue(cols: list[str], bits: int = 16):

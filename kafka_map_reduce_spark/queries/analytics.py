@@ -93,6 +93,26 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_doc_ids",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_id
+    FROM documents
+    """,
+)
+def q_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global sample ids ordered by doc_id WITHOUT a global sort:
+    the two-phase range-partition + offset enumeration of
+    operators/ids.py (RDD.zipWithIndex re-expressed declaratively). The
+    oracle is the single-partition row_number the operator must equal —
+    and must never be the plan at scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from kafka_map_reduce_spark.operators.ids import contiguous_row_ids
+
+    return contiguous_row_ids(docs, ["doc_id"])
+
+
+@query(
     "q_funnel",
     oracle=f"""
     WITH v AS (

@@ -1,0 +1,90 @@
+"""Contiguous id assignment (operators/ids.py) and keyed parquet upsert
+(operators/maintenance.py merge_upsert_parquet)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_map_reduce_spark.operators import maintenance as M
+from kafka_map_reduce_spark.operators.ids import contiguous_row_ids
+
+
+class TestContiguousRowIds:
+    def test_matches_global_row_number(self, spark):
+        # shuffled input so physical order correlates with nothing
+        df = (
+            spark.range(5000)
+            .select(
+                F.col("id"),
+                F.md5(F.col("id").cast("string")).alias("k"),
+            )
+            .orderBy("k")
+            .repartition(16)
+        )
+        got = contiguous_row_ids(df, ["id"]).select("id", "row_id").collect()
+        assert sorted((r.id, r.row_id) for r in got) == [
+            (i, i + 1) for i in range(5000)
+        ]
+
+    def test_ids_are_dense_and_start_at_one(self, spark):
+        df = spark.range(997).select((F.col("id") * 3).alias("v"))
+        ids = sorted(
+            r.row_id for r in contiguous_row_ids(df, ["v"]).collect()
+        )
+        assert ids == list(range(1, 998))
+
+    def test_compound_order_key(self, spark):
+        df = spark.range(2000).select(
+            (F.col("id") % 7).alias("grp"), F.col("id")
+        )
+        got = contiguous_row_ids(df, ["grp", "id"]).collect()
+        expect = sorted(((r.grp, r.id) for r in got))
+        by_id = {(r.grp, r.id): r.row_id for r in got}
+        assert [by_id[k] for k in expect] == list(range(1, 2001))
+
+
+class TestMergeUpsert:
+    def _base(self, spark, path):
+        spark.createDataFrame(
+            [(i, f"v{i}", "base") for i in range(100)],
+            "k long, payload string, src string",
+        ).repartition(4).write.mode("overwrite").parquet(path)
+
+    def test_replace_and_append(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._base(spark, path)
+        updates = spark.createDataFrame(
+            [(7, "NEW7", "upd"), (42, "NEW42", "upd"), (100, "NEW100", "upd")],
+            "k long, payload string, src string",
+        )
+        info = M.merge_upsert_parquet(spark, path, updates, ["k"])
+        assert info["n_rows"] == 101  # 100 base - 2 replaced + 3 updates
+        out = {r.k: (r.payload, r.src) for r in spark.read.parquet(path).collect()}
+        assert out[7] == ("NEW7", "upd")
+        assert out[42] == ("NEW42", "upd")
+        assert out[100] == ("NEW100", "upd")
+        assert out[8] == ("v8", "base")
+
+    def test_duplicate_update_keys_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._base(spark, path)
+        dup = spark.createDataFrame(
+            [(1, "a", "u"), (1, "b", "u")], "k long, payload string, src string"
+        )
+        with pytest.raises(ValueError, match="duplicate keys"):
+            M.merge_upsert_parquet(spark, path, dup, ["k"])
+        # base untouched by the failed merge
+        assert spark.read.parquet(path).count() == 100
+
+    def test_idempotent_reapply(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._base(spark, path)
+        updates = spark.createDataFrame(
+            [(5, "X", "u")], "k long, payload string, src string"
+        )
+        M.merge_upsert_parquet(spark, path, updates, ["k"])
+        M.merge_upsert_parquet(spark, path, updates, ["k"])
+        out = spark.read.parquet(path)
+        assert out.count() == 100
+        assert out.filter("k = 5").first().payload == "X"
