@@ -141,6 +141,44 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
+             AS trailing_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-row trailing 1-hour event count + value
+    sum per user — the rolling-metric shape rows-frames can't express
+    (peers at the same instant aggregate together; frame width follows
+    event TIME, not row count). Epoch-seconds ordering keeps the frame a
+    numeric range, identical in both engines; decimal accumulation keeps
+    the sum partition-order-proof. One user_id shuffle, like every other
+    window in this family."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        # NTZ has no direct long cast in ANSI mode; via timestamp (session
+        # tz pinned UTC) it is the same epoch() the oracle computes.
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.round(dec_sum, 4).cast("double").alias("trailing_sum"),
+    )
+
+
+@query(
     "q_window_dist",
     oracle="""
     SELECT event_id, user_id,
