@@ -68,6 +68,10 @@ MAX_EXCHANGES = {
     "q_join_range_bucket": 2,  # bucket-pair equi-join + presentation sort
     # MG candidates distinct (small) + post-partial count agg + 1-row total
     "q_heavy_hitters": 3,
+    # range exchange + tiny offsets rollup (checkpoint barrier hides the
+    # second consumer); id join is broadcast
+    "q_doc_ids": 2,
+    "q_window_time_range": 1,  # one user_id shuffle, like every window
 }
 
 
