@@ -34,6 +34,21 @@ class TestContiguousRowIds:
         )
         assert ids == list(range(1, 998))
 
+    def test_property_random_values(self, spark):
+        """Property: for arbitrary (possibly negative / clustered) unique
+        keys, ids equal the argsort rank + 1. Single example set chosen by
+        hypothesis-style generation is overkill for a Spark round-trip, so
+        we use fixed seeds over three adversarial shapes."""
+        import random
+
+        for seed, n in [(1, 257), (2, 1024), (3, 63)]:
+            rng = random.Random(seed)
+            vals = rng.sample(range(-(10**9), 10**9), n)
+            df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(7)
+            got = {r.v: r.row_id for r in contiguous_row_ids(df, ["v"]).collect()}
+            expect = {v: i + 1 for i, v in enumerate(sorted(vals))}
+            assert got == expect, f"seed={seed}"
+
     def test_compound_order_key(self, spark):
         df = spark.range(2000).select(
             (F.col("id") % 7).alias("grp"), F.col("id")
