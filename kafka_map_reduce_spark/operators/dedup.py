@@ -53,12 +53,15 @@ def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
     """One pass: num_perm min-hashes per id from exploded shingles.
 
     Each 'permutation' is xxhash64(shingle, seed=i); the signature matrix
-    is a single hash aggregate — no per-permutation shuffle.
-    """
+    is a single hash aggregate — no per-permutation shuffle. The shingle
+    count ``n`` rides the SAME aggregate for free: downstream exact
+    verification needs per-id set sizes, and carrying them here spares
+    jaccard_verify a separate groupBy over the (recomputed) shingle table
+    for each side of the pair."""
     aggs = [
         F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}") for i in range(num_perm)
     ]
-    return shingled.groupBy("id").agg(*aggs)
+    return shingled.groupBy("id").agg(*aggs, F.count(F.lit(1)).alias("n"))
 
 
 def lsh_candidates(
@@ -84,13 +87,18 @@ def lsh_candidates(
         ).alias(f"b{b}")
         for b in range(bands)
     ]
+    carry_n = "n" in signatures.columns
+    n_cols = [F.col("n")] if carry_n else []
     banded = signatures.select(
         "id",
+        *n_cols,
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b].alias("bh"))
                       for b in range(bands)])
         ).alias("e"),
-    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    ).select(
+        "id", *n_cols, F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
     if max_bucket_size is not None:
         small_buckets = (
             banded.groupBy("band", "bh")
@@ -99,8 +107,12 @@ def lsh_candidates(
             .drop("__bn")
         )
         banded = banded.join(small_buckets, ["band", "bh"])
-    other = banded.select(
-        F.col("id").alias("id_b"), F.col("band").alias("band_b"), F.col("bh").alias("bh_b")
+    other_cols = [F.col("id").alias("id_b")] + (
+        [F.col("n").alias("nb")] if carry_n else []
+    ) + [F.col("band").alias("band_b"), F.col("bh").alias("bh_b")]
+    other = banded.select(*other_cols)
+    out_cols = [F.col("id").alias("id_a"), F.col("id_b")] + (
+        [F.col("n").alias("na"), F.col("nb")] if carry_n else []
     )
     return (
         banded.join(
@@ -109,7 +121,7 @@ def lsh_candidates(
             & (F.col("bh") == F.col("bh_b"))
             & (F.col("id") < F.col("id_b")),
         )
-        .select(F.col("id").alias("id_a"), F.col("id_b"))
+        .select(*out_cols)
         .distinct()
     )
 
@@ -128,8 +140,19 @@ def jaccard_verify(
     proportional to candidates, not the corpus; at small scale the two
     extra semi-join stages cost more than they save (measured ~25% slower
     at the 500-doc test tables), hence default off.
+
+    If ``candidates`` already carries per-id set sizes as ``na``/``nb``
+    (lsh_candidates forwards them from the minhash aggregate), the two
+    size-lookup joins — each of which would recompute the shingle groupBy,
+    since Catalyst does not share subtrees across join branches — are
+    skipped entirely.
     """
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    carried = {"na", "nb"} <= set(candidates.columns)
+    sizes = (
+        None
+        if carried
+        else shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    )
     if prune_to_candidates:
         shingled = shingled.join(
             candidates.select(F.col("id_a").alias("id"))
@@ -140,16 +163,19 @@ def jaccard_verify(
         )
     a = shingled.select(F.col("id").alias("id_a"), "s")
     b = shingled.select(F.col("id").alias("id_b2"), F.col("s").alias("s_b"))
+    pair_keys = ["id_a", "id_b"] + (["na", "nb"] if carried else [])
     inter = (
         candidates.join(a, "id_a")
         .join(b, (F.col("id_b") == F.col("id_b2")) & (F.col("s") == F.col("s_b")))
-        .groupBy("id_a", "id_b")
+        .groupBy(*pair_keys)
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    if not carried:
+        inter = inter.join(
+            sizes.withColumnsRenamed({"id": "id_a", "n": "na"}), "id_a"
+        ).join(sizes.withColumnsRenamed({"id": "id_b", "n": "nb"}), "id_b")
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "nb"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
         )
