@@ -88,3 +88,52 @@ def q_audit_double_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     redelivered = ev.filter(F.col("event_id") % 10 == 0)
     return double_write_audit(ev.unionByName(redelivered), "user_id", "event_id")
+
+
+@query(
+    "q_sql_interface",
+    oracle="""
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("sql",),
+)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL front door (TPC-H Q3 shape): tables registered as temp
+    views, the whole query expressed in spark.sql — proving a user of the
+    reference's SQL-on-the-sink workflow (README.md:86-113) can drive this
+    engine with SQL alone, with Catalyst choosing the same broadcast-dim /
+    shuffle-fact physical plan the DataFrame queries get. Revenue uses the
+    compat decimal-sum recipe so the hash matches DuckDB bit-exactly."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmr_{t}")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_orderpriority,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+        FROM kmr_customer
+        JOIN kmr_orders ON c_custkey = o_custkey
+        JOIN kmr_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )

@@ -72,6 +72,8 @@ MAX_EXCHANGES = {
     # second consumer); id join is broadcast
     "q_doc_ids": 2,
     "q_window_time_range": 1,  # one user_id shuffle, like every window
+    # broadcast dims + one fact agg shuffle; top-10 is TakeOrderedAndProject
+    "q_sql_interface": 2,
 }
 
 
