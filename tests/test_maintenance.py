@@ -64,6 +64,40 @@ def test_compact_failed_publish_rolls_back(spark, tmp_path, monkeypatch):
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == original
 
 
+def test_compact_recovers_from_stale_trash_dir(spark, tmp_path):
+    """A crash between the two publish renames leaves a ``__old`` trash
+    dir; the next compaction must treat it as committed garbage and
+    succeed (it used to fail the first rename forever)."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n_files=8, rows=500)
+    original = sorted(map(tuple, spark.read.parquet(path).collect()))
+    stale = tmp_path / "t__old"
+    stale.mkdir()
+    (stale / "junk.parquet").write_bytes(b"not parquet")
+    M.compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == original
+    assert glob.glob(str(tmp_path / "t__*")) == []
+
+
+def test_merge_upsert_then_compact_roundtrip(spark, tmp_path):
+    """Upsert + compaction compose: the ReplacingMergeTree-style merge
+    followed by the merge-tree-style rewrite leaves exactly the merged
+    rows in few files."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n_files=16, rows=1000)
+    updates = spark.range(990, 1010).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("key"),
+        F.lit("updated").alias("payload"),
+    )
+    M.merge_upsert_parquet(spark, path, updates, ["id"])
+    M.compact_parquet(spark, path, target_file_bytes=1 << 30)
+    out = spark.read.parquet(path)
+    assert out.count() == 1010
+    assert out.filter("payload = 'updated'").count() == 20
+    assert M.parquet_file_stats(spark, path)["n_files"] == 1
+
+
 def test_cluster_parquet_produces_disjoint_key_ranges(spark, tmp_path):
     path = str(tmp_path / "t")
     _mk_table(spark, path)
