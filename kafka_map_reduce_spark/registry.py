@@ -69,7 +69,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_array_funcs",
     "q_agg_collect",
     "q_multimodal_decode",
-    # (c) stalest round-1 passes (32)
+    # (a') registered after the round-2 check ran, so also never checked (4)
+    "q_window_time_range",
+    "q_dedup_near_capped",
+    "q_doc_ids",
+    "q_sql_interface",
+    # (c) stalest round-1 passes (28; all already hold a cumulative green
+    # row, so displacing four of them for the (a') block costs nothing)
     "q_join_inner",
     "q_join_multiway",
     "q_join_left",
@@ -98,10 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_topk",
     "q_union_all",
     "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_conditional",
-    "q_cast",
     # (a) never checked — live streams, deliberately last in the window (5)
     "q_stream_stateful",
     "q_stream_dlq",
