@@ -38,6 +38,7 @@ HEADLINE = [
     "q_dedup_editdist",   # FastSS deletion-signature similarity join
     "q_funnel",           # co-partitioned multi-stage event funnel
     "q_dedup_near_capped",  # LSH with the hot-band guard ON (skew path)
+    "q_dedup_simhash_capped",  # SimHash with the hot-block guard ON
 ]
 
 

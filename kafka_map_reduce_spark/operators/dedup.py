@@ -223,7 +223,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return packed
 
 
-def hamming_pairs(sim: DataFrame, max_dist: int) -> DataFrame:
+def hamming_pairs(
+    sim: DataFrame, max_dist: int, max_bucket_size: int | None = None
+) -> DataFrame:
     """Pairs with Hamming distance <= max_dist.
 
     Candidate generation by the 4-block trick: with 64 bits split into 4
@@ -233,6 +235,16 @@ def hamming_pairs(sim: DataFrame, max_dist: int) -> DataFrame:
     product. The guarantee BREAKS at max_dist >= 4 (4 differing bits can
     land one per block), which would silently drop pairs; rejected here
     rather than returning incomplete results.
+
+    ``max_bucket_size`` is the hot-block skew guard for the 100 TB case —
+    the SimHash twin of ``lsh_candidates``'s hot-band cap: a template
+    cluster of N near-identical documents shares all four block values
+    and would emit ~N^2/2 candidate pairs from a single join key. When
+    set, (block, value) buckets holding more than ``max_bucket_size``
+    members are dropped from candidate generation; their members are
+    template clusters that belong to exact dedup (identical or
+    normalization-identical text), which finds them in one linear
+    shuffle. Default None keeps every bucket.
     """
     if not 0 <= max_dist <= 3:
         raise ValueError(
@@ -258,6 +270,14 @@ def hamming_pairs(sim: DataFrame, max_dist: int) -> DataFrame:
                       for b in range(4)])
         ).alias("e"),
     ).select("id", "simhash", F.col("e.b").alias("b"), F.col("e.v").alias("v"))
+    if max_bucket_size is not None:
+        small_buckets = (
+            exploded.groupBy("b", "v")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+        exploded = exploded.join(small_buckets, ["b", "v"])
     other = exploded.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("simhash_b"),
         F.col("b").alias("b_b"), F.col("v").alias("v_b"),

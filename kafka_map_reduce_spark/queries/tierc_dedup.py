@@ -134,6 +134,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.hamming_pairs(sim, max_dist=3).orderBy("id_a", "id_b")
 
 
+@query("q_dedup_simhash_capped", oracle=None, tags=("approx", "skew-guard"))
+def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_simhash with the hot-block guard ON (max_bucket_size=16):
+    the 100 TB configuration. A boilerplate/template cluster of N docs
+    shares all four 16-bit blocks and would emit ~N^2/2 candidate pairs
+    from one join key — the SimHash twin of the LSH hot-band pathology.
+    Over-full (block, value) buckets are dropped before the candidate
+    join; their members belong to exact dedup. Candidate-count linearity
+    is unit-tested in tests/test_operators.py (planted template cluster)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sim = D.simhash(docs, "text", "doc_id")
+    return D.hamming_pairs(sim, max_dist=3, max_bucket_size=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @query(
     "q_dedup_embedding",
     oracle="""

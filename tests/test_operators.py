@@ -232,6 +232,56 @@ def test_lsh_hot_band_cap_keeps_candidates_linear(spark):
     assert capped <= len(rows)  # linear bound: cluster buckets dropped
 
 
+def test_simhash_hot_block_cap(spark):
+    """Qualitative skew guard (SimHash twin of the LSH hot-band cap): a
+    planted clone cluster shares all four 16-bit blocks, so every one of
+    its (block, value) buckets is over-full and is dropped when
+    max_bucket_size is set, while a genuine small-bucket near-dup pair
+    survives; default (None) keeps everything."""
+    from kafka_map_reduce_spark.operators.dedup import hamming_pairs, simhash
+
+    template = "terms of service boilerplate all rights reserved entire agreement"
+    rows = [(i, template) for i in range(30)]  # hot buckets: 30 clones
+    pair_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows += [(100, pair_text), (101, pair_text)]  # distance-0 pair, bucket size 2
+    sim = simhash(
+        spark.createDataFrame(rows, "doc_id long, text string"), "text", "doc_id"
+    )
+    uncapped = {(r.id_a, r.id_b) for r in hamming_pairs(sim, 3).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in hamming_pairs(sim, 3, max_bucket_size=16).collect()
+    }
+    assert (100, 101) in uncapped and any(a < 100 for a, _ in uncapped)
+    assert (100, 101) in capped  # small-bucket pair survives the cap
+    assert all(a >= 100 for a, _ in capped)  # clone-cluster pairs dropped
+
+
+def test_simhash_hot_block_cap_keeps_candidates_linear(spark):
+    """Quantitative skew guard: a planted 60-clone template cluster emits
+    O(N^2) pairs uncapped (>= C(60,2)), but with max_bucket_size=16 the
+    pair count stays below a small linear bound — the property that makes
+    the SimHash path survive boilerplate duplication at 100 TB."""
+    from kafka_map_reduce_spark.operators.dedup import hamming_pairs, simhash
+
+    template = (
+        "terms of service boilerplate paragraph repeated across the corpus "
+        "all rights reserved governing law severability entire agreement"
+    )
+    rows = [(i, template) for i in range(60)]
+    rows += [
+        (1000 + i, f"organic document {i} discussing topic{i} with unique "
+                   f"words w{i * 7} w{i * 13} w{i * 29} and its own phrasing")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = simhash(docs, "text", "doc_id")
+    uncapped = hamming_pairs(sim, 3).count()
+    capped = hamming_pairs(sim, 3, max_bucket_size=16).count()
+    assert uncapped >= 60 * 59 // 2  # quadratic in the cluster size
+    assert capped <= len(rows)  # linear bound: cluster buckets dropped
+
+
 def test_ranked_topk_matches_numpy(spark):
     """The two-stage (partition-local prune + final rank) top-k must be
     exactly the naive global top-k."""
