@@ -126,11 +126,20 @@ def lsh_candidates(
     )
 
 
+# Auto-prune heuristic constants (jaccard_verify(prune_to_candidates=None)):
+# prune only when the candidate-id upper bound is under this fraction of the
+# estimated corpus size AND the corpus is big enough that the two extra
+# semi-join stages amortize (at the 500-doc test tables pruning measured
+# ~25% SLOWER — fixed per-stage overhead dominates below the floor).
+AUTO_PRUNE_MAX_RATIO = 0.5
+AUTO_PRUNE_MIN_CORPUS = 65536
+
+
 def jaccard_verify(
     candidates: DataFrame,
     shingled: DataFrame,
     min_jaccard: float,
-    prune_to_candidates: bool = False,
+    prune_to_candidates: bool | None = False,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs only (never all pairs).
 
@@ -141,12 +150,35 @@ def jaccard_verify(
     extra semi-join stages cost more than they save (measured ~25% slower
     at the 500-doc test tables), hence default off.
 
+    ``prune_to_candidates=None`` decides adaptively from two cheap jobs:
+    ``candidates`` is persisted and counted (candidates are bounded by
+    design — LSH band buckets, optionally capped — so this is the small
+    side; persisting also lets the verification join reuse it), and the
+    corpus size is estimated with a single ``approx_count_distinct`` pass
+    over the shingle table (map-side partial aggregate, 1-row shuffle).
+    Pruning turns on only when ``2 * |pairs|`` (an upper bound on distinct
+    candidate ids) is under ``AUTO_PRUNE_MAX_RATIO`` of the corpus AND the
+    corpus exceeds ``AUTO_PRUNE_MIN_CORPUS`` docs — below that floor the
+    fixed cost of the extra stages exceeds the shuffle saved. Both forced
+    paths and auto return identical answers (unit-tested); the knob only
+    moves shuffle volume.
+
     If ``candidates`` already carries per-id set sizes as ``na``/``nb``
     (lsh_candidates forwards them from the minhash aggregate), the two
     size-lookup joins — each of which would recompute the shingle groupBy,
     since Catalyst does not share subtrees across join branches — are
     skipped entirely.
     """
+    if prune_to_candidates is None:
+        candidates = candidates.persist()
+        n_pairs = candidates.count()
+        corpus_est = shingled.agg(
+            F.approx_count_distinct("id").alias("n")
+        ).collect()[0]["n"]
+        prune_to_candidates = (
+            corpus_est >= AUTO_PRUNE_MIN_CORPUS
+            and 2 * n_pairs <= AUTO_PRUNE_MAX_RATIO * corpus_est
+        )
     carried = {"na", "nb"} <= set(candidates.columns)
     sizes = (
         None

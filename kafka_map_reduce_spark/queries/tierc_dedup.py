@@ -118,12 +118,18 @@ def q_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-identical docs must not emit N^2/2 candidate pairs from one band
     bucket. Oracle parity stays on the cap-OFF q_dedup_near; this entry
     exists so the skew-guarded plan is benchmarked and driver-run too
-    (candidate-count linearity is unit-tested in tests/test_operators.py)."""
+    (candidate-count linearity is unit-tested in tests/test_operators.py).
+    Verification runs with the adaptive prune heuristic
+    (prune_to_candidates=None): at sf<=0.1 the corpus sits below the
+    auto-prune floor so the plan equals the default, at corpus scale the
+    shingle table is semi-joined down to candidate ids first."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = D.word_shingles(docs, "text", "doc_id", k=3)
     sigs = D.minhash_signatures(shingled, num_perm=64)
     cands = D.lsh_candidates(sigs, num_perm=64, bands=16, max_bucket_size=16)
-    return D.jaccard_verify(cands, shingled, min_jaccard=0.5).orderBy("id_a", "id_b")
+    return D.jaccard_verify(
+        cands, shingled, min_jaccard=0.5, prune_to_candidates=None
+    ).orderBy("id_a", "id_b")
 
 
 @query("q_dedup_simhash", oracle=None, tags=("approx",))

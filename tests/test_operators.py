@@ -375,6 +375,38 @@ def test_jaccard_verify_prune_equivalence(spark):
     assert plain == pruned and len(plain) > 0
 
 
+def test_jaccard_verify_auto_prune_agrees_on_both_branches(spark, monkeypatch):
+    """prune_to_candidates=None must resolve to the same answer as both
+    forced paths regardless of which branch the heuristic takes: with the
+    default floor the 500-doc corpus keeps pruning OFF; with the floor
+    monkeypatched to 1 the heuristic turns pruning ON (candidates are a
+    small fraction of docs) — identical results either way."""
+    from kafka_map_reduce_spark.operators import dedup
+    from kafka_map_reduce_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidates,
+        minhash_signatures,
+        word_shingles,
+    )
+    from kafka_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = word_shingles(docs, "text", "doc_id", k=3)
+    cands = lsh_candidates(minhash_signatures(sh))
+    plain = {tuple(r) for r in jaccard_verify(cands, sh, 0.5).collect()}
+
+    auto_off = {
+        tuple(r)
+        for r in jaccard_verify(cands, sh, 0.5, prune_to_candidates=None).collect()
+    }
+    monkeypatch.setattr(dedup, "AUTO_PRUNE_MIN_CORPUS", 1)
+    auto_on = {
+        tuple(r)
+        for r in jaccard_verify(cands, sh, 0.5, prune_to_candidates=None).collect()
+    }
+    assert plain == auto_off == auto_on and len(plain) > 0
+
+
 def test_interval_bucket_join_equals_theta(spark):
     """Bucketed interval join == naive range theta join (including rows
     that straddle bucket boundaries), with no duplicate pairs."""
