@@ -74,6 +74,21 @@ MAX_EXCHANGES = {
     "q_window_time_range": 1,  # one user_id shuffle, like every window
     # broadcast dims + one fact agg shuffle; top-10 is TakeOrderedAndProject
     "q_sql_interface": 2,
+    # fact-fact shuffle pair; dims broadcast (VERDICT r3 allowed 3; plan
+    # holds 2 at the checked sf)
+    "q_join_multiway": 2,
+    # union two-sided repartition-by-key + presentation sort
+    "q_join_asof": 2,
+    "q_window_rank": 1,  # one partitionBy shuffle, like every window
+    # per-partition pre-prune + per-probe rank + presentation sort;
+    # probes ride a 1-row-ish broadcast, so only small aggregates move
+    "q_sim_topk": 2,
+    # shingle distinct + signature agg + band self-join pair + candidate
+    # distinct + intersection agg + presentation sort — the LSH shape,
+    # now stable; an 8th Exchange means a regression snuck in
+    "q_dedup_near": 7,
+    # same shape with the hot-block bucket-count agg folded in
+    "q_dedup_simhash_capped": 7,
 }
 
 
