@@ -148,3 +148,76 @@ def test_incremental_index_update(spark, tmp_path):
     full4 = SK.collect_file_stats(spark, path, ["key"])
     assert n_new4 == M.parquet_file_stats(spark, path)["n_files"]
     assert sorted(map(tuple, idx4.collect())) == sorted(map(tuple, full4.collect()))
+
+
+def test_maintenance_cycle_end_to_end(spark, tmp_path):
+    """Full table-maintenance lifecycle as ONE flow, the production
+    cadence of a streaming lake: messy ingest -> index build -> streaming
+    appends with incremental index maintenance (cost tracks the WRITE
+    rate: only new files are footer-scanned) -> Z-order compaction (full
+    rewrite; stale index rows drop, new files scan once) -> pruned reads
+    that stay EXACT at every stage and, post-Z-order, actually skip files
+    in BOTH independent dimensions."""
+    path = str(tmp_path / "lake")
+    # 1) messy ingest: 100k rows, two independent keys, 32 small files
+    (
+        spark.range(100_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("a"),
+            ((F.col("id") * 7919) % 1000).alias("b"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    idx = SK.collect_file_stats(spark, path, ["a", "b"])
+    n0 = M.parquet_file_stats(spark, path)["n_files"]
+    assert idx.select("file").distinct().count() == n0
+
+    def assert_exact(stats, lo, hi, col):
+        pruned = SK.pruned_read(spark, path, col, lo, hi, stats=stats)
+        full = spark.read.parquet(path).filter(F.col(col).between(lo, hi))
+        got, want = pruned.count(), full.count()
+        assert got == want and want > 0, f"{col}: pruned {got} != full {want}"
+        return pruned
+
+    # exact on the messy layout (likely zero skipping — still correct)
+    assert_exact(idx, 100, 150, "a")
+
+    # 2) streaming appends: two micro-batches; index maintenance must
+    # footer-scan exactly the appended files, nothing else
+    for batch, n_files in ((0, 3), (1, 2)):
+        (
+            spark.range(100_000 + batch * 5000, 100_000 + (batch + 1) * 5000)
+            .select(
+                F.col("id"),
+                (F.col("id") % 1000).alias("a"),
+                ((F.col("id") * 7919) % 1000).alias("b"),
+            )
+            .repartition(n_files)
+            .write.mode("append")
+            .parquet(path)
+        )
+        idx, n_new = SK.update_file_stats(spark, path, idx, ["a", "b"])
+        assert n_new == n_files  # cost == write rate, not table size
+    assert_exact(idx, 100, 150, "a")
+
+    # 3) Z-order compaction: full rewrite into ~8 files clustered in BOTH
+    # dims; the incremental update must drop every stale row and scan
+    # only the rewritten files
+    M.zorder_parquet(
+        spark, path, ["a", "b"],
+        target_file_bytes=M.parquet_file_stats(spark, path)["total_bytes"] // 8 + 1,
+    )
+    n_after = M.parquet_file_stats(spark, path)["n_files"]
+    idx, n_new = SK.update_file_stats(spark, path, idx, ["a", "b"])
+    assert n_new == n_after
+    assert idx.select("file").distinct().count() == n_after
+    scratch = SK.collect_file_stats(spark, path, ["a", "b"])
+    assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, scratch.collect()))
+
+    # 4) post-compaction: pruned reads exact AND skipping in BOTH dims
+    for col in ("a", "b"):
+        pruned = assert_exact(idx, 100, 150, col)
+        assert len(pruned.inputFiles()) < n_after, f"{col}: nothing skipped"
