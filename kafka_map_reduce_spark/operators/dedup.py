@@ -129,10 +129,11 @@ def lsh_candidates(
 # Auto-prune heuristic constants (jaccard_verify(prune_to_candidates=None)):
 # prune only when the candidate-id upper bound is under this fraction of the
 # estimated corpus size AND the corpus is big enough that the two extra
-# semi-join stages amortize (at the 500-doc test tables pruning measured
-# ~25% SLOWER — fixed per-stage overhead dominates below the floor).
+# semi-join stages amortize. Measured: ~25% SLOWER at the 500-doc test
+# tables (fixed per-stage overhead dominates), ~10% FASTER at the 50k-doc
+# sf1 bench replicas, widening with corpus size — the floor sits between.
 AUTO_PRUNE_MAX_RATIO = 0.5
-AUTO_PRUNE_MIN_CORPUS = 65536
+AUTO_PRUNE_MIN_CORPUS = 32768
 
 
 def jaccard_verify(
@@ -140,6 +141,7 @@ def jaccard_verify(
     shingled: DataFrame,
     min_jaccard: float,
     prune_to_candidates: bool | None = False,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs only (never all pairs).
 
@@ -150,18 +152,20 @@ def jaccard_verify(
     extra semi-join stages cost more than they save (measured ~25% slower
     at the 500-doc test tables), hence default off.
 
-    ``prune_to_candidates=None`` decides adaptively from two cheap jobs:
-    ``candidates`` is persisted and counted (candidates are bounded by
-    design — LSH band buckets, optionally capped — so this is the small
-    side; persisting also lets the verification join reuse it), and the
-    corpus size is estimated with a single ``approx_count_distinct`` pass
-    over the shingle table (map-side partial aggregate, 1-row shuffle).
-    Pruning turns on only when ``2 * |pairs|`` (an upper bound on distinct
-    candidate ids) is under ``AUTO_PRUNE_MAX_RATIO`` of the corpus AND the
-    corpus exceeds ``AUTO_PRUNE_MIN_CORPUS`` docs — below that floor the
-    fixed cost of the extra stages exceeds the shuffle saved. Both forced
-    paths and auto return identical answers (unit-tested); the knob only
-    moves shuffle volume.
+    ``prune_to_candidates=None`` decides adaptively, cheapest check first:
+    the corpus size comes from ``corpus_count`` when the caller has it (a
+    parquet-metadata ``docs.count()`` — effectively free; the registered
+    queries pass it) and otherwise from one ``approx_count_distinct``
+    pass over the shingle table. Below ``AUTO_PRUNE_MIN_CORPUS`` docs the
+    decision is already OFF and NO other work happens — the small-corpus
+    path pays only the corpus lookup. Only at/above the floor are the
+    candidates persisted and counted (candidates are bounded by design —
+    LSH band buckets, optionally capped — so this is the small side, and
+    the persist lets the verification join reuse the materialization);
+    pruning then turns on when ``2 * |pairs|`` (an upper bound on distinct
+    candidate ids) is under ``AUTO_PRUNE_MAX_RATIO`` of the corpus. Both
+    forced paths and auto return identical answers (unit-tested); the
+    knob only moves shuffle volume.
 
     If ``candidates`` already carries per-id set sizes as ``na``/``nb``
     (lsh_candidates forwards them from the minhash aggregate), the two
@@ -170,15 +174,19 @@ def jaccard_verify(
     skipped entirely.
     """
     if prune_to_candidates is None:
-        candidates = candidates.persist()
-        n_pairs = candidates.count()
-        corpus_est = shingled.agg(
-            F.approx_count_distinct("id").alias("n")
-        ).collect()[0]["n"]
-        prune_to_candidates = (
-            corpus_est >= AUTO_PRUNE_MIN_CORPUS
-            and 2 * n_pairs <= AUTO_PRUNE_MAX_RATIO * corpus_est
+        corpus_est = (
+            corpus_count
+            if corpus_count is not None
+            else shingled.agg(F.approx_count_distinct("id").alias("n")).collect()[
+                0
+            ]["n"]
         )
+        if corpus_est < AUTO_PRUNE_MIN_CORPUS:
+            prune_to_candidates = False
+        else:
+            candidates = candidates.persist()
+            n_pairs = candidates.count()
+            prune_to_candidates = 2 * n_pairs <= AUTO_PRUNE_MAX_RATIO * corpus_est
     carried = {"na", "nb"} <= set(candidates.columns)
     sizes = (
         None

@@ -120,15 +120,20 @@ def q_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists so the skew-guarded plan is benchmarked and driver-run too
     (candidate-count linearity is unit-tested in tests/test_operators.py).
     Verification runs with the adaptive prune heuristic
-    (prune_to_candidates=None): at sf<=0.1 the corpus sits below the
-    auto-prune floor so the plan equals the default, at corpus scale the
-    shingle table is semi-joined down to candidate ids first."""
+    (prune_to_candidates=None, corpus size from the near-free parquet
+    metadata count): below the auto-prune floor the plan equals the
+    default with zero extra jobs, at corpus scale the shingle table is
+    semi-joined down to candidate ids first."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = D.word_shingles(docs, "text", "doc_id", k=3)
     sigs = D.minhash_signatures(shingled, num_perm=64)
     cands = D.lsh_candidates(sigs, num_perm=64, bands=16, max_bucket_size=16)
     return D.jaccard_verify(
-        cands, shingled, min_jaccard=0.5, prune_to_candidates=None
+        cands,
+        shingled,
+        min_jaccard=0.5,
+        prune_to_candidates=None,
+        corpus_count=docs.count(),
     ).orderBy("id_a", "id_b")
 
 
