@@ -258,6 +258,65 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_clusters_star",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                                     i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+        UNION
+        SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters computed by the alternating large-star/small-star
+    contraction (operators/dedup.py:connected_components_star) instead of
+    min-label propagation: O(log n) rounds vs O(component diameter), the
+    variant for long-chain components at extreme scale. Same recursive-CTE
+    transitive-closure oracle — the two algorithms must hash-match."""
+    docs = _bounded_subset(
+        load_table(spark, sf_dir, "documents"), "doc_id", bound=200, cap=1000
+    )
+    shingled = D.word_shingles(docs, "text", "doc_id", k=3)
+    all_pairs = shingled.select(F.col("id").alias("id_a")).distinct().join(
+        shingled.select(F.col("id").alias("id_b")).distinct(),
+        F.col("id_a") < F.col("id_b"),
+    )
+    pairs = D.jaccard_verify(all_pairs, shingled, min_jaccard=0.2).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components_star(pairs, docs.select("doc_id"))
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@query(
     "q_dedup_editdist",
     oracle="""
     WITH base AS (

@@ -650,3 +650,81 @@ def test_deletion_signature_completeness_property():
             assert sigs(a) & sigs(b), (a, b)
 
     check()
+
+
+def test_star_cc_equals_label_propagation(spark):
+    """Large-star/small-star must produce exactly the min-label answer on
+    a mixed graph: a chain, a clique, a bridge node, and singletons."""
+    from kafka_map_reduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4)]                 # chain -> cluster 1
+    pairs += [(10, 11), (10, 12), (11, 12), (12, 13)]  # clique + tail -> 10
+    pairs += [(20, 21), (21, 4)]                     # bridge merges into 1
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 13, 20, 21, 99]], "id long"
+    )
+    want = {
+        r.id: r.cluster_id for r in connected_components(edges, nodes).collect()
+    }
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components_star(edges, nodes).collect()
+    }
+    assert got == want
+    assert got[99] == 99 and got[21] == 1 and got[13] == 10
+
+
+def test_star_cc_equals_label_propagation_on_seeded_random_graphs(spark):
+    """Equivalence on three deterministic pseudo-random graphs (edges from
+    a hash recurrence — varied density, no RNG)."""
+    from kafka_map_reduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed, n_nodes, n_edges in ((1, 60, 40), (2, 80, 90), (3, 50, 25)):
+        raw = [
+            (
+                (seed * 7919 + e * 104729) % n_nodes,
+                (seed * 15485863 + e * 32452843) % n_nodes,
+            )
+            for e in range(n_edges)
+        ]
+        raw = [(a, b) for a, b in raw if a != b]
+        edges = spark.createDataFrame(raw, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+        want = {
+            r.id: r.cluster_id
+            for r in connected_components(edges, nodes, max_iter=60).collect()
+        }
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components_star(edges, nodes).collect()
+        }
+        assert got == want, f"seed {seed}: star != label propagation"
+
+
+def test_star_cc_converges_on_long_chain_where_label_propagation_cannot(spark):
+    """The scale claim itself: a 300-node chain has diameter 300, so
+    min-label propagation cannot converge in 20 rounds (it raises, by
+    contract) while star contraction converges in ~log rounds and labels
+    the whole chain with its minimum."""
+    import pytest as _pytest
+
+    from kafka_map_reduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(301)], "id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, nodes, max_iter=20)
+    got = connected_components_star(chain, nodes, max_iter=20).collect()
+    assert {r.cluster_id for r in got} == {0} and len(got) == 301
