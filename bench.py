@@ -56,6 +56,7 @@ HEADLINE = [
 SCALEUP_QUERIES = [
     "q_dedup_near",
     "q_dedup_near_capped",
+    "q_dedup_simhash_capped",
     "q_funnel",
     "q_doc_ids",
     "q_pipeline_e2e",
