@@ -15,6 +15,8 @@ Floors asserted (mirrored in SURVEY §2.2 annotations):
   OVERLAPPING clusters (beyond the separated-cluster bijection test).
 - approx_count_distinct(rsd=0.01 — the q_agg_approx_distinct setting):
   relative error <= 3*rsd on a 100k-distinct column.
+- percentile_approx(accuracy=1000 — the q_sketch_quantile setting): rank
+  error <= 1/accuracy of the group size at every checked quantile.
 """
 
 from __future__ import annotations
@@ -157,3 +159,42 @@ def test_approx_count_distinct_relative_error_bound(spark):
     for r in joined:
         rel = abs(r.approx - r.exact) / r.exact
         assert rel <= 3 * rsd, f"{r.l_returnflag}: rel err {rel:.4f} > {3 * rsd}"
+
+
+def test_percentile_approx_rank_error_bound(spark):
+    """GK-sketch guarantee at the q_sketch_quantile configuration
+    (accuracy=1000): the returned value's RANK is within n/accuracy of
+    the target rank — checked per group against the exact sorted order
+    at the 0.5 and 0.9 quantiles the query uses."""
+    from kafka_map_reduce_spark.sources import load_table
+
+    accuracy = 1000
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(accuracy)).alias(
+                "p50"
+            ),
+            F.percentile_approx("l_quantity", F.lit(0.9), F.lit(accuracy)).alias(
+                "p90"
+            ),
+            F.sort_array(F.collect_list("l_quantity")).alias("vals"),
+        )
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        vals = r.vals
+        n = len(vals)
+        tol = max(1.0, n / accuracy)
+        for q, got in ((0.5, r.p50), (0.9, r.p90)):
+            # rank range the returned value occupies in the exact order
+            lo_rank = sum(1 for v in vals if v < got)
+            hi_rank = sum(1 for v in vals if v <= got)
+            target = q * n
+            err = min(abs(target - lo_rank), abs(target - hi_rank))
+            if not (lo_rank <= target <= hi_rank):
+                assert err <= tol, (
+                    f"{r.l_returnflag} q={q}: rank err {err:.1f} > {tol:.1f} (n={n})"
+                )
