@@ -149,7 +149,11 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS trailing_sum
     FROM events
     WINDOW w AS (PARTITION BY user_id
-                 ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                 -- floor() before the BIGINT cast: DuckDB rounds on
+                 -- double->int casts while Spark's timestamp->long cast
+                 -- truncates; fractional-second events near a frame
+                 -- boundary would otherwise land in different frames
+                 ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )
