@@ -37,15 +37,23 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) pairs: distinct k-word shingles per document."""
+    """(id, shingle) pairs: distinct k-word shingles per document.
+
+    Distinctness comes from ``array_distinct`` BEFORE the explode — a
+    narrow per-row operation. A ``.distinct()`` after the explode would
+    be semantically redundant (rows are already unique per (id, s)) yet
+    cost a full shuffle of the exploded shingle table, and Catalyst
+    recomputes this subtree in every join branch that consumes it, so
+    the waste would be paid ~3x per LSH plan (signatures + both
+    verification sides). Callers must pass unique ``id_col`` values
+    (true for every registered corpus)."""
     shingles = F.expr(
         f"CASE WHEN size(split({text_col}, ' ')) < {k} THEN array() "
         f"ELSE transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
         f"i -> array_join(slice(split({text_col}, ' '), i, {k}), ' ')) END"
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("s"))
-        .distinct()
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("s")
     )
 
 

@@ -83,10 +83,11 @@ MAX_EXCHANGES = {
     # per-partition pre-prune + per-probe rank + presentation sort;
     # probes ride a 1-row-ish broadcast, so only small aggregates move
     "q_sim_topk": 2,
-    # shingle distinct + signature agg + band self-join pair + candidate
-    # distinct + intersection agg + presentation sort — the LSH shape,
-    # now stable; an 8th Exchange means a regression snuck in
-    "q_dedup_near": 7,
+    # signature agg + band self-join + candidate distinct + intersection
+    # agg + presentation sort, AQE-coalesced — the LSH shape after the
+    # redundant post-explode shingle distinct was removed (7 -> 3); a 4th
+    # Exchange means a regression snuck in
+    "q_dedup_near": 3,
     # same shape with the hot-block bucket-count agg folded in
     "q_dedup_simhash_capped": 7,
 }
