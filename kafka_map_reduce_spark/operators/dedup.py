@@ -72,6 +72,37 @@ def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
     return shingled.groupBy("id").agg(*aggs, F.count(F.lit(1)).alias("n"))
 
 
+def lsh_banded(
+    signatures: DataFrame, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band a minhash signature matrix into (id, [n], band, bh) rows — one
+    row per (document, band), bh = hash of the band's signature slice.
+
+    This IS the persistable LSH index format for incremental corpus
+    building: append each ingest batch's banded rows to a parquet table
+    and probe new batches against it with ``lsh_candidates_against`` —
+    no re-banding of the historical corpus, index growth = write rate."""
+    rows_per_band = num_perm // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    carry_n = "n" in signatures.columns
+    n_cols = [F.col("n")] if carry_n else []
+    return signatures.select(
+        "id",
+        *n_cols,
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b].alias("bh"))
+                      for b in range(bands)])
+        ).alias("e"),
+    ).select(
+        "id", *n_cols, F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+
+
 def lsh_candidates(
     signatures: DataFrame,
     num_perm: int = 64,
@@ -88,25 +119,9 @@ def lsh_candidates(
     (their members are template clusters better handled by exact dedup).
     Default None keeps every bucket — required for oracle parity.
     """
-    rows_per_band = num_perm // bands
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
     carry_n = "n" in signatures.columns
     n_cols = [F.col("n")] if carry_n else []
-    banded = signatures.select(
-        "id",
-        *n_cols,
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b].alias("bh"))
-                      for b in range(bands)])
-        ).alias("e"),
-    ).select(
-        "id", *n_cols, F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
-    )
+    banded = lsh_banded(signatures, num_perm, bands)
     if max_bucket_size is not None:
         small_buckets = (
             banded.groupBy("band", "bh")
@@ -142,6 +157,144 @@ def lsh_candidates(
 # sf1 bench replicas, widening with corpus size — the floor sits between.
 AUTO_PRUNE_MAX_RATIO = 0.5
 AUTO_PRUNE_MIN_CORPUS = 32768
+
+
+def lsh_candidates_against(
+    banded_new: DataFrame,
+    banded_index: DataFrame,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs between a NEW batch and a historical LSH index —
+    the incremental-ingest form of ``lsh_candidates``. Both inputs are
+    ``lsh_banded`` outputs (the index typically read back from its
+    parquet table); the join is (band, bh) equi only, so cost scales with
+    the new batch and bucket overlap, never the corpus. Returns
+    (id_a = new id, id_b = index id[, na, nb]) distinct pairs; ids must
+    not collide across the two sides (disjoint id spaces — enforced).
+
+    ``max_bucket_size`` caps the INDEX side per (band, bh): a template
+    bucket accumulated over months of ingest would otherwise emit
+    O(bucket) candidates for every new member forever. Capped buckets
+    belong to exact dedup, same contract as ``lsh_candidates``.
+    """
+    carry_n = {"n"} <= set(banded_new.columns) and {"n"} <= set(
+        banded_index.columns
+    )
+    idx = banded_index
+    if max_bucket_size is not None:
+        small = (
+            idx.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+        idx = idx.join(small, ["band", "bh"])
+    new_cols = [F.col("id").alias("id_a")] + (
+        [F.col("n").alias("na")] if carry_n else []
+    ) + ["band", "bh"]
+    idx_cols = [F.col("id").alias("id_b")] + (
+        [F.col("n").alias("nb")] if carry_n else []
+    ) + [F.col("band").alias("band_b"), F.col("bh").alias("bh_b")]
+    out_cols = ["id_a", "id_b"] + (["na", "nb"] if carry_n else [])
+    pairs = (
+        banded_new.select(*new_cols)
+        .join(
+            idx.select(*idx_cols),
+            (F.col("band") == F.col("band_b")) & (F.col("bh") == F.col("bh_b")),
+        )
+        .select(*out_cols)
+        .distinct()
+    )
+    # Disjoint id spaces are the caller's contract; a collision would
+    # silently alias two different documents. One cheap aggregate checks.
+    clash = pairs.filter(F.col("id_a") == F.col("id_b")).limit(1).count()
+    if clash:
+        raise ValueError(
+            "lsh_candidates_against: new-batch and index id spaces overlap "
+            "(found id present on both sides); assign disjoint ids"
+        )
+    return pairs
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    banded_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One ingest step of incremental corpus building: detect which docs
+    of ``new_docs`` are near-dups of the already-indexed corpus or of
+    each other, and emit the banded rows to append to the index.
+
+    The division of labor at 100 TB: the persisted ``banded_index``
+    (``lsh_banded`` rows appended batch by batch) makes CANDIDATE
+    generation an equi-join that scales with the new batch, never the
+    corpus; exact Jaccard VERIFICATION re-shingles only the candidate
+    index docs — a semi-join pushdown into ``corpus_docs``, a vanishing
+    fraction of the corpus per batch.
+
+    Returns ``(dup_pairs, novel_ids, banded_new)``:
+    - ``dup_pairs`` — verified (id_a = new id, id_b = indexed-or-newer
+      partner, jaccard >= min_jaccard);
+    - ``novel_ids`` — one-column (id) frame: new docs with no partner —
+      the docs to keep;
+    - ``banded_new`` — ``lsh_banded`` rows for ALL new docs; append the
+      novel subset (semi-join on novel_ids) to the index table so index
+      growth tracks the KEPT ingest rate.
+
+    Id spaces of new batch and corpus must be disjoint (checked by
+    ``lsh_candidates_against``).
+    """
+    shingled_new = word_shingles(new_docs, text_col, id_col, k)
+    sigs_new = minhash_signatures(shingled_new, num_perm)
+    banded_new = lsh_banded(sigs_new, num_perm, bands)
+
+    within = lsh_candidates(
+        sigs_new, num_perm, bands, max_bucket_size=max_bucket_size
+    )
+    cross = lsh_candidates_against(
+        banded_new, banded_index, max_bucket_size=max_bucket_size
+    )
+    cands = within.unionByName(cross, allowMissingColumns=True)
+
+    # verification shingle source: the whole new batch + only the index
+    # docs that appear as candidates (left-semi pushdown into the corpus)
+    cand_index_docs = corpus_docs.join(
+        cross.select(F.col("id_b").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    shingled_all = shingled_new.unionByName(
+        word_shingles(cand_index_docs, text_col, id_col, k)
+    )
+    # na/nb carry only when BOTH inputs had them; after the union with
+    # allowMissingColumns a missing side yields nulls — drop the columns
+    # unless both carried, so jaccard_verify recomputes sizes correctly.
+    if not ({"na", "nb"} <= set(within.columns) and {"na", "nb"} <= set(cross.columns)):
+        cands = cands.select("id_a", "id_b")
+    pairs = jaccard_verify(cands, shingled_all, min_jaccard)
+
+    # the duplicate side of a pair: within-batch pairs keep the min id
+    # (dup = id_b, which is always the larger new id); cross pairs drop
+    # the new doc (dup = id_a — the corpus copy wins). Disjoint id spaces
+    # make membership of id_b in the new batch the exact discriminator.
+    new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+    within_dups = pairs.join(
+        new_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi"
+    ).select(F.col("id_b").alias("id"))
+    cross_dups = pairs.join(
+        new_ids.withColumnRenamed("id", "id_b"), "id_b", "left_anti"
+    ).select(F.col("id_a").alias("id"))
+    novel_ids = new_ids.join(
+        within_dups.union(cross_dups).distinct(), "id", "left_anti"
+    )
+    return pairs, novel_ids, banded_new
 
 
 def jaccard_verify(

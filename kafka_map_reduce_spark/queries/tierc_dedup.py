@@ -257,6 +257,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+@query("q_dedup_incremental", oracle=None, tags=("approx",))
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingest (operators/dedup.py:incremental_near_dedup):
+    documents with doc_id < 400 are the indexed historical corpus
+    (persisted lsh_banded rows); the new batch = the remaining docs
+    (novel, ids offset +100000) plus planted near-dups of every 10th
+    corpus doc (ids offset +200000, one token appended). Candidate
+    generation probes the index — an equi-join scaling with the BATCH,
+    never the corpus — and exact verification re-shingles only candidate
+    index docs. Returns the verified cross/within dup pairs; the planted
+    docs must all pair with their corpus originals (recall floor is
+    pytest-pinned; rows-only here because minhash is seed-dependent)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    novel = docs.filter(F.col("doc_id") >= 400).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing audit token")).alias("text"),
+    )
+    new_batch = novel.unionByName(near)
+    index = D.lsh_banded(
+        D.minhash_signatures(D.word_shingles(corpus, "text", "doc_id"))
+    )
+    pairs, _novel_ids, _banded = D.incremental_near_dedup(
+        new_batch, corpus, index, "text", "doc_id", min_jaccard=0.5
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 @query(
     "q_dedup_clusters_star",
     oracle="""

@@ -728,3 +728,130 @@ def test_star_cc_converges_on_long_chain_where_label_propagation_cannot(spark):
         connected_components(chain, nodes, max_iter=20)
     got = connected_components_star(chain, nodes, max_iter=20).collect()
     assert {r.cluster_id for r in got} == {0} and len(got) == 301
+
+
+class TestIncrementalDedup:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _corpus(self, spark):
+        return self._docs(
+            spark,
+            [
+                (i, f"corpus document {i} about subject{i} containing words "
+                    f"c{i * 3} c{i * 5} c{i * 7} c{i * 11} in original phrasing")
+                for i in range(40)
+            ],
+        )
+
+    def test_cross_batch_pairs_equal_self_dedup_cross_subset(self, spark):
+        """Probing the index must find EXACTLY the cross-batch pairs that
+        a full self-dedup over the union would find (banding is per-doc
+        deterministic, so the index probe loses nothing)."""
+        from kafka_map_reduce_spark.operators import dedup as D
+
+        corpus = self._corpus(spark)
+        new = self._docs(
+            spark,
+            # near-dups of corpus docs 3 and 7 (one word changed) + novel
+            [
+                (103, "corpus document 3 about subject3 containing words "
+                      "c9 c15 c21 c33 in altered phrasing"),
+                (107, "corpus document 7 about subject7 containing words "
+                      "c21 c35 c49 c77 in altered phrasing"),
+                (150, "entirely novel content with its own vocabulary "
+                      "n1 n2 n3 n4 n5 n6 n7 n8 n9"),
+            ],
+        )
+        sigs_c = D.minhash_signatures(D.word_shingles(corpus, "text", "doc_id"))
+        index = D.lsh_banded(sigs_c)
+        pairs, novel, banded_new = D.incremental_near_dedup(
+            new, corpus, index, "text", "doc_id", min_jaccard=0.5
+        )
+        got_cross = {
+            (r.id_a, r.id_b) for r in pairs.collect() if r.id_b < 100
+        }
+
+        union = corpus.unionByName(new)
+        sh = D.word_shingles(union, "text", "doc_id")
+        full = D.jaccard_verify(
+            D.lsh_candidates(D.minhash_signatures(sh)), sh, 0.5
+        )
+        want_cross = {
+            (max(r.id_a, r.id_b), min(r.id_a, r.id_b))
+            for r in full.collect()
+            if (r.id_a >= 100) != (r.id_b >= 100)
+        }
+        assert got_cross == want_cross and len(got_cross) == 2
+        assert {r.id for r in novel.collect()} == {150}
+
+    def test_two_step_ingest_detects_dups_of_earlier_batch(self, spark):
+        """Appending batch-1's novel banded rows to the index makes a
+        batch-2 near-dup of a batch-1 doc detectable — the maintenance
+        loop actually composes."""
+        from kafka_map_reduce_spark.operators import dedup as D
+
+        corpus = self._corpus(spark)
+        sigs_c = D.minhash_signatures(D.word_shingles(corpus, "text", "doc_id"))
+        index = D.lsh_banded(sigs_c)
+
+        b1 = self._docs(
+            spark,
+            [(200, "batch one fresh material with distinctive tokens "
+                   "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")],
+        )
+        p1, novel1, banded1 = D.incremental_near_dedup(
+            b1, corpus, index, "text", "doc_id", min_jaccard=0.5
+        )
+        assert {r.id for r in novel1.collect()} == {200}
+        index2 = index.unionByName(
+            banded1.join(novel1, banded1["id"] == novel1["id"], "left_semi")
+        )
+        corpus2 = corpus.unionByName(b1)
+
+        b2 = self._docs(
+            spark,
+            [(300, "batch one fresh material with distinctive tokens "
+                   "t1 t2 t3 t4 t5 t6 t7 t8 t11")],  # near-dup of 200
+        )
+        p2, novel2, _ = D.incremental_near_dedup(
+            b2, corpus2, index2, "text", "doc_id", min_jaccard=0.5
+        )
+        assert {(r.id_a, r.id_b) for r in p2.collect()} == {(300, 200)}
+        assert novel2.count() == 0
+
+    def test_index_side_hot_bucket_cap(self, spark):
+        """A template cluster accumulated in the index must not emit
+        O(bucket) candidates for every probing doc when the cap is on."""
+        from kafka_map_reduce_spark.operators import dedup as D
+
+        template = (
+            "terms of service boilerplate all rights reserved governing "
+            "law severability entire agreement every single clause"
+        )
+        corpus = self._docs(spark, [(i, template) for i in range(40)])
+        index = D.lsh_banded(
+            D.minhash_signatures(D.word_shingles(corpus, "text", "doc_id"))
+        )
+        new = self._docs(spark, [(100, template)])
+        banded_new = D.lsh_banded(
+            D.minhash_signatures(D.word_shingles(new, "text", "doc_id"))
+        )
+        uncapped = D.lsh_candidates_against(banded_new, index).count()
+        capped = D.lsh_candidates_against(
+            banded_new, index, max_bucket_size=16
+        ).count()
+        assert uncapped == 40  # every index clone is a candidate
+        assert capped == 0  # capped: template bucket routed to exact dedup
+
+    def test_overlapping_id_spaces_rejected(self, spark):
+        import pytest as _pytest
+
+        from kafka_map_reduce_spark.operators import dedup as D
+
+        docs = self._docs(spark, [(1, "same id on both sides of the join")])
+        banded = D.lsh_banded(
+            D.minhash_signatures(D.word_shingles(docs, "text", "doc_id"))
+        )
+        with _pytest.raises(ValueError, match="disjoint"):
+            D.lsh_candidates_against(banded, banded).count()
