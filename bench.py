@@ -115,6 +115,52 @@ def ensure_scaleup_tables(spark, src_dir: str, out_dir: str) -> None:
         f.write("ok\n")
 
 
+def bench_incremental_ingest(spark, sf1_dir: str, n_runs: int) -> dict:
+    """Steady-state incremental dedup at sf1: persist the LSH band index
+    over 90% of documents once (the accumulated historical corpus), then
+    time one 10%-batch ingest step — index probe + within-batch LSH +
+    exact verification of candidates only. The number to compare against
+    is q_dedup_near at sf1 (full self-dedup from scratch)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kafka_map_reduce_spark.operators import dedup as D
+
+    docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    split = docs.selectExpr("percentile(doc_id, 0.9) AS p").collect()[0]["p"]
+    corpus = docs.filter(F.col("doc_id") <= split)
+    index_path = os.path.join(sf1_dir, "_lsh_band_index.parquet")
+    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        D.lsh_banded(
+            D.minhash_signatures(D.word_shingles(corpus, "text", "doc_id"))
+        ).write.mode("overwrite").parquet(index_path)
+    index = spark.read.parquet(index_path)
+    # the batch: the top-10% docs re-ingested under fresh ids with one
+    # token appended -> every batch doc is a planted near-dup, the
+    # worst case for verification volume
+    batch = docs.filter(F.col("doc_id") > split).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ingest audit token")).alias("text"),
+    )
+    best = float("inf")
+    pairs_found = 0
+    for _ in range(n_runs):
+        t0 = _time.time()
+        pairs, novel, _banded = D.incremental_near_dedup(
+            batch, corpus, index, "text", "doc_id", min_jaccard=0.5
+        )
+        pairs_found = pairs.count() + novel.count()
+        best = min(best, _time.time() - t0)
+    return {
+        "batch_fraction": 0.1,
+        "sec": round(best, 3),
+        "pairs_plus_novel": pairs_found,
+    }
+
+
 def materialize(df) -> int:
     df.write.mode("overwrite").format("noop").save()
     return 0
@@ -185,6 +231,7 @@ def main() -> None:
         ensure_scaleup_tables(spark, sf_dir, sf1_dir)
         base_times = bench_set(SCALEUP_QUERIES, sf_dir, n_runs)
         sf1_times = bench_set(SCALEUP_QUERIES, sf1_dir, n_runs)
+        incr = bench_incremental_ingest(spark, sf1_dir, n_runs)
         result["sf1"] = {
             "sf": 1.0,
             "replicas_of_sf0.1": SCALEUP_REPLICAS,
@@ -197,6 +244,11 @@ def main() -> None:
                 for q in SCALEUP_QUERIES
                 if base_times[q] > 0
             },
+            # steady-state ingest: a 10% batch probed against the
+            # persisted LSH band index of the other 90% — the cost a
+            # continuously-ingesting corpus pays per batch, vs re-running
+            # full self-dedup over everything (q_dedup_near above)
+            "incremental_ingest": incr,
         }
     print(json.dumps(result))
     spark.stop()

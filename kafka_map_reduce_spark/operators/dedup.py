@@ -195,8 +195,25 @@ def lsh_candidates_against(
     idx_cols = [F.col("id").alias("id_b")] + (
         [F.col("n").alias("nb")] if carry_n else []
     ) + [F.col("band").alias("band_b"), F.col("bh").alias("bh_b")]
-    out_cols = ["id_a", "id_b"] + (["na", "nb"] if carry_n else [])
-    pairs = (
+    # Disjoint id spaces are the caller's contract; a collision would
+    # silently alias two different documents. The guard rides INSIDE the
+    # plan (raise_error on the projected key) so it costs nothing extra —
+    # an eager .count() here would execute the whole candidate join once
+    # more than the caller's own action does.
+    guarded_id_a = (
+        F.when(
+            F.col("id_a") != F.col("id_b"), F.col("id_a")
+        ).otherwise(
+            F.raise_error(
+                "lsh_candidates_against: new-batch and index id spaces "
+                "overlap (id present on both sides); assign disjoint ids"
+            )
+        ).alias("id_a")
+    )
+    out_cols = [guarded_id_a, F.col("id_b")] + (
+        [F.col("na"), F.col("nb")] if carry_n else []
+    )
+    return (
         banded_new.select(*new_cols)
         .join(
             idx.select(*idx_cols),
@@ -205,15 +222,6 @@ def lsh_candidates_against(
         .select(*out_cols)
         .distinct()
     )
-    # Disjoint id spaces are the caller's contract; a collision would
-    # silently alias two different documents. One cheap aggregate checks.
-    clash = pairs.filter(F.col("id_a") == F.col("id_b")).limit(1).count()
-    if clash:
-        raise ValueError(
-            "lsh_candidates_against: new-batch and index id spaces overlap "
-            "(found id present on both sides); assign disjoint ids"
-        )
-    return pairs
 
 
 def incremental_near_dedup(
@@ -251,8 +259,14 @@ def incremental_near_dedup(
     Id spaces of new batch and corpus must be disjoint (checked by
     ``lsh_candidates_against``).
     """
-    shingled_new = word_shingles(new_docs, text_col, id_col, k)
-    sigs_new = minhash_signatures(shingled_new, num_perm)
+    # The batch is the SMALL side by design; its shingles and signatures
+    # feed four plan branches (within-batch candidates, the index probe,
+    # and both verification sides), so persist them — without this every
+    # branch re-explodes and re-hashes the batch, and one ingest step
+    # costs more than the full self-dedup it is meant to avoid (measured
+    # 14.3s -> see bench incremental_ingest for the fixed number).
+    shingled_new = word_shingles(new_docs, text_col, id_col, k).persist()
+    sigs_new = minhash_signatures(shingled_new, num_perm).persist()
     banded_new = lsh_banded(sigs_new, num_perm, bands)
 
     within = lsh_candidates(

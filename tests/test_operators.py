@@ -853,5 +853,5 @@ class TestIncrementalDedup:
         banded = D.lsh_banded(
             D.minhash_signatures(D.word_shingles(docs, "text", "doc_id"))
         )
-        with _pytest.raises(ValueError, match="disjoint"):
+        with _pytest.raises(Exception, match="disjoint"):
             D.lsh_candidates_against(banded, banded).count()
