@@ -36,6 +36,46 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def content_digests(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, digest) of normalized content — the persistable exact-dedup
+    index format (append per ingest batch, like the LSH band index)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.md5(normalized(F.col(text_col))).alias("digest")
+    )
+
+
+def exact_dedup_against(
+    new_docs: DataFrame, digest_index: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: split a new batch into (novel, dups)
+    against a persisted ``content_digests`` index — one digest equi-join,
+    cost tracks the batch. Within-batch exact dups collapse to the min id
+    first (so a batch with internal copies contributes one candidate).
+    Returns (novel_digests to append to the index, dup_pairs
+    (id, matches_id)). The capped-out template clusters of the LSH/SimHash
+    paths route here: identical text is exactly what this catches."""
+    batch = content_digests(new_docs, text_col, id_col)
+    batch_canon = batch.groupBy("digest").agg(F.min("id").alias("id"))
+    idx = digest_index.select(
+        F.col("digest"), F.col("id").alias("matches_id")
+    )
+    joined = batch_canon.join(idx, "digest", "left")
+    novel = joined.filter(F.col("matches_id").isNull()).select("id", "digest")
+    # dups: batch ids whose digest exists in the index, plus batch ids
+    # collapsed onto an earlier batch id
+    cross_dups = joined.filter(F.col("matches_id").isNotNull()).select(
+        "id", "matches_id"
+    )
+    within_dups = (
+        batch.join(
+            batch_canon.withColumnRenamed("id", "matches_id"), "digest"
+        )
+        .filter(F.col("id") != F.col("matches_id"))
+        .select("id", "matches_id")
+    )
+    return novel, cross_dups.unionByName(within_dups)
+
+
 def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) pairs: distinct k-word shingles per document.
 

@@ -223,13 +223,22 @@ def kmeans_fit(
 def ivf_kmeans_topk(
     probes: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int = 8,
     iters: int = 3, nprobe: int = 2, vec_col: str = "embedding",
-    id_col: str = "vec_id",
+    id_col: str = "vec_id", centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN with a k-means-trained coarse quantizer: corpus rows live in
     their nearest-centroid bucket; each probe searches its ``nprobe``
     nearest buckets (recall knob). One equi-join on bucket id — never an
-    all-pairs product. Same output contract as brute_force_topk."""
-    cents = kmeans_fit(corpus, n_clusters, iters, vec_col, id_col)
+    all-pairs product. Same output contract as brute_force_topk.
+
+    ``centroids`` (a ``kmeans_fit`` result, typically persisted to a
+    parquet table) skips training — the production shape: the quantizer
+    is trained once per corpus epoch, then every query and every ingest
+    batch reuses it. Without it the quantizer is trained in-call."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(corpus, n_clusters, iters, vec_col, id_col)
+    )
     cent_row = cents.agg(
         F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
     )

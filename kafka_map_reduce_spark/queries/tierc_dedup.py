@@ -257,6 +257,64 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+@query(
+    "q_dedup_exact_incremental",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    idx AS (SELECT md5(lower(trim(text))) AS digest, doc_id AS matches_id
+            FROM corpus),
+    batch AS (
+        SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 200000 AS id, concat(upper(text), '  ') AS text
+        FROM corpus WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 300000 AS id, text FROM documents
+        WHERE doc_id >= 400 AND doc_id % 7 = 0
+    ),
+    bd AS (SELECT id, md5(lower(trim(text))) AS digest FROM batch),
+    canon AS (SELECT digest, min(id) AS id FROM bd GROUP BY digest),
+    cross_dups AS (
+        SELECT c.id, i.matches_id FROM canon c JOIN idx i USING (digest)
+    ),
+    within_dups AS (
+        SELECT b.id, c.id AS matches_id FROM bd b JOIN canon c USING (digest)
+        WHERE b.id != c.id
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(matches_id AS BIGINT) AS matches_id
+    FROM (SELECT * FROM cross_dups UNION ALL SELECT * FROM within_dups)
+    """,
+)
+def q_dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup against a persisted digest index
+    (operators/dedup.py:exact_dedup_against): corpus = doc_id < 400
+    (indexed); the batch carries novel docs (+100000), normalization
+    variants of every 10th corpus doc (+200000, upper+trailing spaces —
+    cross-index dups), and exact copies of some novel docs (+300000 —
+    within-batch dups collapsing onto the batch canonical). One digest
+    equi-join; cost tracks the batch, never the corpus. Hash-verified:
+    the oracle mirrors the digest/canonicalization algebra in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    index = D.content_digests(corpus, "text", "doc_id")
+    batch = (
+        docs.filter(F.col("doc_id") >= 400)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") % 7 == 0))
+            .select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+        )
+    )
+    _novel, dups = D.exact_dedup_against(batch, index, "text", "doc_id")
+    return dups.select(F.col("id"), F.col("matches_id"))
+
+
 @query("q_dedup_incremental", oracle=None, tags=("approx",))
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus ingest (operators/dedup.py:incremental_near_dedup):

@@ -855,3 +855,56 @@ class TestIncrementalDedup:
         )
         with _pytest.raises(Exception, match="disjoint"):
             D.lsh_candidates_against(banded, banded).count()
+
+
+def test_exact_dedup_against_index(spark):
+    """Incremental exact dedup: cross-index dups, within-batch dups
+    collapsing to the batch canonical, and novel digests to append."""
+    from kafka_map_reduce_spark.operators.dedup import (
+        content_digests,
+        exact_dedup_against,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "Alpha Text"), (2, "beta text")], "doc_id long, text string"
+    )
+    index = content_digests(corpus, "text", "doc_id")
+    batch = spark.createDataFrame(
+        [
+            (10, "  ALPHA TEXT "),   # cross dup of 1 (normalization)
+            (11, "gamma fresh"),     # novel, duplicated within batch by 12
+            (12, "GAMMA FRESH"),     # within-batch dup of 11
+            (13, "delta unique"),    # novel
+        ],
+        "doc_id long, text string",
+    )
+    novel, dups = exact_dedup_against(batch, index, "text", "doc_id")
+    assert {r.id for r in novel.collect()} == {11, 13}
+    assert {(r.id, r.matches_id) for r in dups.collect()} == {(10, 1), (12, 11)}
+
+
+def test_ivf_kmeans_accepts_pretrained_centroids(spark):
+    """Passing a persisted kmeans_fit result must give exactly the same
+    neighbors as in-call training (same deterministic quantizer)."""
+    from kafka_map_reduce_spark.operators import similarity as S
+
+    rows = []
+    for c, axis in enumerate((0, 3, 6)):
+        for j in range(15):
+            v = [0.0] * 8
+            v[axis] = 10.0
+            v[(axis + 1) % 8] = (j % 5) * 0.1
+            rows.append((c * 15 + j, v))
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes, corpus = data.filter("vec_id < 3"), data.filter("vec_id >= 3")
+
+    cents = S.kmeans_fit(corpus, n_clusters=3, iters=3)
+    inline = {
+        (r.probe_id, r.rank): r.neighbor_id
+        for r in S.ivf_kmeans_topk(probes, corpus, k=5, n_clusters=3, iters=3).collect()
+    }
+    pretrained = {
+        (r.probe_id, r.rank): r.neighbor_id
+        for r in S.ivf_kmeans_topk(probes, corpus, k=5, centroids=cents).collect()
+    }
+    assert inline == pretrained and len(inline) == 15
