@@ -317,3 +317,97 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = ParquetSink(os.path.join(wd, "out"), coalesce=4)
     Pipeline(joined).run_stream(sink, checkpoint_dir=os.path.join(wd, "ckpt"))
     return spark.read.parquet(sink.path)
+
+
+@query("q_stream_dedup_ingest", oracle=None, tags=("streaming", "approx"))
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental corpus ingest — the Tier A x Tier C
+    composition a continuously-built training corpus runs in production:
+    each micro-batch probes the persisted LSH band index for near-dups of
+    everything ingested before it (operators/dedup.py:
+    incremental_near_dedup), then appends its NOVEL docs' banded rows to
+    the index and their text to the corpus table, inside one foreachBatch
+    transaction scope. Index growth tracks the kept ingest rate; a batch
+    never re-scans the corpus.
+
+    The replay plants both pair kinds: micro-batch 1 carries near-dups of
+    the initial corpus (+200000), micro-batch 2 carries near-dups of
+    batch 1's NOVEL docs (+300000) — detectable only if the index append
+    between batches actually works. Rows-only (minhash seed-dependence);
+    the planted-pair contract is pytest-enforced."""
+    import time
+
+    from kafka_map_reduce_spark.operators import dedup as D
+    from kafka_map_reduce_spark.sources import load_table
+
+    wd = _work_dir(sf_dir, "dedup_ingest")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus0 = docs.filter(F.col("doc_id") < 400)
+
+    corpus_path = os.path.join(wd, "corpus")
+    index_path = os.path.join(wd, "index")
+    pairs_path = os.path.join(wd, "pairs")
+    corpus0.write.mode("overwrite").parquet(corpus_path)
+    D.lsh_banded(
+        D.minhash_signatures(D.word_shingles(corpus0, "text", "doc_id"))
+    ).write.mode("overwrite").parquet(index_path)
+
+    # two replay files = two micro-batches (maxFilesPerTrigger=1), age-
+    # ordered so batch 1 (dups of corpus) precedes batch 2 (dups of
+    # batch 1's novels)
+    src = os.path.join(wd, "src")
+    os.makedirs(src, exist_ok=True)
+    b1 = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        corpus0.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" ingest tail")).alias("text"),
+        )
+    )
+    b2 = docs.filter((F.col("doc_id") >= 450)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(
+            (F.col("doc_id") >= 400) & (F.col("doc_id") < 450) & (F.col("doc_id") % 10 == 0)
+        ).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" second tail")).alias("text"),
+        )
+    )
+    for i, b in enumerate((b1, b2)):
+        tmp = os.path.join(wd, f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (time.time() - 100 + i, time.time() - 100 + i))
+
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def ingest(batch_df, _batch_id):
+        s = batch_df.sparkSession
+        corpus = s.read.parquet(corpus_path)
+        index = s.read.parquet(index_path)
+        pairs, novel_ids, banded = D.incremental_near_dedup(
+            batch_df, corpus, index, "text", "doc_id", min_jaccard=0.5
+        )
+        pairs.coalesce(1).write.mode("append").parquet(pairs_path)
+        keep = banded.join(novel_ids, "id", "left_semi")
+        keep.coalesce(1).write.mode("append").parquet(index_path)
+        batch_df.join(
+            novel_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
+        ).coalesce(1).write.mode("append").parquet(corpus_path)
+
+    _drain(
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .start()
+    )
+    return spark.read.parquet(pairs_path).orderBy("id_a", "id_b")

@@ -908,3 +908,32 @@ def test_ivf_kmeans_accepts_pretrained_centroids(spark):
         for r in S.ivf_kmeans_topk(probes, corpus, k=5, centroids=cents).collect()
     }
     assert inline == pretrained and len(inline) == 15
+
+
+def test_stream_dedup_ingest_detects_across_microbatches(spark):
+    """The streaming ingest composition: planted near-dups of the initial
+    corpus are found in micro-batch 1, and micro-batch 2's planted
+    near-dups of BATCH-1 docs are found too — possible only if the
+    foreachBatch index append actually landed between triggers."""
+    from kafka_map_reduce_spark.registry import all_queries
+    from tests.conftest import SF_CORRECT
+
+    rows = (
+        all_queries()["q_stream_dedup_ingest"].fn(spark, SF_CORRECT).collect()
+    )
+    pair_ids = {(r.id_a, r.id_b) for r in rows}
+    # every +200000 doc (near-dup of corpus doc d = id - 200000) pairs
+    # with its original
+    planted_corpus = {(d + 200000, d) for d in range(0, 400, 20)}
+    assert planted_corpus <= pair_ids
+    # at least one +300000 doc pairs with a batch-1 (+100000) doc: the
+    # cross-micro-batch detection (a +300000 doc may legitimately pair
+    # with the corpus instead when its base doc was itself a near-dup)
+    cross_batch = {
+        p for p in pair_ids
+        if max(p) >= 300000 and 100000 <= min(p) < 200000
+    }
+    assert len(cross_batch) >= 3
+    # every planted +300000 doc is detected as a dup of SOMETHING
+    flagged = {i for p in pair_ids for i in p if i >= 300000}
+    assert flagged == {d + 300000 for d in range(400, 450, 10)}
