@@ -149,11 +149,15 @@ def bench_incremental_ingest(spark, sf1_dir: str, n_runs: int) -> dict:
     pairs_found = 0
     for _ in range(n_runs):
         t0 = _time.time()
+        cached = []
         pairs, novel, _banded = D.incremental_near_dedup(
-            batch, corpus, index, "text", "doc_id", min_jaccard=0.5
+            batch, corpus, index, "text", "doc_id", min_jaccard=0.5,
+            cache_registry=cached,
         )
         pairs_found = pairs.count() + novel.count()
         best = min(best, _time.time() - t0)
+        for c in cached:
+            c.unpersist()
     return {
         "batch_fraction": 0.1,
         "sec": round(best, 3),

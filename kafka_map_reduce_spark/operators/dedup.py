@@ -275,6 +275,7 @@ def incremental_near_dedup(
     bands: int = 16,
     min_jaccard: float = 0.5,
     max_bucket_size: int | None = None,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ingest step of incremental corpus building: detect which docs
     of ``new_docs`` are near-dups of the already-indexed corpus or of
@@ -298,6 +299,12 @@ def incremental_near_dedup(
 
     Id spaces of new batch and corpus must be disjoint (checked by
     ``lsh_candidates_against``).
+
+    ``cache_registry``: pass a list to collect the batch-sized DataFrames
+    this call ``persist()``s; after running your actions on the outputs,
+    ``unpersist()`` each — in a long-running stream (thousands of ingest
+    steps in one session) skipping this leaks executor cache until LRU
+    eviction starts thrashing genuinely hot data.
     """
     # The batch is the SMALL side by design; its shingles and signatures
     # feed four plan branches (within-batch candidates, the index probe,
@@ -307,6 +314,8 @@ def incremental_near_dedup(
     # 14.3s -> see bench incremental_ingest for the fixed number).
     shingled_new = word_shingles(new_docs, text_col, id_col, k).persist()
     sigs_new = minhash_signatures(shingled_new, num_perm).persist()
+    if cache_registry is not None:
+        cache_registry.extend([shingled_new, sigs_new])
     banded_new = lsh_banded(sigs_new, num_perm, bands)
 
     within = lsh_candidates(
@@ -357,6 +366,7 @@ def jaccard_verify(
     min_jaccard: float,
     prune_to_candidates: bool | None = False,
     corpus_count: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs only (never all pairs).
 
@@ -400,6 +410,8 @@ def jaccard_verify(
             prune_to_candidates = False
         else:
             candidates = candidates.persist()
+            if cache_registry is not None:
+                cache_registry.append(candidates)
             n_pairs = candidates.count()
             prune_to_candidates = 2 * n_pairs <= AUTO_PRUNE_MAX_RATIO * corpus_est
     carried = {"na", "nb"} <= set(candidates.columns)

@@ -394,8 +394,10 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = batch_df.sparkSession
         corpus = s.read.parquet(corpus_path)
         index = s.read.parquet(index_path)
+        cached: list = []
         pairs, novel_ids, banded = D.incremental_near_dedup(
-            batch_df, corpus, index, "text", "doc_id", min_jaccard=0.5
+            batch_df, corpus, index, "text", "doc_id", min_jaccard=0.5,
+            cache_registry=cached,
         )
         pairs.coalesce(1).write.mode("append").parquet(pairs_path)
         keep = banded.join(novel_ids, "id", "left_semi")
@@ -403,6 +405,10 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.join(
             novel_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
         ).coalesce(1).write.mode("append").parquet(corpus_path)
+        # release the batch-sized caches: over thousands of micro-batches
+        # the leak would crowd out genuinely hot executor memory
+        for c in cached:
+            c.unpersist()
 
     _drain(
         stream.writeStream.foreachBatch(ingest)
