@@ -198,3 +198,42 @@ def test_percentile_approx_rank_error_bound(spark):
                 assert err <= tol, (
                     f"{r.l_returnflag} q={q}: rank err {err:.1f} > {tol:.1f} (n={n})"
                 )
+
+
+def test_simhash_block_candidates_are_complete_vs_brute_force(spark):
+    """Unlike MinHash-LSH (probabilistic recall), the 4x16-bit block
+    scheme is COMPLETE for Hamming distance <= 3 by pigeonhole — so
+    hamming_pairs must find exactly the pairs a brute-force popcount over
+    all signature pairs finds, on a corpus crafted to include near-misses
+    at every radius 0..5."""
+    from kafka_map_reduce_spark.operators.dedup import hamming_pairs
+
+    # signatures engineered around a base pattern: flip b low bits for
+    # radius-b planted pairs, plus hash-scattered organic values
+    base = 0x0123456789ABCDEF
+    rows = [(0, base)]
+    for b in range(1, 6):  # ids 1..5 at exact distance b from id 0
+        rows.append((b, base ^ ((1 << b) - 1)))
+    rows += [(100 + i, (base * (i + 7)) & ((1 << 64) - 1)) for i in range(50)]
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("simhash", T.LongType())]
+    )
+    sim = spark.createDataFrame(
+        [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in rows], schema
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist for r in hamming_pairs(sim, max_dist=3).collect()
+    }
+
+    vals = {i: v & ((1 << 64) - 1) for i, v in rows}
+    want = {
+        (a, b): bin(vals[a] ^ vals[b]).count("1")
+        for a in vals
+        for b in vals
+        if a < b and bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    assert got == want
+    assert {(0, 1), (0, 2), (0, 3)} <= set(got)  # radii 1..3 present
+    assert (0, 4) not in got and (0, 5) not in got  # out of radius
