@@ -937,3 +937,51 @@ def test_stream_dedup_ingest_detects_across_microbatches(spark):
     # every planted +300000 doc is detected as a dup of SOMETHING
     flagged = {i for p in pair_ids for i in p if i >= 300000}
     assert flagged == {d + 300000 for d in range(400, 450, 10)}
+
+
+def test_lsh_index_compaction_preserves_probe_results(spark, tmp_path):
+    """The persisted band index accumulates one small file per ingest
+    batch; periodic compaction (operators/maintenance.py) must leave
+    probe results bit-identical — the two subsystems compose."""
+    from kafka_map_reduce_spark.operators import dedup as D
+    from kafka_map_reduce_spark.operators import maintenance as M
+
+    idx_path = str(tmp_path / "band_index")
+    # three ingest batches appended as separate small files
+    for b in range(3):
+        docs = spark.createDataFrame(
+            [
+                (b * 100 + i,
+                 f"batch {b} doc {i} words w{b}_{i * 3} w{b}_{i * 5} "
+                 f"w{b}_{i * 7} shared common tail phrase")
+                for i in range(20)
+            ],
+            "doc_id long, text string",
+        )
+        D.lsh_banded(
+            D.minhash_signatures(D.word_shingles(docs, "text", "doc_id"))
+        ).coalesce(1).write.mode("append").parquet(idx_path)
+    n_before = M.parquet_file_stats(spark, idx_path)["n_files"]
+    assert n_before >= 3
+
+    probe_docs = spark.createDataFrame(
+        [(9000, "batch 1 doc 7 words w1_21 w1_35 w1_49 shared common tail phrase")],
+        "doc_id long, text string",
+    )
+    banded_probe = D.lsh_banded(
+        D.minhash_signatures(D.word_shingles(probe_docs, "text", "doc_id"))
+    )
+
+    def probe():
+        return {
+            (r.id_a, r.id_b)
+            for r in D.lsh_candidates_against(
+                banded_probe, spark.read.parquet(idx_path)
+            ).collect()
+        }
+
+    before = probe()
+    assert (9000, 107) in before  # the planted twin is found pre-compaction
+    M.compact_parquet(spark, idx_path, target_file_bytes=1 << 30)
+    assert M.parquet_file_stats(spark, idx_path)["n_files"] < n_before
+    assert probe() == before
