@@ -90,6 +90,10 @@ MAX_EXCHANGES = {
     "q_dedup_near": 3,
     # same shape with the hot-block bucket-count agg folded in
     "q_dedup_simhash_capped": 7,
+    # batch digest canonicalization agg + one digest join pair; the
+    # incremental contract is that cost tracks the batch, so any extra
+    # corpus-scale Exchange is a design regression
+    "q_dedup_exact_incremental": 2,
 }
 
 
