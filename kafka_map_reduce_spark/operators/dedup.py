@@ -112,6 +112,25 @@ def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
     return shingled.groupBy("id").agg(*aggs, F.count(F.lit(1)).alias("n"))
 
 
+def _drop_hot_buckets(
+    df: DataFrame, keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Shared skew guard: drop rows whose ``keys`` bucket holds more than
+    ``max_bucket_size`` members. A bucket of N near-identical documents
+    emits ~N^2/2 candidate pairs from one join key — the quadratic
+    pathology of every equi-join candidate scheme (LSH bands, SimHash
+    blocks, index probes). Capped members are template clusters that
+    belong to exact dedup, which finds identical text in one linear
+    shuffle."""
+    small = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+    return df.join(small, keys)
+
+
 def lsh_banded(
     signatures: DataFrame, num_perm: int = 64, bands: int = 16
 ) -> DataFrame:
@@ -163,13 +182,7 @@ def lsh_candidates(
     n_cols = [F.col("n")] if carry_n else []
     banded = lsh_banded(signatures, num_perm, bands)
     if max_bucket_size is not None:
-        small_buckets = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
-        banded = banded.join(small_buckets, ["band", "bh"])
+        banded = _drop_hot_buckets(banded, ["band", "bh"], max_bucket_size)
     other_cols = [F.col("id").alias("id_b")] + (
         [F.col("n").alias("nb")] if carry_n else []
     ) + [F.col("band").alias("band_b"), F.col("bh").alias("bh_b")]
@@ -222,13 +235,7 @@ def lsh_candidates_against(
     )
     idx = banded_index
     if max_bucket_size is not None:
-        small = (
-            idx.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
-        idx = idx.join(small, ["band", "bh"])
+        idx = _drop_hot_buckets(idx, ["band", "bh"], max_bucket_size)
     new_cols = [F.col("id").alias("id_a")] + (
         [F.col("n").alias("na")] if carry_n else []
     ) + ["band", "bh"]
@@ -236,10 +243,12 @@ def lsh_candidates_against(
         [F.col("n").alias("nb")] if carry_n else []
     ) + [F.col("band").alias("band_b"), F.col("bh").alias("bh_b")]
     # Disjoint id spaces are the caller's contract; a collision would
-    # silently alias two different documents. The guard rides INSIDE the
-    # plan (raise_error on the projected key) so it costs nothing extra —
-    # an eager .count() here would execute the whole candidate join once
-    # more than the caller's own action does.
+    # silently alias two different documents. This guard is BEST-EFFORT:
+    # it rides inside the plan (raise_error on the projected key, zero
+    # extra jobs) and fires only when a colliding id meets itself in a
+    # bucket — full enforcement needs an id anti-join, which
+    # incremental_near_dedup performs (check_disjoint=True) because its
+    # novel/dup split would silently misroute on an undetected overlap.
     guarded_id_a = (
         F.when(
             F.col("id_a") != F.col("id_b"), F.col("id_a")
@@ -276,6 +285,7 @@ def incremental_near_dedup(
     min_jaccard: float = 0.5,
     max_bucket_size: int | None = None,
     cache_registry: list | None = None,
+    check_disjoint: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ingest step of incremental corpus building: detect which docs
     of ``new_docs`` are near-dups of the already-indexed corpus or of
@@ -297,8 +307,14 @@ def incremental_near_dedup(
       novel subset (semi-join on novel_ids) to the index table so index
       growth tracks the KEPT ingest rate.
 
-    Id spaces of new batch and corpus must be disjoint (checked by
-    ``lsh_candidates_against``).
+    Id spaces of new batch and corpus must be DISJOINT — the novel/dup
+    split discriminates pair sides by id membership, so an overlap would
+    silently drop the wrong document. ``check_disjoint=True`` (default)
+    enforces it with one anti-join against the corpus id column (a
+    single-column scan; cheap next to the batch's own joins — disable
+    only if ids are disjoint by construction, e.g. monotonic ingest
+    counters). ``lsh_candidates_against``'s in-plan guard alone is
+    best-effort.
 
     ``cache_registry``: pass a list to collect the batch-sized DataFrames
     this call ``persist()``s; after running your actions on the outputs,
@@ -312,6 +328,19 @@ def incremental_near_dedup(
     # branch re-explodes and re-hashes the batch, and one ingest step
     # costs more than the full self-dedup it is meant to avoid (measured
     # 14.3s -> see bench incremental_ingest for the fixed number).
+    if check_disjoint:
+        overlap = (
+            new_docs.select(F.col(id_col).alias("id"))
+            .join(corpus_docs.select(F.col(id_col).alias("id")), "id")
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                "incremental_near_dedup: new-batch and corpus id spaces "
+                "overlap; the novel/dup split would misroute documents — "
+                "assign disjoint ids"
+            )
     shingled_new = word_shingles(new_docs, text_col, id_col, k).persist()
     sigs_new = minhash_signatures(shingled_new, num_perm).persist()
     if cache_registry is not None:
@@ -347,6 +376,11 @@ def incremental_near_dedup(
     # (dup = id_b, which is always the larger new id); cross pairs drop
     # the new doc (dup = id_a — the corpus copy wins). Disjoint id spaces
     # make membership of id_b in the new batch the exact discriminator.
+    # pairs and novel_ids are bounded-small (candidate-bounded / batch-
+    # bounded) and every caller runs several actions over them (write
+    # pairs, append index via novel semi-join, append corpus) — persist
+    # so the expensive verification join runs once, not once per action
+    pairs = pairs.persist()
     new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
     within_dups = pairs.join(
         new_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi"
@@ -356,7 +390,9 @@ def incremental_near_dedup(
     ).select(F.col("id_a").alias("id"))
     novel_ids = new_ids.join(
         within_dups.union(cross_dups).distinct(), "id", "left_anti"
-    )
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.extend([pairs, novel_ids])
     return pairs, novel_ids, banded_new
 
 
@@ -390,7 +426,10 @@ def jaccard_verify(
     pruning then turns on when ``2 * |pairs|`` (an upper bound on distinct
     candidate ids) is under ``AUTO_PRUNE_MAX_RATIO`` of the corpus. Both
     forced paths and auto return identical answers (unit-tested); the
-    knob only moves shuffle volume.
+    knob only moves shuffle volume. The persisted candidates are bounded
+    (band-bucketed, optionally capped) and session-scoped; callers that
+    invoke repeatedly in one long-lived session should pass
+    ``cache_registry`` and unpersist after their actions.
 
     If ``candidates`` already carries per-id set sizes as ``na``/``nb``
     (lsh_candidates forwards them from the minhash aggregate), the two
@@ -538,13 +577,7 @@ def hamming_pairs(
         ).alias("e"),
     ).select("id", "simhash", F.col("e.b").alias("b"), F.col("e.v").alias("v"))
     if max_bucket_size is not None:
-        small_buckets = (
-            exploded.groupBy("b", "v")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
-        exploded = exploded.join(small_buckets, ["b", "v"])
+        exploded = _drop_hot_buckets(exploded, ["b", "v"], max_bucket_size)
     other = exploded.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("simhash_b"),
         F.col("b").alias("b_b"), F.col("v").alias("v_b"),

@@ -326,9 +326,17 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     each micro-batch probes the persisted LSH band index for near-dups of
     everything ingested before it (operators/dedup.py:
     incremental_near_dedup), then appends its NOVEL docs' banded rows to
-    the index and their text to the corpus table, inside one foreachBatch
-    transaction scope. Index growth tracks the kept ingest rate; a batch
-    never re-scans the corpus.
+    the index and their text to the corpus table. Index growth tracks the
+    kept ingest rate; a batch never re-scans the corpus.
+
+    foreachBatch gives at-least-once batch delivery, and the three
+    outputs cannot be committed atomically — so every output is written
+    as an OVERWRITE of a batch_id-keyed partition directory
+    (``batch=<id>/``): a retried micro-batch rewrites exactly its own
+    partitions and duplicates nothing (effectively-once tables without a
+    transactional format). Duplicate corpus rows would be silently
+    corrupting — word_shingles assumes unique ids — so idempotence here
+    is load-bearing, not cosmetic.
 
     The replay plants both pair kinds: micro-batch 1 carries near-dups of
     the initial corpus (+200000), micro-batch 2 carries near-dups of
@@ -347,10 +355,15 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_path = os.path.join(wd, "corpus")
     index_path = os.path.join(wd, "index")
     pairs_path = os.path.join(wd, "pairs")
-    corpus0.write.mode("overwrite").parquet(corpus_path)
+    # every writer (bootstrap included) targets a batch=<id>/ partition
+    # dir so partition discovery sees one consistent layout and a retried
+    # micro-batch overwrites only its own output
+    corpus0.write.mode("overwrite").parquet(
+        os.path.join(corpus_path, "batch=init")
+    )
     D.lsh_banded(
         D.minhash_signatures(D.word_shingles(corpus0, "text", "doc_id"))
-    ).write.mode("overwrite").parquet(index_path)
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "batch=init"))
 
     # two replay files = two micro-batches (maxFilesPerTrigger=1), age-
     # ordered so batch 1 (dups of corpus) precedes batch 2 (dups of
@@ -390,21 +403,29 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
 
-    def ingest(batch_df, _batch_id):
+    def ingest(batch_df, batch_id):
         s = batch_df.sparkSession
-        corpus = s.read.parquet(corpus_path)
-        index = s.read.parquet(index_path)
+        # the discovered `batch` partition column is bookkeeping, not data
+        corpus = s.read.parquet(corpus_path).drop("batch")
+        index = s.read.parquet(index_path).drop("batch")
         cached: list = []
         pairs, novel_ids, banded = D.incremental_near_dedup(
             batch_df, corpus, index, "text", "doc_id", min_jaccard=0.5,
             cache_registry=cached,
         )
-        pairs.coalesce(1).write.mode("append").parquet(pairs_path)
+        # idempotent commits: overwrite THIS batch's partition only
+        pairs.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"batch={batch_id}")
+        )
         keep = banded.join(novel_ids, "id", "left_semi")
-        keep.coalesce(1).write.mode("append").parquet(index_path)
+        keep.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch={batch_id}")
+        )
         batch_df.join(
             novel_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
-        ).coalesce(1).write.mode("append").parquet(corpus_path)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(corpus_path, f"batch={batch_id}")
+        )
         # release the batch-sized caches: over thousands of micro-batches
         # the leak would crowd out genuinely hot executor memory
         for c in cached:
@@ -416,4 +437,4 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(wd, "ckpt"))
         .start()
     )
-    return spark.read.parquet(pairs_path).orderBy("id_a", "id_b")
+    return spark.read.parquet(pairs_path).drop("batch").orderBy("id_a", "id_b")

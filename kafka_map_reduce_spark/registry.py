@@ -49,15 +49,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # check a bounded prefix of ``all_queries()``. Round 4: freshness rotation —
 # after round 3 every query's LATEST driver row is green, so the window goes
 # to the stalest rows: (a) the 12 entries whose latest row is from round 1,
-# (b) the query added this round (first row ever), (c) the 37 round-2 rows
-# covering every declared SURVEY §2.2 query plus the dedup variants whose
-# shared operator file changed this round. The 12 deferred round-2 entries
-# (bonus-only, files untouched this round: q_multimodal_meta, q_sim_ivf,
-# q_subquery_scalar/in/correlated, q_text_fingerprint/langid/quality/tfidf,
-# q_token_count, q_window_dist, q_window_value_funcs) rotate into the round-5
-# window. Live Structured-Streaming queries sit at the END of the window:
-# they are the only queries that could wedge a small harness session, and
-# placing them last means a wedge cannot shadow any other in-window check.
+# (b) the five queries added this round (first row ever), (c) the 33
+# round-2 rows covering the declared SURVEY §2.2 queries plus the dedup
+# variants whose shared operator file changed this round. Deferred to the
+# round-5 window: the 12 untouched bonus entries (q_multimodal_meta,
+# q_sim_ivf, q_subquery_scalar/in/correlated, q_text_fingerprint/langid/
+# quality/tfidf, q_token_count, q_window_dist, q_window_value_funcs) plus
+# the 4 stable r2-green rows displaced for the new queries (q_scan_csv,
+# q_scan_orc, q_scan_binary, q_multimodal_resize). Live Structured-
+# Streaming queries sit at the END of the window: they are the only
+# queries that could wedge a small harness session, and placing them last
+# means a wedge cannot shadow any other in-window check.
 _PRIORITY: tuple[str, ...] = (
     # (a) latest row is round-1 — batch (11)
     "q_intersect",
@@ -71,9 +73,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_dedup",
     "q_agg_approx_distinct",
     "q_sketch_quantile",
-    # (b) new this round — SimHash hot-block skew guard (1)
+    # (b) new this round, no driver row yet — batch (4; the fifth,
+    # q_stream_dedup_ingest, is a live stream and sits at the end)
     "q_dedup_simhash_capped",
-    # (c) latest row is round-2 (37): every declared query + the dedup
+    "q_dedup_exact_incremental",
+    "q_dedup_clusters_star",
+    "q_dedup_incremental",
+    # (c) latest row is round-2 (33): declared queries + the dedup
     # variants whose operator file (operators/dedup.py) changed this round
     "q_dedup_near",
     "q_dedup_simhash",
@@ -84,10 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_editdist",
     "q_scan_parquet",
     "q_scan_json_lines",
-    "q_scan_csv",
-    "q_scan_orc",
     "q_scan_partitioned",
-    "q_scan_binary",
     "q_projection",
     "q_filter",
     "q_distinct",
@@ -101,7 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_udaf_grouped",
     "q_udtf_explode",
     "q_multimodal_frames",
-    "q_multimodal_resize",
     "q_sim_cosine",
     "q_sim_topk",
     "q_sim_ivf_kmeans",
@@ -112,8 +114,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_heavy_hitters",
     "q_embed_quantize",
     "q_pipeline_e2e",
-    # (a) latest row is round-1 — live stream, deliberately last (1)
+    # live streams, deliberately last in the window (2): the r1-stale
+    # watermark row and this round's new streaming ingest query
     "q_stream_watermark",
+    "q_stream_dedup_ingest",
 )
 
 
