@@ -319,6 +319,73 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink.path)
 
 
+def ingest_micro_batch(
+    batch_df: DataFrame,
+    batch_id,
+    corpus_path: str,
+    index_path: str,
+    pairs_path: str,
+) -> None:
+    """One foreachBatch ingest step of the streaming incremental-dedup
+    composition (see q_stream_dedup_ingest). Module-level so the retry
+    contract is directly testable: calling this twice with the same
+    batch_id — the at-least-once redelivery case — must converge to the
+    same table state with no disjointness wedge."""
+    from kafka_map_reduce_spark.operators import dedup as D
+
+    s = batch_df.sparkSession
+    # Exclude THIS batch's own partition from both reads: a retried
+    # micro-batch (foreachBatch is at-least-once) may have already
+    # written batch=<id>/ before the failure, and re-reading it would
+    # (a) present overlapping id spaces to incremental_near_dedup's
+    # disjointness guard — wedging the stream permanently — and
+    # (b) let the retry classify the batch's docs as dups of
+    # themselves. The same filter makes the mid-ingest appends safe:
+    # if executor cache eviction forces a lineage recompute AFTER the
+    # index append below, the re-read still sees exactly the
+    # pre-batch state. The discovered `batch` partition column is
+    # bookkeeping, not data, so it is pruned then dropped.
+    this_batch = str(batch_id)
+    corpus = (
+        s.read.parquet(corpus_path)
+        .filter(F.col("batch") != this_batch)
+        .drop("batch")
+    )
+    index = (
+        s.read.parquet(index_path)
+        .filter(F.col("batch") != this_batch)
+        .drop("batch")
+    )
+    cached: list = []
+    pairs, novel_ids, banded = D.incremental_near_dedup(
+        batch_df, corpus, index, "text", "doc_id", min_jaccard=0.5,
+        cache_registry=cached,
+    )
+    # Materialize the novel/dup verdict ONCE before any append:
+    # localCheckpoint truncates lineage, so the index/corpus writes
+    # below can never trigger a recompute that re-reads the paths
+    # they just modified — persist() alone is best-effort under
+    # cache eviction, a checkpoint is deterministic.
+    novel_ids = novel_ids.localCheckpoint(eager=True)
+    # idempotent commits: overwrite THIS batch's partition only
+    pairs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(pairs_path, f"batch={batch_id}")
+    )
+    keep = banded.join(novel_ids, "id", "left_semi")
+    keep.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_path, f"batch={batch_id}")
+    )
+    batch_df.join(
+        novel_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(corpus_path, f"batch={batch_id}")
+    )
+    # release the batch-sized caches: over thousands of micro-batches
+    # the leak would crowd out genuinely hot executor memory
+    for c in cached:
+        c.unpersist()
+
+
 @query("q_stream_dedup_ingest", oracle=None, tags=("streaming", "approx"))
 def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental corpus ingest — the Tier A x Tier C
@@ -334,7 +401,10 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     as an OVERWRITE of a batch_id-keyed partition directory
     (``batch=<id>/``): a retried micro-batch rewrites exactly its own
     partitions and duplicates nothing (effectively-once tables without a
-    transactional format). Duplicate corpus rows would be silently
+    transactional format), and every read inside ``ingest`` filters OUT
+    the current batch's partition so a retry observes exactly the
+    pre-batch corpus/index state rather than its failed attempt's
+    half-committed output. Duplicate corpus rows would be silently
     corrupting — word_shingles assumes unique ids — so idempotence here
     is load-bearing, not cosmetic.
 
@@ -404,32 +474,9 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(batch_df, batch_id):
-        s = batch_df.sparkSession
-        # the discovered `batch` partition column is bookkeeping, not data
-        corpus = s.read.parquet(corpus_path).drop("batch")
-        index = s.read.parquet(index_path).drop("batch")
-        cached: list = []
-        pairs, novel_ids, banded = D.incremental_near_dedup(
-            batch_df, corpus, index, "text", "doc_id", min_jaccard=0.5,
-            cache_registry=cached,
+        ingest_micro_batch(
+            batch_df, batch_id, corpus_path, index_path, pairs_path
         )
-        # idempotent commits: overwrite THIS batch's partition only
-        pairs.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(pairs_path, f"batch={batch_id}")
-        )
-        keep = banded.join(novel_ids, "id", "left_semi")
-        keep.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_path, f"batch={batch_id}")
-        )
-        batch_df.join(
-            novel_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(corpus_path, f"batch={batch_id}")
-        )
-        # release the batch-sized caches: over thousands of micro-batches
-        # the leak would crowd out genuinely hot executor memory
-        for c in cached:
-            c.unpersist()
 
     _drain(
         stream.writeStream.foreachBatch(ingest)

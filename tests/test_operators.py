@@ -939,6 +939,63 @@ def test_stream_dedup_ingest_detects_across_microbatches(spark):
     assert flagged == {d + 300000 for d in range(400, 450, 10)}
 
 
+def test_ingest_micro_batch_retry_is_idempotent(spark, tmp_path):
+    """At-least-once redelivery: a retried micro-batch whose failed
+    attempt already committed its batch=<id> partitions (the worst case —
+    every output landed, only the checkpoint commit was lost) must
+    (a) not wedge on incremental_near_dedup's id-disjointness guard and
+    (b) converge to exactly the same pairs/index/corpus state as the
+    first attempt."""
+    import os
+
+    from kafka_map_reduce_spark.operators import dedup as D
+    from kafka_map_reduce_spark.queries.streaming_live import (
+        ingest_micro_batch,
+    )
+
+    corpus0 = spark.createDataFrame(
+        [
+            (i, f"corpus document {i} about subject{i} containing words "
+                f"c{i * 3} c{i * 5} c{i * 7} c{i * 11} in original phrasing")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    pairs_path = str(tmp_path / "pairs")
+    corpus0.write.mode("overwrite").parquet(
+        os.path.join(corpus_path, "batch=init")
+    )
+    D.lsh_banded(
+        D.minhash_signatures(D.word_shingles(corpus0, "text", "doc_id"))
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "batch=init"))
+
+    batch = spark.createDataFrame(
+        [
+            (103, "corpus document 3 about subject3 containing words "
+                  "c9 c15 c21 c33 in altered phrasing"),  # near-dup of 3
+            (150, "entirely novel content with its own vocabulary "
+                  "n1 n2 n3 n4 n5 n6 n7 n8 n9"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def snap(path):
+        df = spark.read.parquet(path)
+        return sorted(tuple(r) for r in df.collect())
+
+    ingest_micro_batch(batch, 0, corpus_path, index_path, pairs_path)
+    first = (snap(pairs_path), snap(index_path), snap(corpus_path))
+    assert {(r.id_a, r.id_b) for r in spark.read.parquet(pairs_path).collect()} == {(103, 3)}
+
+    # redelivery of the SAME batch id against tables already containing
+    # its output — before the retry filter this wedged on the overlap
+    # guard; now it must be a clean overwrite converging to the same state
+    ingest_micro_batch(batch, 0, corpus_path, index_path, pairs_path)
+    assert (snap(pairs_path), snap(index_path), snap(corpus_path)) == first
+
+
 def test_lsh_index_compaction_preserves_probe_results(spark, tmp_path):
     """The persisted band index accumulates one small file per ingest
     batch; periodic compaction (operators/maintenance.py) must leave
