@@ -51,8 +51,9 @@ HEADLINE = [
 # tag, so replicas share no shingles — the near-dup structure of sf0.1 is
 # preserved exactly, 10 times over, instead of turning every doc into a
 # 10-way near-dup cluster (which would measure an artifact, not the plan).
-# Token count, n_chars and lang are unchanged, so the pipeline quality
-# gates pass replicas and originals alike.
+# Token count and lang are unchanged; n_chars is RECOMPUTED from the
+# rewritten text (the r<i> prefixes add 2+ chars per token) so any gate
+# or query deriving length from either source sees consistent values.
 SCALEUP_QUERIES = [
     "q_dedup_near",
     "q_dedup_near_capped",
@@ -75,7 +76,9 @@ def ensure_scaleup_tables(spark, src_dir: str, out_dir: str) -> None:
 
     from kafka_map_reduce_spark.sources import load_table
 
-    marker = os.path.join(out_dir, f"_REPLICAS_{SCALEUP_REPLICAS}_OK")
+    # v2: replica n_chars recomputed from rewritten text (r5) — bumping
+    # the marker invalidates tables built by the v1 generator
+    marker = os.path.join(out_dir, f"_REPLICAS_{SCALEUP_REPLICAS}_v2_OK")
     if os.path.exists(marker):
         return
     if os.path.exists(out_dir):
@@ -100,6 +103,8 @@ def ensure_scaleup_tables(spark, src_dir: str, out_dir: str) -> None:
                         " ",
                     ),
                 )
+                if "n_chars" in r.columns:
+                    r = r.withColumn("n_chars", F.length(F.col(text_col)))
             parts.append(r)
         out = parts[0]
         for p in parts[1:]:

@@ -426,10 +426,12 @@ def jaccard_verify(
     pruning then turns on when ``2 * |pairs|`` (an upper bound on distinct
     candidate ids) is under ``AUTO_PRUNE_MAX_RATIO`` of the corpus. Both
     forced paths and auto return identical answers (unit-tested); the
-    knob only moves shuffle volume. The persisted candidates are bounded
-    (band-bucketed, optionally capped) and session-scoped; callers that
-    invoke repeatedly in one long-lived session should pass
-    ``cache_registry`` and unpersist after their actions.
+    knob only moves shuffle volume. Cache lifecycle: with a
+    ``cache_registry`` the persisted candidates are handed to the caller
+    (unpersist after your actions — the verification join then reuses the
+    materialization); without one they are released immediately after the
+    decision count so repeated registry-less invocations cannot leak,
+    at the price of recomputing the bounded candidate join once.
 
     If ``candidates`` already carries per-id set sizes as ``na``/``nb``
     (lsh_candidates forwards them from the minhash aggregate), the two
@@ -453,6 +455,15 @@ def jaccard_verify(
                 cache_registry.append(candidates)
             n_pairs = candidates.count()
             prune_to_candidates = 2 * n_pairs <= AUTO_PRUNE_MAX_RATIO * corpus_est
+            if cache_registry is None:
+                # No caller-managed lifecycle: release the materialization
+                # as soon as the prune decision is made. The verification
+                # join below recomputes the (bounded) candidate join once;
+                # keeping the cache would leak one persisted DataFrame per
+                # invocation in a long-lived session (driver/bench runs
+                # invoke this without a registry), which is the exact
+                # thrash cache_registry exists to prevent.
+                candidates.unpersist(blocking=False)
     carried = {"na", "nb"} <= set(candidates.columns)
     sizes = (
         None

@@ -1,9 +1,9 @@
 """Text analysis operators (Tier C, SURVEY §2.2): tokenization, quality
 scoring, language-ID heuristic, document fingerprinting, token counting.
 
-Everything SQL-expressible stays in JVM built-ins; only the n-gram
-language model and the winnowing fingerprint drop to Arrow-batched pandas
-UDFs (never row-at-a-time Python).
+Everything SQL-expressible stays in JVM built-ins; only the winnowing
+fingerprint drops to an Arrow-batched pandas UDF (never row-at-a-time
+Python) — its rolling-hash window has no clean built-in form.
 """
 
 from __future__ import annotations
@@ -12,7 +12,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType
+from pyspark.sql.types import LongType
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -44,40 +44,72 @@ def quality_score(text_col: Column) -> Column:
     )
 
 
-# Tiny per-language stopword/char profiles for the n-gram heuristic.
+# Tiny per-language stopword profiles for the language-ID heuristic; zh
+# has no token profile — it is detected by a CJK char-class probe on the
+# document head instead.
 _LANG_PROFILES = {
-    "en": {"the", "and", "of", "to", "is", "in"},
-    "de": {"der", "die", "und", "ist", "nicht", "das"},
-    "fr": {"le", "la", "et", "est", "les", "des"},
-    "es": {"el", "la", "que", "de", "los", "es"},
-    "zh": set(),  # no-latin-token heuristic handled by char ranges below
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "de": ("der", "die", "und", "ist", "nicht", "das"),
+    "fr": ("le", "la", "et", "est", "les", "des"),
+    "es": ("el", "la", "que", "de", "los", "es"),
 }
 
+# CJK Unified Ideographs block, shared verbatim by Java regex (Spark) and
+# RE2 (DuckDB oracle) so both sides probe the identical range.
+CJK_CLASS = r"[\x{4e00}-\x{9fff}]"
 
-@F.pandas_udf(StringType())
-def lang_id(text: pd.Series) -> pd.Series:
-    """n-gram/stopword language heuristic (deterministic argmax, ties by
-    language code)."""
 
-    def detect(s: str) -> str:
-        if not s:
-            return "und"
-        if any("一" <= ch <= "鿿" for ch in s[:200]):
-            return "zh"
-        toks = set(s.lower().split())
-        scores = {
-            lang: len(toks & prof) for lang, prof in _LANG_PROFILES.items() if prof
-        }
-        best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
-        return best[0] if best[1] > 0 else "en"
+def lang_id(text_col: Column) -> Column:
+    """Stopword-profile language heuristic as a pure JVM expression —
+    whole-stage-codegen, no Python on the path (the per-row pandas UDF
+    this replaced moved every string through Arrow to score 24 words).
 
-    return text.map(detect)
+    Per language: ``size(array_intersect(tokens, profile))`` counts
+    distinct stopword hits; the argmax is ``greatest`` over
+    ``struct(score, code)`` (struct comparison is field-lexicographic, so
+    ties go to the largest language code — same total order as the old
+    UDF's ``max(..., key=(score, lang))``). CJK is a char-class probe on
+    the first 200 chars; empty/null text is "und"; no hits falls back to
+    "en"."""
+    toks = F.split(F.lower(text_col), r"\s+")
+
+    def score(lang: str) -> Column:
+        return F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in _LANG_PROFILES[lang]]))
+        )
+
+    best = F.greatest(
+        *[
+            F.struct(score(lang).alias("s"), F.lit(lang).alias("l"))
+            for lang in sorted(_LANG_PROFILES)
+        ]
+    )
+    has_cjk = (
+        F.regexp_count(F.substring(text_col, 1, 200), F.lit(CJK_CLASS)) > 0
+    )
+    return (
+        F.when(text_col.isNull() | (F.length(text_col) == 0), F.lit("und"))
+        .when(has_cjk, F.lit("zh"))
+        .when(best["s"] > 0, best["l"])
+        .otherwise(F.lit("en"))
+    )
 
 
 @F.pandas_udf(LongType())
 def winnow_fingerprint(text: pd.Series) -> pd.Series:
     """Winnowing document fingerprint: min-of-window over k-gram rolling
-    hashes (k=8, window=4), XOR-folded to one 64-bit value."""
+    hashes (k=8, window=4), XOR-folded to one 64-bit value.
+
+    Measured alternative (round 5): a pure-JVM formulation —
+    ``transform(sequence(1, length-7), i -> xxhash64(substr(text,i,8)))``
+    then min-over-window + ``aggregate(..., acc ^ x)`` — ran 2.5x SLOWER
+    (3.30 s vs 1.30 s, 5k sf0.1 docs, min-of-3): each k-gram costs an
+    O(k) substr copy + full xxhash64 inside nested higher-order lambdas
+    that don't fuse into whole-stage codegen, while this UDF's rolling
+    hash is O(1) per position and Arrow amortizes the transfer. The exact
+    61-bit modular arithmetic also cannot be replicated JVM-side without
+    overflow (ANSI long), so the UDF stays — per-batch Python here is a
+    deliberate, measured choice, not a leftover."""
     K, W, MOD, BASE = 8, 4, (1 << 61) - 1, 257
 
     def fp(s: str) -> int:

@@ -114,9 +114,43 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_counts(d).select("doc_id", "ws_tokens", "bpe_ish_tokens")
 
 
-@query("q_text_langid", oracle=None, tags=("heuristic",))
+@query(
+    "q_text_langid",
+    oracle=r"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN text IS NULL OR length(text) = 0 THEN 'und'
+             WHEN regexp_matches(substr(text, 1, 200),
+                                 '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             -- argmax with ties to the LARGEST language code: probe in
+             -- descending code order with >= against the rest
+             WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de
+                  AND s_fr > 0 THEN 'fr'
+             WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+             WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+             WHEN s_de > 0 THEN 'de'
+             ELSE 'en'
+           END AS pred_lang
+    FROM (
+      SELECT doc_id, lang, text,
+        len(list_intersect(string_split_regex(lower(text), '\s+'),
+            ['the','and','of','to','is','in'])) AS s_en,
+        len(list_intersect(string_split_regex(lower(text), '\s+'),
+            ['der','die','und','ist','nicht','das'])) AS s_de,
+        len(list_intersect(string_split_regex(lower(text), '\s+'),
+            ['le','la','et','est','les','des'])) AS s_fr,
+        len(list_intersect(string_split_regex(lower(text), '\s+'),
+            ['el','la','que','de','los','es'])) AS s_es
+      FROM documents
+    )
+    """,
+    tags=("heuristic",),
+)
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (stopword/char-profile argmax, pandas UDF)."""
+    """Language-ID heuristic (stopword-profile argmax + CJK char probe),
+    pure JVM expression — now hash-checked against a DuckDB oracle
+    mirroring the identical formula (it was rows-only while the scorer
+    lived in a pandas UDF)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang"))
 

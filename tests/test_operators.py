@@ -108,6 +108,46 @@ def test_quality_score_bounds(spark):
     assert all(v is None or 0.0 <= v <= 1.0 for v in vals)
 
 
+def test_lang_id_matches_python_reference_and_stays_jvm(spark):
+    """lang_id is a pure JVM expression: (a) outputs must match the
+    per-row Python heuristic it replaced (same stopword profiles, same
+    (score, code) argmax tie-break, CJK probe on the first 200 chars,
+    und/en fallbacks) across edge cases; (b) its plan must contain no
+    Python eval node — the whole point of the rewrite."""
+    from kafka_map_reduce_spark.operators.text import _LANG_PROFILES, lang_id
+
+    def reference(s):  # the retired pandas-UDF heuristic, verbatim
+        if not s:
+            return "und"
+        if any("一" <= ch <= "鿿" for ch in s[:200]):
+            return "zh"
+        toks = set(s.lower().split())
+        scores = {lang: len(toks & set(p)) for lang, p in _LANG_PROFILES.items()}
+        best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        return best[0] if best[1] > 0 else "en"
+
+    cases = [
+        "the cat is on the mat and in the hat",
+        "der hund ist nicht das problem und die katze",
+        "le chat est sur les toits et des choses",
+        "el perro que corre de los campos es feliz",
+        "这是一个中文文档",                      # CJK in head
+        ("x " * 250) + "中文",                  # CJK only BEYOND char 200
+        "",                                     # empty -> und
+        "   ",                                  # whitespace-only -> en
+        "zzz qqq www",                          # no stopword hit -> en
+        "la de",        # tie: la hits fr+es, de hits es... (score,code) argmax
+        "the der le el la",                     # multi-language collision
+        "est la les de la",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r.p for r in df.select(lang_id(F.col("text")).alias("p")).collect()]
+    assert got == [reference(c) for c in cases]
+
+    plan = df.select(lang_id(F.col("text"))) ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
 def test_multimodal_decode_shapes(spark):
     from kafka_map_reduce_spark.operators.multimodal import (
         FEATURE_DIM,
