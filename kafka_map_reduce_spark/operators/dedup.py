@@ -674,6 +674,62 @@ def connected_components(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def _star_canon(e: DataFrame) -> DataFrame:
+    # undirected edge set, canonical (small, large) orientation
+    return (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = und.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return _star_canon(
+        und.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # operate on (big <- small) direction: for each node u, link its
+    # smaller neighbors and u itself to the minimum of them
+    directed = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    linked = directed.join(m, "u").select(
+        F.col("v").alias("src"), F.col("m").alias("dst")
+    )
+    self_link = m.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return _star_canon(linked.union(self_link))
+
+
+def star_round(e: DataFrame, materialize: bool = True) -> DataFrame:
+    """One large-star + small-star contraction round — module-level so
+    the per-round plan shape (the thing that repeats O(log n) times at
+    scale) can be budgeted by tools/plancheck.py and tested without
+    running the full fixpoint loop.
+
+    ``materialize=True`` (the loop's setting) localCheckpoints the
+    large-star output before the small-star phase: ``_small_star`` reads
+    its input in TWO branches (the neighborhood-min aggregate and the
+    re-attach join), and Catalyst does not share subtrees across join
+    branches, so the unmaterialized composition executes the entire
+    3-Exchange large-star plan twice — 11 Exchanges per round measured
+    vs 3 + 4 with the barrier. Pass ``materialize=False`` only to
+    inspect the fused single-DAG plan."""
+    mid = _large_star(e)
+    if materialize:
+        mid = mid.localCheckpoint(eager=True)
+    return _small_star(mid)
+
+
 def connected_components_star(
     pairs: DataFrame, nodes: DataFrame, max_iter: int = 20
 ) -> DataFrame:
@@ -686,8 +742,11 @@ def connected_components_star(
 
     Both phases are pure DataFrame ops with NO per-node neighbor lists
     (a ``collect_list`` would melt on high-degree hubs): the neighborhood
-    minimum is a hash aggregate, re-attached by a keyed join —
-    two shuffles per phase regardless of skew.
+    minimum is a hash aggregate, re-attached by a keyed join, plus the
+    canonical-orientation distinct — 3 (large) + 4 (small) Exchanges per
+    round regardless of skew, budget-enforced in tools/plancheck.py; the
+    large-star output is materialized between phases so the small-star's
+    two consumer branches don't execute the large-star plan twice.
 
     - large-star: every node u links its LARGER neighbors to
       m(u) = min(N(u) ∪ {u}).
@@ -700,40 +759,7 @@ def connected_components_star(
     singletons from ``nodes`` label themselves. Returns (id, cluster_id).
     """
 
-    def _canon(e: DataFrame) -> DataFrame:
-        # undirected edge set, canonical (small, large) orientation
-        return (
-            e.filter(F.col("src") != F.col("dst"))
-            .select(
-                F.least("src", "dst").alias("src"),
-                F.greatest("src", "dst").alias("dst"),
-            )
-            .distinct()
-        )
-
-    def _large_star(e: DataFrame) -> DataFrame:
-        und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        m = und.groupBy("src").agg(
-            F.least(F.min("dst"), F.first("src")).alias("m")
-        )
-        return _canon(
-            und.join(m, "src")
-            .filter(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        )
-
-    def _small_star(e: DataFrame) -> DataFrame:
-        # operate on (big <- small) direction: for each node u, link its
-        # smaller neighbors and u itself to the minimum of them
-        directed = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
-        m = directed.groupBy("u").agg(F.min("v").alias("m"))
-        linked = directed.join(m, "u").select(
-            F.col("v").alias("src"), F.col("m").alias("dst")
-        )
-        self_link = m.select(F.col("u").alias("src"), F.col("m").alias("dst"))
-        return _canon(linked.union(self_link))
-
-    edges = _canon(
+    edges = _star_canon(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).localCheckpoint(eager=True)
 
@@ -751,7 +777,9 @@ def connected_components_star(
 
     fp = _fingerprint(edges)
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_edges = star_round(edges, materialize=True).localCheckpoint(
+            eager=True
+        )
         new_fp = _fingerprint(new_edges)
         edges, prev_fp, fp = new_edges, fp, new_fp
         if new_fp == prev_fp:

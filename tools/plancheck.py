@@ -94,7 +94,24 @@ MAX_EXCHANGES = {
     # incremental contract is that cost tracks the batch, so any extra
     # corpus-scale Exchange is a design regression
     "q_dedup_exact_incremental": 2,
+    # The batch-scaling contract of the probe plan as a budget: batch
+    # signature agg, within-batch band self-join + distinct, index-probe
+    # band equi-join + distinct, candidate-pruned verification
+    # (corpus re-shingle rides a left-semi pushdown; only candidate-sized
+    # sides shuffle) + intersection agg + presentation sort. Every one of
+    # the 11 moves batch/candidate-sized data — an Exchange beyond this
+    # means a corpus-scale shuffle snuck into the ingest path.
+    "q_dedup_incremental": 11,
 }
+
+# Per-round Exchange budgets for the large-star/small-star contraction
+# (operators/dedup.py:star_round) — the registered q_dedup_clusters_star
+# plan is localCheckpoint-truncated, so the shape that actually repeats
+# O(log n) times must be budgeted on the operator directly: neighborhood-
+# min hash aggregate + re-attach join + canonical distinct per phase,
+# with a materialization barrier between phases so the large-star subtree
+# is not executed twice by the small-star's two consumer branches.
+STAR_ROUND_BUDGET = {"large_star": 3, "small_star": 4}
 
 
 def plan_of(df) -> str:
@@ -141,6 +158,27 @@ def main() -> int:
                 )
         if problems:
             print(f"FAIL {name}: {problems}")
+            bad += 1
+
+    # star-contraction per-round shape (see STAR_ROUND_BUDGET comment)
+    from kafka_map_reduce_spark.operators import dedup as D
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    phases = {
+        "large_star": D._large_star(edges),
+        "small_star": D._small_star(
+            D._large_star(edges).localCheckpoint(eager=True)
+        ),
+    }
+    for phase, df in phases.items():
+        n_ex = len(re.findall(r"^\(\d+\) Exchange", plan_of(df), re.M))
+        if n_ex > STAR_ROUND_BUDGET[phase]:
+            print(
+                f"FAIL star_round/{phase}: {n_ex} shuffles in plan, "
+                f"budget {STAR_ROUND_BUDGET[phase]}"
+            )
             bad += 1
     print(f"\nplancheck: {bad} problem(s)")
     spark.stop()
