@@ -1,0 +1,166 @@
+"""Env-gated end-to-end Kafka integration: the one reference capability
+(live broker consume, lib.rs:49-85, main.rs:85-122) the sandbox cannot
+exercise — no broker ships in this container, so these tests skip with a
+reason here and run the full source -> par_map -> reduce -> sink ->
+offset-commit path wherever ``KMR_KAFKA_BOOTSTRAP`` points at a real
+broker (the spark-sql-kafka connector must be on the classpath; producing
+uses the same connector's batch writer, so no extra client lib is
+needed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BOOTSTRAP = os.environ.get("KMR_KAFKA_BOOTSTRAP")
+
+pytestmark = pytest.mark.skipif(
+    not BOOTSTRAP,
+    reason=(
+        "KMR_KAFKA_BOOTSTRAP unset — no live Kafka broker in this "
+        "environment. kafka_source's option contract is unit-tested "
+        "(kafka_reader_options) and the pipeline semantics are covered "
+        "by file-replay equivalence; set KMR_KAFKA_BOOTSTRAP=host:port "
+        "to run this end-to-end path against a real broker."
+    ),
+)
+
+
+def _produce(spark, topic: str, n: int) -> None:
+    payload = spark.range(n).select(
+        F.col("id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("id").alias("event_id"),
+                (F.col("id") % 7).alias("user_id"),
+                (F.col("id").cast("double") * 0.5).alias("value"),
+            )
+        ).alias("value"),
+    )
+    try:
+        (
+            payload.write.format("kafka")
+            .option("kafka.bootstrap.servers", BOOTSTRAP)
+            .option("topic", topic)
+            .save()
+        )
+    except Exception as e:  # connector absent despite a broker being set
+        msg = str(e)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg:
+            pytest.skip(
+                "KMR_KAFKA_BOOTSTRAP is set but the spark-sql-kafka "
+                "connector is not on the classpath: " + msg[:200]
+            )
+        raise
+
+
+def test_kafka_source_par_map_reduce_sink_commit(spark, tmp_path):
+    """The reference's whole pipeline shape on a real broker: consume
+    (A1), parse per record with error capture (A2), per-key stateful
+    reduce (A4), sink, and checkpoint offset commit (A9) — then re-drain
+    from the same checkpoint and assert nothing is reprocessed."""
+    from kafka_map_reduce_spark.streaming import Pipeline
+    from kafka_map_reduce_spark.streaming.pipeline import drain_query
+    from kafka_map_reduce_spark.streaming.sources import kafka_source
+    from kafka_map_reduce_spark.streaming.state import stateful_reduce
+
+    topic = f"kmr-it-{uuid.uuid4().hex[:8]}"
+    n = 100
+    _produce(spark, topic, n)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def parse(rec: dict) -> dict:
+        doc = json.loads(rec["value"])
+        return {
+            "event_id": int(doc["event_id"]),
+            "user_id": int(doc["user_id"]),
+            "amount": float(doc["value"]),
+        }
+
+    out_fields = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+
+    def build_reduced():
+        raw = kafka_source(
+            spark, BOOTSTRAP, topic, max_offsets_per_trigger=None
+        ).selectExpr("CAST(value AS STRING) AS value")
+        from kafka_map_reduce_spark.streaming.pipeline import ERR_COL
+
+        parsed = Pipeline(raw).par_map(parse, out_fields)._transformed().drop(ERR_COL, "value")
+        state_schema = T.StructType(
+            [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("cents_sum", T.LongType()),
+            ]
+        )
+
+        def init():
+            return (0, 0)
+
+        def reduce_fn(acc, pdf):
+            import numpy as np
+
+            cents = int(
+                np.floor(pdf["amount"].to_numpy() * 100 + 0.5).astype("int64").sum()
+            )
+            return (acc[0] + len(pdf), acc[1] + cents)
+
+        def flush_fn(key, acc):
+            return {"user_id": key[0], "n": acc[0], "cents_sum": acc[1]}
+
+        return stateful_reduce(
+            parsed,
+            ["user_id"],
+            init,
+            reduce_fn,
+            flush_fn,
+            state_schema,
+            out_schema,
+        )
+
+    def drain_once():
+        q = (
+            build_reduced()
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _id: df.coalesce(1).write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        drain_query(q, 300.0)
+
+    drain_once()
+    got = spark.read.parquet(out)
+    rows = {r.user_id: (r.n, r.cents_sum) for r in got.collect()}
+    # every produced record lands exactly once, aggregated per key
+    assert sum(v[0] for v in rows.values()) == n
+    expect = {}
+    for i in range(n):
+        cnt, cents = expect.get(i % 7, (0, 0))
+        expect[i % 7] = (cnt + 1, cents + int(i * 0.5 * 100 + 0.5))
+    assert rows == expect
+
+    # offset commit (A9): a second drain from the same checkpoint sees
+    # every offset already committed and must append nothing
+    drain_once()
+    assert spark.read.parquet(out).count() == got.count()
