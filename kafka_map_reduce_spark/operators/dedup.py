@@ -428,10 +428,11 @@ def jaccard_verify(
     forced paths and auto return identical answers (unit-tested); the
     knob only moves shuffle volume. Cache lifecycle: with a
     ``cache_registry`` the persisted candidates are handed to the caller
-    (unpersist after your actions — the verification join then reuses the
-    materialization); without one they are released immediately after the
-    decision count so repeated registry-less invocations cannot leak,
-    at the price of recomputing the bounded candidate join once.
+    (unpersist after your actions); without one the candidates are
+    localCheckpoint'ed instead — same materialization reuse across the
+    decision count and the verification join, but the blocks are
+    ContextCleaner-reclaimed on garbage collection, so registry-less
+    invocations (driver/bench runs) cannot accumulate pinned cache.
 
     If ``candidates`` already carries per-id set sizes as ``na``/``nb``
     (lsh_candidates forwards them from the minhash aggregate), the two
@@ -450,20 +451,25 @@ def jaccard_verify(
         if corpus_est < AUTO_PRUNE_MIN_CORPUS:
             prune_to_candidates = False
         else:
-            candidates = candidates.persist()
             if cache_registry is not None:
+                # caller-managed lifecycle: persist, hand over, caller
+                # unpersists after its actions
+                candidates = candidates.persist()
                 cache_registry.append(candidates)
+            else:
+                # No caller-managed lifecycle: localCheckpoint instead of
+                # persist. The materialization is still shared between
+                # the decision count and the verification join (an
+                # unpersist-after-count would recompute the candidate
+                # join at corpus scale — measured 3.7x on the sf1 capped
+                # query), but checkpoint blocks are reclaimed by the
+                # ContextCleaner when the DataFrame is garbage-collected,
+                # unlike CacheManager entries which pin executor memory
+                # until an explicit unpersist — the leak-per-invocation
+                # the advisor flagged in long-lived driver/bench sessions.
+                candidates = candidates.localCheckpoint(eager=True)
             n_pairs = candidates.count()
             prune_to_candidates = 2 * n_pairs <= AUTO_PRUNE_MAX_RATIO * corpus_est
-            if cache_registry is None:
-                # No caller-managed lifecycle: release the materialization
-                # as soon as the prune decision is made. The verification
-                # join below recomputes the (bounded) candidate join once;
-                # keeping the cache would leak one persisted DataFrame per
-                # invocation in a long-lived session (driver/bench runs
-                # invoke this without a registry), which is the exact
-                # thrash cache_registry exists to prevent.
-                candidates.unpersist(blocking=False)
     carried = {"na", "nb"} <= set(candidates.columns)
     sizes = (
         None
@@ -731,7 +737,10 @@ def star_round(e: DataFrame, materialize: bool = True) -> DataFrame:
 
 
 def connected_components_star(
-    pairs: DataFrame, nodes: DataFrame, max_iter: int = 20
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -756,7 +765,9 @@ def connected_components_star(
     Fixpoint detection compares (count, hash-sum) of the edge set between
     rounds — one tiny aggregate, no driver-side edge sets. On
     convergence the edges form stars rooted at each component's min id;
-    singletons from ``nodes`` label themselves. Returns (id, cluster_id).
+    singletons from ``nodes`` label themselves. Returns (id, cluster_id);
+    pass ``stats`` (a dict) to receive ``{"rounds": N}`` — bench.py
+    records it at sf1 to substantiate the O(log n) convergence claim.
     """
 
     edges = _star_canon(
@@ -776,7 +787,9 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     fp = _fingerprint(edges)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         new_edges = star_round(edges, materialize=True).localCheckpoint(
             eager=True
         )
@@ -789,6 +802,12 @@ def connected_components_star(
             f"connected_components_star did not converge in {max_iter} "
             f"rounds — raise max_iter (expected rounds ~ log(component size))"
         )
+
+    if stats is not None:
+        # observability for scale benchmarks: rounds should track
+        # O(log max-component-size), and the claim is checkable only if
+        # the loop reports what it actually did
+        stats["rounds"] = rounds
 
     id_col = nodes.columns[0]
     # converged canonical edges are (component-min root, member)

@@ -131,6 +131,34 @@ def winnow_fingerprint(text: pd.Series) -> pd.Series:
     return text.map(fp).astype("int64")
 
 
+def word_ngrams(text_col: Column, k: int = 3) -> Column:
+    """All k-word grams of a document, duplicates KEPT (unlike
+    dedup.word_shingles, whose per-doc distinctness is the right contract
+    for set-similarity) — repetition scoring needs the multiplicity.
+    Empty array for docs shorter than k tokens. Pure JVM."""
+    toks = F.split(text_col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+        grams
+    )
+
+
+def repetition_score(text_col: Column, k: int = 3) -> Column:
+    """Intra-document repeated k-gram ratio — the Gopher-style repetition
+    quality gate (Rae et al. 2021 §A1.1 shape): 1 - distinct/total
+    k-grams; 0.0 for docs with no k-gram. Shuffle-free per-row JVM
+    expression, so the gate costs scan speed at any corpus size."""
+    grams = word_ngrams(text_col, k)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish token counts per document (JVM regexp)."""
     return df.withColumns(

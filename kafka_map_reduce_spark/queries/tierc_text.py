@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kafka_map_reduce_spark.functions import davg4, o_avg4
@@ -153,6 +154,114 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lived in a pandas UDF)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "q_text_repetition",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(g) = 0 THEN 0.0
+                ELSE floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                                  / len(g)) * 10000 + 0.5) / 10000
+           END AS rep3
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(a) < 3 THEN []
+                  ELSE list_transform(range(1, greatest(len(a) - 1, 1)),
+                                      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+             END AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents)
+    )
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gate (operators/text.py:repetition_score):
+    repeated 3-gram ratio per doc, the Gopher-style filter a training
+    pipeline runs before anything else. Shuffle-free JVM expression —
+    0-Exchange budget in plancheck; exact gram counts ride along so the
+    oracle hash pins the integers, not just the rounded ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = X.word_ngrams(F.col("text"), 3)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return d.select(
+        "doc_id",
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct"),
+        (
+            F.floor(X.repetition_score(F.col("text"), 3) * 10000 + F.lit(0.5))
+            / F.lit(10000)
+        ).alias("rep3"),
+    )
+
+
+@query(
+    "q_text_decontaminate",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents)
+    ),
+    bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+    overlap AS (
+      SELECT t.doc_id, b.bench_id, count(*) AS n_shared
+      FROM train t JOIN bench b USING (s)
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(bench_id AS BIGINT) AS bench_id,
+           CAST(n_shared AS BIGINT) AS n_shared
+    FROM (
+      SELECT doc_id, bench_id, n_shared,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_shared DESC, bench_id) AS rn
+      FROM overlap
+    ) WHERE rn = 1
+    """,
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data step none of the
+    dedup family covers: find TRAIN docs sharing >= 2 distinct word
+    3-gram shingles with any doc of an eval/benchmark set (here the
+    deterministic ~1% slice doc_id % 97 == 0), reporting each
+    contaminated doc's strongest benchmark match (ties to the smallest
+    bench id). The exact-n-gram-overlap shape of the GPT-3/PaLM
+    contamination reports.
+
+    100 TB design: the benchmark side is tiny by definition (an eval
+    suite, not a corpus) — its shingle table is broadcast, so candidate
+    generation is a map-side hash join against every train shingle
+    partition; the only shuffle is the (train, bench) overlap count, a
+    table bounded by actual collisions, then a per-doc argmax window
+    over those few rows. No corpus-side self-join anywhere."""
+    from kafka_map_reduce_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_sh = (
+        D.word_shingles(docs.filter(F.col("doc_id") % 97 == 0), "text", "doc_id")
+        .withColumnRenamed("id", "bench_id")
+    )
+    train_sh = D.word_shingles(
+        docs.filter(F.col("doc_id") % 97 != 0), "text", "doc_id"
+    )
+    overlap = (
+        train_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    w = W.partitionBy("id").orderBy(F.desc("n_shared"), F.asc("bench_id"))
+    return (
+        overlap.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias("doc_id"), "bench_id", "n_shared")
+    )
 
 
 @query("q_text_fingerprint", oracle=None, tags=("heuristic",))

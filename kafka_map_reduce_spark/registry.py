@@ -50,13 +50,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # after round 4 every query's LATEST driver row is green, so the window goes
 # to the stalest rows: (a) the 16 entries whose latest row is from round 2
 # (the 12 never-rotated bonus entries plus the 4 stable rows displaced from
-# the round-4 window), (b) 28 of the round-3 rows, led by
+# the round-4 window), (b) 26 of the round-3 rows, led by
 # q_dedup_near_capped because its operator file (operators/dedup.py) changes
-# this round, then the declared SURVEY §2.2 queries in module order. The
+# this round, then the declared SURVEY §2.2 queries in module order, plus
+# the two queries added this round (first row ever). The
 # round-3 rows that did not fit (q_join_null_safe/range_bucket/right/semi/
 # theta, q_topk, q_union_all/distinct, q_sql_interface, q_window_time_range,
 # q_agg_collect, q_audit_delivery/double_write, q_pivot, q_string_agg,
-# q_unpivot, q_multimodal_decode) are the round-6 rotation debt. Live
+# q_unpivot, q_multimodal_decode, plus q_math_funcs and q_join_cross —
+# both stable, displaced for the two queries ADDED this round
+# (q_text_repetition, q_text_decontaminate), which would otherwise sit
+# never-checked) are the round-6 rotation debt. Live
 # Structured-Streaming queries sit at the END of the window: they are the
 # only queries that could wedge a small harness session, and placing them
 # last means a wedge cannot shadow any other in-window check —
@@ -80,7 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_orc",
     "q_scan_binary",
     "q_multimodal_resize",
-    # (b) latest row is round-3 — batch (28); q_dedup_near_capped first
+    # (b) latest row is round-3 — batch (26); q_dedup_near_capped first
     # because operators/dedup.py changes this round (cache-leak fix)
     "q_dedup_near_capped",
     "q_agg_global",
@@ -101,15 +105,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_funnel",
     "q_histogram",
     "q_timeseries_gapfill",
-    "q_math_funcs",
     "q_orderby",
     "q_join_inner",
     "q_join_left",
     "q_join_full",
     "q_join_multiway",
     "q_join_anti",
-    "q_join_cross",
     "q_join_asof",
+    # new this round, first driver row ever — batch (2)
+    "q_text_repetition",
+    "q_text_decontaminate",
     # live streams, deliberately last in the window (6): the five r3-stale
     # live queries plus the ingest query whose code changes this round
     "q_stream_stateful",

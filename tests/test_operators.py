@@ -108,6 +108,27 @@ def test_quality_score_bounds(spark):
     assert all(v is None or 0.0 <= v <= 1.0 for v in vals)
 
 
+def test_repetition_score_exact_values(spark):
+    """repetition_score = 1 - distinct/total 3-grams; degenerate inputs
+    (fewer than 3 tokens, empty, NULL) are 0.0, never an error — gates
+    must be total functions over dirty corpora."""
+    from kafka_map_reduce_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            ("a b c a b c a b c",),  # 7 grams, 3 distinct -> 1 - 3/7
+            ("one two three four",),  # 2 grams, both distinct -> 0.0
+            ("too short",),
+            ("",),
+            (None,),
+        ],
+        "text string",
+    )
+    vals = [r.r for r in df.select(repetition_score(F.col("text")).alias("r")).collect()]
+    assert abs(vals[0] - (1 - 3 / 7)) < 1e-12
+    assert vals[1:] == [0.0, 0.0, 0.0, 0.0]
+
+
 def test_lang_id_matches_python_reference_and_stays_jvm(spark):
     """lang_id is a pure JVM expression: (a) outputs must match the
     per-row Python heuristic it replaced (same stopword profiles, same

@@ -102,6 +102,11 @@ MAX_EXCHANGES = {
     # the 11 moves batch/candidate-sized data — an Exchange beyond this
     # means a corpus-scale shuffle snuck into the ingest path.
     "q_dedup_incremental": 11,
+    "q_text_repetition": 0,  # per-row JVM gram math, scan speed
+    # broadcast eval-set shingles (map-side hash join) + overlap count agg
+    # + per-doc argmax window; a 3rd Exchange would mean the benchmark
+    # side stopped broadcasting — the scale contract of decontamination
+    "q_text_decontaminate": 2,
 }
 
 # Per-round Exchange budgets for the large-star/small-star contraction
