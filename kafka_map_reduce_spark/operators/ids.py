@@ -68,3 +68,63 @@ def contiguous_row_ids(
         .withColumn(id_col, (F.col(_OFFSET) + local + 1).cast("long"))
         .drop(_MID, _PID, _OFFSET)
     )
+
+
+def running_total(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """Add ``out_col`` = exclusive prefix sum of ``weight_col`` in
+    ``order_cols`` order (sum over all rows strictly BEFORE this row).
+
+    The weighted generalization of :func:`contiguous_row_ids`, and the
+    primitive behind GPT-style sequence packing (concatenate the token
+    stream, split every ``budget`` tokens): a global
+    ``sum() OVER (ORDER BY key)`` funnels all rows through one reducer,
+    so instead:
+
+    1. range-partition + sort by the order key (the one O(rows) shuffle
+       whose width is the order key + weight);
+    2. per-partition local prefix sums via a window PARTITIONED by the
+       physical partition id — one more O(rows) exchange, but every
+       window group is exactly one range partition, so the work is even
+       by construction (no skewed key can exist: pids are synthetic);
+    3. per-partition totals roll into offsets through a single tiny
+       O(partitions)-row window, broadcast back.
+
+    Same ``localCheckpoint`` determinism barrier as contiguous_row_ids:
+    steps 2 and 3 consume the stamped subtree twice, and range-exchange
+    sampling is nondeterministic across re-executions."""
+    stamped = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftright(F.col(_MID), _LOCAL_BITS)
+    totals = stamped.groupBy(pid.alias(_PID)).agg(
+        F.sum(weight_col).alias("__t")
+    )
+    offsets = totals.select(
+        _PID,
+        F.coalesce(
+            F.sum("__t").over(
+                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias(_OFFSET),
+    )
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(_MID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        stamped.withColumn(_PID, pid)
+        .withColumn("__local", F.coalesce(F.sum(weight_col).over(w_local), F.lit(0)))
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (F.col(_OFFSET) + F.col("__local")).cast("long"))
+        .drop(_MID, _PID, _OFFSET, "__local")
+    )

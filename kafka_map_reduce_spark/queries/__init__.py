@@ -17,6 +17,7 @@ from kafka_map_reduce_spark.queries import (  # noqa: F401
     udfs,
     tierc_text,
     tierc_dedup,
+    tierc_corpus,
     tierc_similarity,
     scalar_funcs,
     timeseries,

@@ -57,10 +57,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # round-3 rows that did not fit (q_join_null_safe/range_bucket/right/semi/
 # theta, q_topk, q_union_all/distinct, q_sql_interface, q_window_time_range,
 # q_agg_collect, q_audit_delivery/double_write, q_pivot, q_string_agg,
-# q_unpivot, q_multimodal_decode, plus q_math_funcs and q_join_cross —
-# both stable, displaced for the two queries ADDED this round
-# (q_text_repetition, q_text_decontaminate), which would otherwise sit
-# never-checked) are the round-6 rotation debt. Live
+# q_unpivot, q_multimodal_decode, plus q_math_funcs, q_join_cross,
+# q_join_inner, q_join_left and q_join_full — all stable, displaced for
+# the five queries ADDED this round (q_text_repetition,
+# q_text_decontaminate, q_pack_sequences, q_sample_temperature,
+# q_text_boilerplate), which would otherwise sit never-checked) are the
+# round-6 rotation debt. Live
 # Structured-Streaming queries sit at the END of the window: they are the
 # only queries that could wedge a small harness session, and placing them
 # last means a wedge cannot shadow any other in-window check —
@@ -106,15 +108,19 @@ _PRIORITY: tuple[str, ...] = (
     "q_histogram",
     "q_timeseries_gapfill",
     "q_orderby",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_full",
     "q_join_multiway",
     "q_join_anti",
     "q_join_asof",
-    # new this round, first driver row ever — batch (2)
+    # new this round, first driver row ever — batch (5): the two text
+    # gates plus the corpus-assembly trio (queries/tierc_corpus.py).
+    # They displace q_join_inner/left/full — the simplest, most stable
+    # r3 rows (plain equi-joins, pytest- and parity-covered every
+    # round), which join the round-6 rotation debt instead.
     "q_text_repetition",
     "q_text_decontaminate",
+    "q_pack_sequences",
+    "q_sample_temperature",
+    "q_text_boilerplate",
     # live streams, deliberately last in the window (6): the five r3-stale
     # live queries plus the ingest query whose code changes this round
     "q_stream_stateful",

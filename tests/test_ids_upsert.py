@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafka_map_reduce_spark.operators import maintenance as M
-from kafka_map_reduce_spark.operators.ids import contiguous_row_ids
+from kafka_map_reduce_spark.operators.ids import contiguous_row_ids, running_total
 
 
 class TestContiguousRowIds:
@@ -57,6 +57,45 @@ class TestContiguousRowIds:
         expect = sorted(((r.grp, r.id) for r in got))
         by_id = {(r.grp, r.id): r.row_id for r in got}
         assert [by_id[k] for k in expect] == list(range(1, 2001))
+
+
+class TestRunningTotal:
+    def test_matches_global_window(self, spark):
+        # shuffled, multi-partition input; exclusive prefix sum must equal
+        # the single-reducer SUM() OVER (ORDER BY k ROWS ... 1 PRECEDING)
+        df = (
+            spark.range(3000)
+            .select(
+                F.col("id").alias("k"),
+                ((F.col("id") * 37) % 101).alias("w"),
+            )
+            .orderBy(F.md5(F.col("k").cast("string")))
+            .repartition(16)
+        )
+        got = {
+            r.k: r.cum_before
+            for r in running_total(df, ["k"], "w").collect()
+        }
+        acc, expect = 0, {}
+        for k in range(3000):
+            expect[k] = acc
+            acc += (k * 37) % 101
+        assert got == expect
+
+    def test_zero_and_negative_weights(self, spark):
+        rows = [(0, 5), (1, 0), (2, -3), (3, 0), (4, 7)]
+        df = spark.createDataFrame(rows, "k long, w long").repartition(3)
+        got = {
+            r.k: r.cum_before
+            for r in running_total(df, ["k"], "w").collect()
+        }
+        assert got == {0: 0, 1: 5, 2: 5, 3: 2, 4: 2}
+
+    def test_single_partition_input(self, spark):
+        df = spark.createDataFrame([(i, 1) for i in range(10)], "k long, w long")
+        df = df.coalesce(1)
+        got = {r.k: r.cum_before for r in running_total(df, ["k"], "w").collect()}
+        assert got == {i: i for i in range(10)}
 
 
 class TestMergeUpsert:

@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose semantics ARE a cross product (bounded small sides).
 CROSS_OK = {
     "q_join_cross",
+    # 1-row global-total broadcast joined without a key — nested-loop
+    # over a single broadcast row is the intended scalar-attach shape
+    "q_sample_temperature",
     "q_sim_cosine",
     "q_sim_topk",
     "q_dedup_embedding",
@@ -107,6 +110,18 @@ MAX_EXCHANGES = {
     # + per-doc argmax window; a 3rd Exchange would mean the benchmark
     # side stopped broadcasting — the scale contract of decontamination
     "q_text_decontaminate": 2,
+    # running_total's two-phase prefix sum: range exchange + per-physical-
+    # partition window exchange (both 16-byte rows) + tiny offsets rollup;
+    # a 4th Exchange means the single-reducer global window crept back
+    "q_pack_sequences": 3,
+    # one corpus agg keyed by source, then only O(domains) rows move
+    # (score snap + 1-row total broadcast)
+    "q_sample_temperature": 3,
+    # line-hash count agg (+ broadcast count join at checked sf) + per-doc
+    # rollup; at corpus scale the cnt join becomes a shuffle join that
+    # REUSES the agg's h-partitioning, so the budget stays the contract
+    # that no exchange beyond {h, doc_id} keys exists
+    "q_text_boilerplate": 3,
 }
 
 # Per-round Exchange budgets for the large-star/small-star contraction
