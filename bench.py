@@ -62,6 +62,12 @@ SCALEUP_QUERIES = [
     "q_doc_ids",
     "q_pipeline_e2e",
     "q_sim_topk",
+    # added r5 (called out per bench hygiene; the 7 above stay the
+    # cross-round comparison set): both are shuffle-bound plans whose
+    # scale story is new this round — packing's two-phase prefix sum and
+    # boilerplate's line-hash count/join/rollup chain
+    "q_pack_sequences",
+    "q_text_boilerplate",
 ]
 SCALEUP_REPLICAS = 10
 _REPLICA_ID_OFFSET = 10_000_000
@@ -339,6 +345,29 @@ def main() -> None:
             "replicas_of_sf0.1": SCALEUP_REPLICAS,
             "runs_per_query": n_runs,
             "estimator": "min",
+            # r5 comparability note: BENCH_r04's q_dedup_near_capped sf1
+            # number (3.06 s) was warm-cache-inflated — the auto-prune
+            # path leaked a persisted candidates DataFrame (never
+            # unpersisted), and Spark's CacheManager matches subsequent
+            # runs' identical logical plans to that cache, so min-of-3
+            # measured runs that skipped candidate generation entirely.
+            # The leak is fixed (operators/dedup.py jaccard_verify:
+            # registry-less invocations localCheckpoint instead, blocks
+            # ContextCleaner-reclaimed); every run now pays full cost.
+            # A/B at sf1, same session, min-of-3: checkpoint 5.65 s vs
+            # leak-free persist+unpersist 7.62 s — checkpoint is the
+            # faster honest variant.
+            "notes": {
+                "q_dedup_near_capped": (
+                    "not comparable to BENCH_r04 sf1 (3.06s): that number "
+                    "was warm-cache-inflated by the leaked persisted "
+                    "candidates (CacheManager plan-matched them across "
+                    "min-of-3 reps, so reps 2-3 skipped candidate "
+                    "generation); leak fixed r5, every rep now pays full "
+                    "cost — A/B min-of-3 at sf1: localCheckpoint 5.65s "
+                    "vs leak-free persist 7.62s"
+                )
+            },
             "queries": sf1_times,
             "queries_sf0.1_same_session": base_times,
             "scaleup_ratio": {
