@@ -1,0 +1,144 @@
+"""One-off sf10 scale spot-check: 100x the driver's bench scale.
+
+The per-round bench (bench.py) proves sublinearity at sf1 (10x). This
+tool answers the next decade: it replicates the .bench_sf1 tables 10x
+more (500k documents, disjoint id spaces, replica tokens re-prefixed so
+no shingles are shared across replicas — same construction as
+bench.py's ensure_scaleup_tables) and runs the shuffle-bound corpus
+plans once at sf10 vs sf1 in the same session.
+
+Not part of the per-round driver bench (it would triple its wall time);
+run manually, paste the JSON into the commit/SURVEY. Usage:
+
+    python tools/scale_spot.py [n_runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+REPLICAS = 10
+_ID_OFFSET = 100_000_000  # sf1 ids reach ~9e7; replicas live in 1e8 decades
+
+QUERIES = [
+    "q_dedup_near_capped",
+    "q_dedup_simhash_capped",
+    "q_pack_sequences",
+    "q_text_boilerplate",
+    "q_doc_ids",
+    "q_pipeline_e2e",
+]
+
+
+def ensure_sf10(spark, sf1_dir: str, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(out_dir, f"_REPLICAS_{REPLICAS}_v1_OK")
+    if os.path.exists(marker):
+        return
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+
+    def replicate(name: str, id_cols: list[str], text_col: str | None) -> None:
+        base = spark.read.parquet(os.path.join(sf1_dir, f"{name}.parquet"))
+        parts = []
+        for i in range(REPLICAS):
+            r = base
+            for c in id_cols:
+                r = r.withColumn(c, F.col(c) + F.lit(i * _ID_OFFSET))
+            if text_col and i > 0:
+                # prefix every token again (s<i>): sf10 replicas share no
+                # shingles with each other or with the sf1 originals, so
+                # the near-dup structure is sf1's, 10 times over
+                r = r.withColumn(
+                    text_col,
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col(text_col), " "),
+                            lambda w: F.concat(F.lit(f"s{i}"), w),
+                        ),
+                        " ",
+                    ),
+                )
+                if "n_chars" in r.columns:
+                    r = r.withColumn("n_chars", F.length(F.col(text_col)))
+            parts.append(r)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+    replicate("documents", ["doc_id"], "text")
+    replicate("events", ["event_id", "user_id"], None)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+
+
+def main() -> int:
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+
+    from kafka_map_reduce_spark import get_session
+    from kafka_map_reduce_spark.registry import all_queries
+
+    spark = get_session(
+        "scale-spot",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")),
+    )
+    sf1_dir = os.path.join(REPO, ".bench_sf1")
+    if not os.path.exists(sf1_dir):
+        print("run bench.py first to build .bench_sf1", file=sys.stderr)
+        return 1
+    sf10_dir = os.path.join(REPO, ".bench_sf10")
+    t0 = time.time()
+    ensure_sf10(spark, sf1_dir, sf10_dir)
+    build_s = round(time.time() - t0, 1)
+
+    specs = all_queries()
+
+    def run_set(data_dir: str) -> dict:
+        times = {}
+        for name in QUERIES:
+            best = None
+            for _ in range(n_runs):
+                t = time.time()
+                specs[name].fn(spark, data_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = time.time() - t
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
+        return times
+
+    sf1_times = run_set(sf1_dir)
+    sf10_times = run_set(sf10_dir)
+    result = {
+        "metric": "sf10_scale_spot",
+        "replicas_of_sf1": REPLICAS,
+        "n_docs": 500_000,
+        "runs_per_query": n_runs,
+        "estimator": "min",
+        "table_build_sec": build_s,
+        "sf1": sf1_times,
+        "sf10": sf10_times,
+        "scaleup_ratio_10x_data": {
+            q: round(sf10_times[q] / sf1_times[q], 2)
+            for q in QUERIES
+            if sf1_times[q] > 0
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
