@@ -1,0 +1,98 @@
+"""Training-shard writer: size-capped, globally ordered shards + manifest.
+
+The last step of a training-data pipeline (after dedup → gates → pack):
+materialize the corpus as N-row shards in a stable global order, with a
+manifest recording each shard's row range so a trainer can address
+"shard 17, rows 0..8191" without listing or reading data files — the
+webdataset / tfrecord-shard layout re-expressed over parquet.
+
+Scale design: the global order comes from
+:func:`operators.ids.contiguous_row_ids` (two-phase enumeration — no
+single-reducer sort), shard assignment is a narrow integer division, and
+the write is ``partitionBy(shard)`` with ``sortWithinPartitions`` inside
+each shard, so every shard directory holds exactly its contiguous id
+range. The manifest is an O(shards) aggregate. Nothing corpus-sized
+touches the driver.
+
+The reference has no storage layer at all (its sink is an HTTP insert,
+clickhouse.rs:65-139); this operator exists for the training-pipeline
+tier, pytest-only by declaration like the other table-maintenance ops.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_map_reduce_spark.operators.ids import contiguous_row_ids
+
+
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    order_cols: list[str],
+    rows_per_shard: int,
+    id_col: str = "sample_id",
+) -> DataFrame:
+    """Write ``df`` as ``rows_per_shard``-row shards ordered by
+    ``order_cols``; returns the manifest DataFrame (also written to
+    ``<out_dir>/_manifest``).
+
+    Each output row gains ``id_col`` (1-based dense global rank) and
+    lands in shard ``(id-1) // rows_per_shard``. The manifest holds one
+    row per shard: (shard, n_rows, first_id, last_id). Every shard but
+    the last has exactly ``rows_per_shard`` rows — asserted here via the
+    manifest aggregate (one tiny collect), because a silent off-by-one
+    in shard sizing corrupts every downstream epoch index.
+    """
+    if rows_per_shard <= 0:
+        raise ValueError(f"rows_per_shard must be positive, got {rows_per_shard}")
+    with_ids = contiguous_row_ids(df, order_cols, id_col=id_col)
+    sharded = with_ids.withColumn(
+        "shard",
+        ((F.col(id_col) - 1) / F.lit(rows_per_shard)).cast("long"),
+    )
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    spark = df.sparkSession
+    manifest = (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(id_col).alias("first_id"),
+            F.max(id_col).alias("last_id"),
+        )
+        .orderBy("shard")
+    )
+    rows = manifest.collect()  # O(shards), driver-safe by construction
+    for r in rows:
+        full = r.n_rows == rows_per_shard
+        is_last = r.shard == rows[-1].shard
+        if not full and not is_last:
+            raise AssertionError(
+                f"shard {r.shard} has {r.n_rows} rows, expected {rows_per_shard}"
+            )
+        if r.last_id - r.first_id + 1 != r.n_rows:
+            raise AssertionError(
+                f"shard {r.shard} id range [{r.first_id}, {r.last_id}] is not "
+                f"contiguous for {r.n_rows} rows"
+            )
+    manifest_df = spark.createDataFrame(rows, manifest.schema)
+    manifest_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_manifest")
+    )
+    return manifest_df
+
+
+def read_shard(spark: SparkSession, out_dir: str, shard: int) -> DataFrame:
+    """Read one shard by manifest addressing — partition pruning means
+    only that shard's directory is scanned."""
+    return spark.read.parquet(out_dir).filter(F.col("shard") == shard)
