@@ -243,6 +243,89 @@ def materialize(df) -> int:
     return 0
 
 
+def bench_pipeline_throughput(spark, sf_dir: str, n_runs: int) -> dict:
+    """End-to-end Tier-A pipeline throughput over the events table —
+    the number that answers the reference's own workload (its entire
+    product is source → par_map → reduce → sink, main.rs:85-122; it
+    publishes no throughput figures to compare against, BASELINE.md).
+
+    Two faces of the same pipeline, measured separately because they
+    bound the design space:
+    - map_expr (JVM): parse + derive + filter in codegen — the engine's
+      preferred path for SQL-expressible record transforms;
+    - par_map (Arrow/Python): the same transform as a per-record Python
+      dict function — the path a user takes when the transform genuinely
+      needs Python, and the honest analogue of the reference's
+      arbitrary-Rust par_map stage.
+    Sink is the parquet batch sink with an uncapped batch (one file per
+    partition): the 128-row reference cap models HTTP insert batching,
+    which would measure file-creation overhead here, not the engine.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_map_reduce_spark.sources import load_table
+    from kafka_map_reduce_spark.streaming.pipeline import ParquetSink, Pipeline
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "props"
+    )
+    n_rows = events.count()
+    out: dict = {"rows": n_rows}
+
+    def run(build) -> float:
+        best = float("inf")
+        for _ in range(n_runs):
+            tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+            try:
+                t0 = time.time()
+                build(ParquetSink(os.path.join(tmp, "out"), max_batch_rows=1 << 30))
+                best = min(best, time.time() - t0)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        return best
+
+    jvm_sec = run(
+        lambda sink: Pipeline(events)
+        .map_expr(
+            value_bucket=F.floor(F.col("value") * 10).cast("long"),
+            etype=F.upper(F.col("event_type")),
+            plen=F.length(F.col("props")),
+        )
+        .filter(F.col("value") >= 0)
+        .run_batch(sink)
+    )
+
+    # par_map APPENDS derived fields (input columns pass through for DLQ
+    # provenance), so out_fields holds only the new columns
+    fields = T.StructType(
+        [
+            T.StructField("value_bucket", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("plen", T.IntegerType()),
+        ]
+    )
+
+    def py_transform(rec: dict) -> dict:
+        return {
+            "value_bucket": int(rec["value"] * 10 // 1),
+            "etype": rec["event_type"].upper(),
+            "plen": len(rec["props"]),
+        }
+
+    arrow_sec = run(
+        lambda sink: Pipeline(events)
+        .par_map(py_transform, fields)
+        .run_batch(sink)
+    )
+    out["jvm_map_expr_rows_per_sec"] = int(n_rows / jvm_sec)
+    out["arrow_par_map_rows_per_sec"] = int(n_rows / arrow_sec)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -332,6 +415,10 @@ def main() -> None:
                 }
         except (json.JSONDecodeError, OSError, TypeError):
             pass  # a malformed prior artifact must not fail the bench
+    # Tier-A pipeline throughput (added r5): rows/sec through the full
+    # source -> transform -> batch-sink path, JVM and Arrow faces.
+    result["pipeline"] = bench_pipeline_throughput(spark, sf_dir, n_runs)
+
     scaleup_on = os.environ.get("SPARK_GRAFT_SCALEUP", "1") != "0" and sf == "0.1"
     if scaleup_on:
         sf1_dir = os.path.join(REPO, ".bench_sf1")
@@ -340,6 +427,7 @@ def main() -> None:
         sf1_times = bench_set(SCALEUP_QUERIES, sf1_dir, n_runs)
         incr = bench_incremental_ingest(spark, sf1_dir, n_runs)
         star = bench_star_convergence(spark, sf1_dir)
+        pipe_sf1 = bench_pipeline_throughput(spark, sf1_dir, n_runs)
         result["sf1"] = {
             "sf": 1.0,
             "replicas_of_sf0.1": SCALEUP_REPLICAS,
@@ -387,6 +475,9 @@ def main() -> None:
             # star-contraction components over the real sf1 pair set:
             # `rounds` substantiates the O(log n) convergence claim
             "star_components": star,
+            # sustained pipeline throughput at 1M events (the sf0.1
+            # number is fixed-overhead-dominated at 100k rows)
+            "pipeline": pipe_sf1,
         }
     print(json.dumps(result))
     spark.stop()
