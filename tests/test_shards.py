@@ -64,3 +64,28 @@ def test_manifest_persisted(spark, docs, tmp_path):
 def test_rejects_bad_shard_size(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="rows_per_shard"):
         write_shards(docs, str(tmp_path / "x"), ["doc_id"], rows_per_shard=0)
+
+
+def test_rerun_over_partial_output_is_idempotent(spark, docs, tmp_path):
+    """A crashed writer leaves partial shard directories; a rerun must
+    converge to the exact complete layout (mode=overwrite + the manifest
+    written last acts as the commit marker: no _manifest -> not
+    committed, rerun)."""
+    import shutil
+
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, ["doc_id"], rows_per_shard=128)
+    good = {
+        (r.shard, r.n_rows, r.first_id, r.last_id)
+        for r in spark.read.parquet(os.path.join(out, "_manifest")).collect()
+    }
+    # simulate a crash: drop the manifest and one shard directory
+    shutil.rmtree(os.path.join(out, "_manifest"))
+    shutil.rmtree(os.path.join(out, "shard=3"))
+    write_shards(docs, out, ["doc_id"], rows_per_shard=128)
+    again = {
+        (r.shard, r.n_rows, r.first_id, r.last_id)
+        for r in spark.read.parquet(os.path.join(out, "_manifest")).collect()
+    }
+    assert again == good
+    assert spark.read.parquet(out).count() == 1000
