@@ -469,3 +469,180 @@ def pq_topk(
         .drop("__pv", "__cv")
     )
     return ranked_topk(exact, k)
+
+
+# ---- IVFADC: coarse IVF buckets + PQ on residuals --------------------------
+# The billion-vector configuration (Jegou TPAMI'11 §VI): the coarse
+# quantizer restricts WHICH codes are scanned (nprobe buckets instead of
+# the corpus), PQ on the residual (vec - coarse centroid) compresses WHAT
+# is scanned. Residuals concentrate near zero, so a residual codebook is
+# finer than a raw-vector codebook of the same size.
+
+
+def ivfpq_index(
+    corpus: DataFrame, n_clusters: int = 8, m: int = 4, n_codes: int = 16,
+    iters: int = 3, vec_col: str = "embedding", id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the IVFADC layout: returns (coarse_centroids, codebooks,
+    encoded) where encoded = (id, bkt, codes) — the persistable triple
+    (coarse KBs, codebooks KBs, codes m bytes/vector). ``centroids``
+    skips coarse training, the per-epoch production shape.
+
+    Scale: coarse assignment and residual computation are shuffle-free
+    (one broadcast centroid row, inline argmin, zip_with subtraction);
+    residual codebook training reuses kmeans_fit per subspace; encoding
+    is pq_encode over the residual column — the corpus is scanned, never
+    shuffled."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(corpus, n_clusters, iters, vec_col, id_col)
+    )
+    cent_row = cents.agg(
+        F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
+    )
+    resid = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+        .join(F.broadcast(cent_row))
+        .withColumn("__near", _nearest(F.col("__v"), F.col("__cents")))
+        .withColumn("bkt", F.col("__near")["cid"])
+        .withColumn(
+            "__resid",
+            F.zip_with(
+                F.col("__v"),
+                F.element_at(
+                    F.map_from_entries(
+                        F.transform(
+                            F.col("__cents"),
+                            lambda c: F.struct(
+                                c["cluster_id"].alias("k"), c["centroid"].alias("v")
+                            ),
+                        )
+                    ),
+                    F.col("bkt"),
+                ),
+                lambda a, b: a - b,
+            ),
+        )
+        .select(id_col, "bkt", "__resid")
+    )
+    books = pq_fit(resid, m=m, n_codes=n_codes, iters=iters,
+                   vec_col="__resid", id_col=id_col)
+    encoded = pq_encode(resid, books, m=m, vec_col="__resid", id_col=id_col).join(
+        resid.select(F.col(id_col).alias("id"), "bkt"), "id"
+    )
+    return cents, books, encoded
+
+
+def ivfpq_topk(
+    probes: DataFrame, coarse: DataFrame, codebooks: DataFrame,
+    encoded: DataFrame, k: int = 5, m: int = 4, nprobe: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    rerank_corpus: DataFrame | None = None, shortlist: int = 50,
+) -> DataFrame:
+    """ADC top-k over the IVFADC layout: each probe scans only its
+    ``nprobe`` nearest buckets' codes, scoring residual distances via a
+    per-(probe, bucket) LUT — the probe's residual differs per bucket, so
+    the LUT carries the bucket id and the code join is on bkt (bounded
+    candidates, never the corpus). Output contract = pq_topk (sim is
+    negative squared L2 to the reconstruction); ``rerank_corpus`` adds
+    the exact-re-rank tail stage."""
+    cent_row = coarse.agg(
+        F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
+    )
+    book_row = _codebook_row(codebooks)
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"), _as_double(F.col(vec_col)).alias("__pv")
+        )
+        .join(F.broadcast(cent_row))
+        # nprobe nearest coarse buckets, then the residual vs EACH bucket
+        .withColumn(
+            "__cand",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("__cents"),
+                        lambda c: F.struct(
+                            _l2sq(F.col("__pv"), c["centroid"]).alias("d"),
+                            c["cluster_id"].alias("cid"),
+                            c["centroid"].alias("cent"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select(
+            "probe_id",
+            "__pv",
+            F.explode("__cand").alias("__c"),
+        )
+        .withColumn("bkt", F.col("__c")["cid"])
+        .withColumn(
+            "__presid", F.zip_with("__pv", F.col("__c")["cent"], lambda a, b: a - b)
+        )
+        .join(F.broadcast(book_row))
+        .select(
+            "probe_id",
+            "bkt",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.map_from_entries(
+                    F.transform(
+                        F.col("__books")[j],
+                        lambda c: F.struct(
+                            c["cluster_id"].alias("k"),
+                            _l2sq(
+                                F.slice(
+                                    F.col("__presid"),
+                                    j
+                                    * F.floor(F.size("__presid") / F.lit(m)).cast(
+                                        "int"
+                                    )
+                                    + 1,
+                                    F.floor(F.size("__presid") / F.lit(m)).cast(
+                                        "int"
+                                    ),
+                                ),
+                                c["centroid"],
+                            ).alias("v"),
+                        ),
+                    )
+                ),
+            ).alias("__lut"),
+        )
+    )
+    scored = (
+        encoded.select(F.col("id").alias("neighbor_id"), "bkt", "codes")
+        .join(F.broadcast(p), "bkt")
+        .withColumn(
+            "sim",
+            -_fold_sum(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("__lut"),
+                    lambda code, lut: F.element_at(lut, code),
+                )
+            ),
+        )
+        .drop("codes", "__lut")
+    )
+    if rerank_corpus is None:
+        return ranked_topk(scored, k)
+    short = ranked_topk(scored, shortlist).select("probe_id", "neighbor_id")
+    cvecs = rerank_corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    pvecs = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double(F.col(vec_col)).alias("__pv")
+    )
+    exact = (
+        short.join(cvecs, "neighbor_id")
+        .join(F.broadcast(pvecs), "probe_id")
+        .withColumn("sim", -_l2sq(F.col("__pv"), F.col("__cv")))
+        .drop("__pv", "__cv")
+    )
+    return ranked_topk(exact, k)

@@ -155,3 +155,120 @@ def test_pq_recall_floor_vs_exact_l2(spark, emb, books):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.70, f"PQ mean recall@10 {mean_recall:.2f} < 0.70"
+
+
+# ---- IVFADC (ivfpq_index / ivfpq_topk) ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq(spark, emb):
+    from kafka_map_reduce_spark.operators.similarity import ivfpq_index
+
+    corpus = emb.filter("vec_id >= 10")
+    coarse, books, enc = ivfpq_index(corpus, n_clusters=4, m=M, n_codes=N_CODES, iters=3)
+    return (
+        coarse.localCheckpoint(eager=True),
+        books.localCheckpoint(eager=True),
+        enc.localCheckpoint(eager=True),
+    )
+
+
+def test_ivfpq_layout_is_complete_and_valid(emb, ivfpq):
+    coarse, books, enc = ivfpq
+    corpus_ids = {r.vec_id for r in emb.filter("vec_id >= 10").collect()}
+    rows = enc.collect()
+    assert {r.id for r in rows} == corpus_ids and len(rows) == len(corpus_ids)
+    coarse_ids = {r.cluster_id for r in coarse.collect()}
+    valid_codes = {}
+    for r in books.collect():
+        valid_codes.setdefault(r.subspace, set()).add(r.cluster_id)
+    for r in rows:
+        assert r.bkt in coarse_ids
+        assert len(r.codes) == M
+        for j, code in enumerate(r.codes):
+            assert code in valid_codes[j]
+
+
+def test_ivfpq_nprobe1_scans_only_nearest_bucket(spark, emb, ivfpq):
+    """With nprobe=1 every returned neighbor must live in the probe's
+    nearest coarse bucket — the candidate-restriction contract that makes
+    IVF the scan-cost knob."""
+    from kafka_map_reduce_spark.operators.similarity import ivfpq_topk
+
+    coarse, books, enc = ivfpq
+    probes = emb.filter("vec_id < 5")
+    got = ivfpq_topk(probes, coarse, books, enc, k=10, m=M, nprobe=1).collect()
+
+    cents = {r.cluster_id: list(r.centroid) for r in coarse.collect()}
+    membership = {r.id: r.bkt for r in enc.collect()}
+    pvecs = {r.vec_id: [float(x) for x in r.embedding] for r in probes.collect()}
+    for r in got:
+        p = pvecs[r.probe_id]
+        dists = {
+            cid: sum((a - b) ** 2 for a, b in zip(p, c)) for cid, c in cents.items()
+        }
+        nearest = min(dists, key=lambda c: (dists[c], c))
+        assert membership[r.neighbor_id] == nearest, (
+            f"probe {r.probe_id}: neighbor {r.neighbor_id} is in bucket "
+            f"{membership[r.neighbor_id]}, nearest is {nearest}"
+        )
+
+
+def test_ivfpq_reranked_recall_floor(spark, emb, ivfpq):
+    """Re-ranked recall@10 >= 0.55 at nprobe=2-of-4, shortlist=100 on the
+    PQ-hostile random fixture (measures 0.61; nprobe=4 — scanning every
+    bucket — measures 0.73, converging to the plain-PQ 0.75 as expected,
+    so the gap is the IVF candidate restriction, not the codes)."""
+    from kafka_map_reduce_spark.operators.similarity import ivfpq_topk
+
+    coarse, books, enc = ivfpq
+    k = 10
+    probes = emb.filter("vec_id < 10")
+    corpus = emb.filter("vec_id >= 10")
+
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("pv"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    from pyspark.sql.window import Window
+
+    exact = (
+        c.join(F.broadcast(p))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("pv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.col("d").asc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= k)
+        .collect()
+    )
+    approx = ivfpq_topk(
+        probes, coarse, books, enc, k=k, m=M, nprobe=2,
+        rerank_corpus=corpus, shortlist=100,
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[p_] & approx_sets.get(p_, set())) / len(exact_sets[p_])
+        for p_ in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.55, f"IVFADC mean recall@10 {mean_recall:.2f} < 0.55"
