@@ -169,3 +169,48 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    lm_counts: DataFrame | None = None, oov_pseudo_count: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the perplexity-style
+    quality gate (CCNet trains a KenLM and buckets documents by
+    perplexity; a unigram LM over the corpus itself is the same shape
+    minus the external model dependency this container can't ship).
+    Low scores flag documents whose token distribution diverges from the
+    corpus — gibberish, wrong-language leakage, encoding damage.
+
+    ``lm_counts`` (a (tok, cnt) table, e.g. persisted from a reference
+    corpus) scores against a FIXED model — the production setup where
+    the LM is trained once and every ingest batch is scored against it;
+    default trains on ``df`` itself. Unseen tokens get
+    ``oov_pseudo_count`` (avoids -inf without full smoothing).
+
+    Scale shape: token counts are one hash aggregate (partial map-side
+    combine collapses hot tokens — Zipf skew lands on the combiner, not
+    one reducer); scoring joins exploded tokens to counts on the token
+    and re-aggregates per doc. Both shuffles are (token|id, long) narrow
+    rows. The LM itself never touches the driver."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    if lm_counts is None:
+        lm_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total_row = lm_counts.agg(F.sum("cnt").cast("double").alias("__total"))
+    scored = (
+        toks.join(lm_counts, "tok", "left")
+        .join(F.broadcast(total_row))
+        .withColumn(
+            "__lp",
+            F.log(
+                F.coalesce(F.col("cnt").cast("double"), F.lit(oov_pseudo_count))
+                / F.col("__total")
+            ),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg("__lp").alias("mean_logprob"),
+    )

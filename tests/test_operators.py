@@ -1103,3 +1103,67 @@ def test_lsh_index_compaction_preserves_probe_results(spark, tmp_path):
     M.compact_parquet(spark, idx_path, target_file_bytes=1 << 30)
     assert M.parquet_file_stats(spark, idx_path)["n_files"] < n_before
     assert probe() == before
+
+
+class TestUnigramLogprob:
+    """Perplexity-style quality scorer (operators/text.py unigram_logprob)."""
+
+    def _docs(self, spark):
+        rows = [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the rug"),
+            (2, "zq xv qqj wybf zzzz kkkkq"),  # gibberish: all rare tokens
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_hand_computed_model(self, spark):
+        from kafka_map_reduce_spark.operators.text import unigram_logprob
+
+        import math
+
+        docs = self._docs(spark)
+        got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+        # hand-built unigram model over all 18 tokens
+        toks = [t for _, s in [(0, "the cat sat on the mat"),
+                               (1, "the dog sat on the rug"),
+                               (2, "zq xv qqj wybf zzzz kkkkq")]
+                for t in s.split()]
+        total = len(toks)
+        cnt = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        for doc_id, s in [(0, "the cat sat on the mat"),
+                          (1, "the dog sat on the rug"),
+                          (2, "zq xv qqj wybf zzzz kkkkq")]:
+            lps = [math.log(cnt[t] / total) for t in s.split()]
+            assert got[doc_id].n_tokens == len(s.split())
+            assert got[doc_id].mean_logprob == pytest.approx(
+                sum(lps) / len(lps), rel=1e-9
+            )
+
+    def test_gibberish_scores_lowest(self, spark):
+        from kafka_map_reduce_spark.operators.text import unigram_logprob
+
+        got = {r.doc_id: r.mean_logprob for r in
+               unigram_logprob(self._docs(spark)).collect()}
+        assert got[2] < got[0] and got[2] < got[1]
+
+    def test_fixed_lm_scores_oov_with_pseudo_count(self, spark):
+        from kafka_map_reduce_spark.operators.text import unigram_logprob
+
+        import math
+
+        docs = self._docs(spark)
+        lm = spark.createDataFrame(
+            [("the", 10), ("cat", 5), ("sat", 5), ("on", 10), ("mat", 5),
+             ("dog", 5), ("rug", 5)],
+            "tok string, cnt long",
+        )
+        got = {r.doc_id: r for r in
+               unigram_logprob(docs, lm_counts=lm, oov_pseudo_count=0.5).collect()}
+        # doc 2 is 100% OOV under the fixed LM: every token scores
+        # log(0.5/45)
+        assert got[2].mean_logprob == pytest.approx(math.log(0.5 / 45), rel=1e-9)
+        # doc 0 fully in-vocab: hand-check first token
+        lps = [math.log(c / 45) for c in (10, 5, 5, 10, 10, 5)]
+        assert got[0].mean_logprob == pytest.approx(sum(lps) / 6, rel=1e-9)
