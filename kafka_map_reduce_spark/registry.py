@@ -62,7 +62,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the five queries ADDED this round (q_text_repetition,
 # q_text_decontaminate, q_pack_sequences, q_sample_temperature,
 # q_text_boilerplate), which would otherwise sit never-checked) are the
-# round-6 rotation debt. Live
+# round-6 rotation debt. Round-6 registration candidates (operators
+# landed r5 pytest-only, each worth a driver row once window space
+# exists): unigram_logprob (operators/text.py — SQL-oracle-able),
+# repeated_spans (operators/dedup.py — SQL-oracle-able via the DuckDB
+# hash mismatch caveat: use md5 not xxhash64 in the query wrapper),
+# pq_topk / ivfpq_topk (operators/similarity.py — rows-only + the
+# pinned recall floors in tests/test_pq.py). Live
 # Structured-Streaming queries sit at the END of the window: they are the
 # only queries that could wedge a small harness session, and placing them
 # last means a wedge cannot shadow any other in-window check —

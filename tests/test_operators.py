@@ -1167,3 +1167,61 @@ class TestUnigramLogprob:
         # doc 0 fully in-vocab: hand-check first token
         lps = [math.log(c / 45) for c in (10, 5, 5, 10, 10, 5)]
         assert got[0].mean_logprob == pytest.approx(sum(lps) / 6, rel=1e-9)
+
+
+class TestRepeatedSpans:
+    """Substring-level exact dedup (operators/dedup.py repeated_spans)."""
+
+    def _docs(self, spark):
+        # distinct filler derived from (doc, position); a 60-token license
+        # block planted verbatim into docs 0 and 1 at DIFFERENT offsets
+        license_block = " ".join(f"lic{i}" for i in range(60))
+        rows = [
+            (0, " ".join(f"a{i}" for i in range(20)) + " " + license_block
+                + " " + " ".join(f"b{i}" for i in range(20))),
+            (1, " ".join(f"c{i}" for i in range(35)) + " " + license_block),
+            (2, " ".join(f"d{i}" for i in range(120))),  # no repeats
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_span_found_in_both_docs_no_false_positives(self, spark):
+        from kafka_map_reduce_spark.operators.dedup import repeated_spans
+
+        got = repeated_spans(
+            self._docs(spark), "text", "doc_id", span_tokens=50, stride=1
+        ).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.id, []).append(r)
+        assert 2 not in by_doc  # doc 2 is clean
+        assert set(by_doc) == {0, 1}
+        # a 60-token repeat contains 11 alignments of a 50-token window;
+        # every one must be caught in both docs (the paper's exactness)
+        assert len(by_doc[0]) == 11 and len(by_doc[1]) == 11
+        # positions: doc 0 plants at token 20, doc 1 at token 35
+        assert sorted(r.start_tok for r in by_doc[0]) == list(range(20, 31))
+        assert sorted(r.start_tok for r in by_doc[1]) == list(range(35, 46))
+        # the same window content hashes identically across docs
+        h0 = {r.start_tok - 20: r.span_hash for r in by_doc[0]}
+        h1 = {r.start_tok - 35: r.span_hash for r in by_doc[1]}
+        assert h0 == h1
+        assert all(r.n_docs == 2 for r in got)
+
+    def test_short_docs_are_skipped(self, spark):
+        from kafka_map_reduce_spark.operators.dedup import repeated_spans
+
+        docs = spark.createDataFrame(
+            [(0, "x y z"), (1, "x y z")], "doc_id long, text string"
+        )
+        assert repeated_spans(docs, "text", "doc_id", span_tokens=50).count() == 0
+
+    def test_within_doc_repeat_not_reported_as_cross_doc(self, spark):
+        from kafka_map_reduce_spark.operators.dedup import repeated_spans
+
+        # one doc repeating its own 50-token block: count_distinct(id)=1,
+        # so nothing is cross-document
+        block = " ".join(f"r{i}" for i in range(50))
+        docs = spark.createDataFrame(
+            [(0, block + " mid0 mid1 mid2 " + block)], "doc_id long, text string"
+        )
+        assert repeated_spans(docs, "text", "doc_id", span_tokens=50).count() == 0
