@@ -945,3 +945,84 @@ def repeated_spans(
     return spans.join(counts.filter(F.col("n_docs") > 1), "span_hash").select(
         "id", "start_tok", "span_hash", "n_docs"
     )
+
+
+def line_hashes(
+    df: DataFrame, text_col: str, id_col: str, line_tokens: int = 20
+) -> DataFrame:
+    """(id, h) md5 hashes of non-overlapping ``line_tokens``-token lines —
+    the unit of CCNet-style line-level boilerplate scoring (the same
+    construction q_text_boilerplate inlines; md5 because the registered
+    query's DuckDB oracle must hash identically). Narrow 1->N, no
+    shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), r"\s+").alias("__a")
+    )
+    n_lines = F.greatest(
+        F.ceil(F.size("__a") / F.lit(float(line_tokens))).cast("long"), F.lit(1)
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice("__a", i * line_tokens + 1, line_tokens), " ")
+        ),
+    )
+    return toks.select("id", F.explode(hashes).alias("h"))
+
+
+def append_line_counts(batch_lines: DataFrame, index_path: str, batch_id) -> None:
+    """Append a batch's line-hash counts as a delta partition of the
+    persisted line index — the LSM shape of the LSH band index: ingest
+    cost is one batch-sized aggregate + write, NEVER an index rewrite.
+    Readers sum across deltas; ``compact_line_index`` folds them."""
+    (
+        batch_lines.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/batch={batch_id}")
+    )
+
+
+def compact_line_index(spark, index_path: str) -> None:
+    """Fold all delta partitions into one (h, cnt) baseline — the
+    maintenance pass that bounds read amplification. Scores before and
+    after are identical (sum is associative); pytest asserts it."""
+    folded = (
+        spark.read.parquet(index_path)
+        .groupBy("h")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    tmp = index_path.rstrip("/") + "__compact"
+    folded.write.mode("overwrite").parquet(f"{tmp}/batch=compacted")
+    import shutil
+
+    shutil.rmtree(index_path)
+    shutil.move(tmp, index_path)
+
+
+def boilerplate_against(
+    batch_lines: DataFrame, spark, index_path: str
+) -> DataFrame:
+    """Per-doc line-duplication score for a batch against the persisted
+    index (which must already include the batch's own delta, so scores
+    equal a full recompute over corpus-so-far ∪ batch — parity-tested).
+
+    Scale: the index read is an (h, cnt) scan summed per key — partial
+    aggregation collapses the hot boilerplate keys map-side; the join
+    against the batch's lines is batch-sized on one side. Cost tracks
+    the index only through the linear delta scan, which compaction
+    bounds."""
+    counts = (
+        spark.read.parquet(index_path)
+        .groupBy("h")
+        .agg(F.sum("cnt").alias("occ"))
+    )
+    dup = F.when(F.col("occ") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        batch_lines.join(counts, "h")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(dup).cast("long").alias("n_dup_lines"),
+        )
+    )

@@ -1225,3 +1225,93 @@ class TestRepeatedSpans:
             [(0, block + " mid0 mid1 mid2 " + block)], "doc_id long, text string"
         )
         assert repeated_spans(docs, "text", "doc_id", span_tokens=50).count() == 0
+
+
+class TestIncrementalLineIndex:
+    """Incremental line-level boilerplate index (operators/dedup.py
+    line_hashes / append_line_counts / boilerplate_against /
+    compact_line_index): LSM-style count deltas, parity vs full
+    recompute, compaction invariance."""
+
+    def _corpus(self, spark):
+        # 30 docs of 60 tokens; docs 0-9 share a common 20-token footer
+        # (tokens f0..f19) in their last line
+        rows = []
+        for d in range(30):
+            body = " ".join(f"d{d}w{i}" for i in range(40))
+            tail = (
+                " ".join(f"f{i}" for i in range(20))
+                if d < 10
+                else " ".join(f"t{d}x{i}" for i in range(20))
+            )
+            rows.append((d, body + " " + tail))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _full_scores(self, spark, docs):
+        from kafka_map_reduce_spark.operators.dedup import line_hashes
+
+        lines = line_hashes(docs, "text", "doc_id")
+        cnt = lines.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+        dup = F.when(F.col("occ") > 1, F.lit(1)).otherwise(F.lit(0))
+        return {
+            r.doc_id: (r.n_lines, r.n_dup)
+            for r in lines.join(cnt, "h")
+            .groupBy(F.col("id").alias("doc_id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_lines"),
+                F.sum(dup).cast("long").alias("n_dup"),
+            )
+            .collect()
+        }
+
+    def test_batched_ingest_matches_full_recompute(self, spark, tmp_path):
+        from kafka_map_reduce_spark.operators import dedup as D
+
+        docs = self._corpus(spark)
+        idx = str(tmp_path / "line_index")
+        # ingest in 3 batches of 10
+        for b in range(3):
+            batch = docs.filter(
+                (F.col("doc_id") >= b * 10) & (F.col("doc_id") < (b + 1) * 10)
+            )
+            D.append_line_counts(
+                D.line_hashes(batch, "text", "doc_id"), idx, batch_id=b
+            )
+        # score EVERY doc against the fully-ingested index
+        got = {
+            r.doc_id: (r.n_lines, r.n_dup_lines)
+            for r in D.boilerplate_against(
+                D.line_hashes(docs, "text", "doc_id"), spark, idx
+            ).collect()
+        }
+        assert got == self._full_scores(spark, docs)
+        # the footer docs are the dup-flagged ones
+        assert all(got[d][1] >= 1 for d in range(10))
+        assert all(got[d][1] == 0 for d in range(10, 30))
+
+    def test_compaction_preserves_scores_and_folds_deltas(self, spark, tmp_path):
+        import os
+
+        from kafka_map_reduce_spark.operators import dedup as D
+
+        docs = self._corpus(spark)
+        idx = str(tmp_path / "line_index")
+        for b in range(3):
+            batch = docs.filter(
+                (F.col("doc_id") >= b * 10) & (F.col("doc_id") < (b + 1) * 10)
+            )
+            D.append_line_counts(
+                D.line_hashes(batch, "text", "doc_id"), idx, batch_id=b
+            )
+        lines = D.line_hashes(docs, "text", "doc_id")
+        before = {
+            r.doc_id: (r.n_lines, r.n_dup_lines)
+            for r in D.boilerplate_against(lines, spark, idx).collect()
+        }
+        D.compact_line_index(spark, idx)
+        after = {
+            r.doc_id: (r.n_lines, r.n_dup_lines)
+            for r in D.boilerplate_against(lines, spark, idx).collect()
+        }
+        assert after == before
+        assert os.listdir(idx) == ["batch=compacted"]
