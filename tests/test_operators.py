@@ -1315,3 +1315,84 @@ class TestIncrementalLineIndex:
         }
         assert after == before
         assert os.listdir(idx) == ["batch=compacted"]
+
+
+def test_stream_line_index_ingest_matches_full_recompute(spark, tmp_path):
+    """The incremental line index composed as a LIVE stream: a 3-file
+    replay ingests one micro-batch per trigger via foreachBatch ->
+    append_line_counts; after the drain, scoring the whole corpus
+    against the streamed index equals the one-shot full recompute —
+    the same contract the LSH streaming ingest pins, at line
+    granularity."""
+    import os
+
+    from kafka_map_reduce_spark.operators import dedup as D
+    from kafka_map_reduce_spark.streaming.pipeline import drain_query
+
+    # corpus with a shared 20-token footer in docs 0-9, split into 3
+    # stream source files
+    rows = []
+    for d in range(30):
+        body = " ".join(f"d{d}w{i}" for i in range(40))
+        tail = (
+            " ".join(f"f{i}" for i in range(20))
+            if d < 10
+            else " ".join(f"t{d}x{i}" for i in range(20))
+        )
+        rows.append((d, body + " " + tail))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for b in range(3):
+        docs.filter(
+            (F.col("doc_id") >= b * 10) & (F.col("doc_id") < (b + 1) * 10)
+        ).coalesce(1).write.parquet(os.path.join(src, f"part{b}"))
+    # flatten each part dir's data file into src as one file per batch
+    import glob
+    import shutil
+
+    for b in range(3):
+        (f,) = glob.glob(os.path.join(src, f"part{b}", "part-*.parquet"))
+        shutil.move(f, os.path.join(src, f"batch{b}.parquet"))
+        shutil.rmtree(os.path.join(src, f"part{b}"))
+
+    idx = str(tmp_path / "line_index")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def ingest(batch_df, batch_id):
+        D.append_line_counts(
+            D.line_hashes(batch_df, "text", "doc_id"), idx, batch_id=batch_id
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_query(q, 300)
+    # one delta per micro-batch landed
+    assert len([d for d in os.listdir(idx) if d.startswith("batch=")]) == 3
+
+    lines = D.line_hashes(docs, "text", "doc_id")
+    got = {
+        r.doc_id: (r.n_lines, r.n_dup_lines)
+        for r in D.boilerplate_against(lines, spark, idx).collect()
+    }
+    cnt = lines.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    dup = F.when(F.col("occ") > 1, F.lit(1)).otherwise(F.lit(0))
+    full = {
+        r.doc_id: (r.n_lines, r.n_dup)
+        for r in lines.join(cnt, "h")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(dup).cast("long").alias("n_dup"),
+        )
+        .collect()
+    }
+    assert got == full
