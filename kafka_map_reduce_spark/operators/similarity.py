@@ -482,12 +482,18 @@ def pq_topk(
 def ivfpq_index(
     corpus: DataFrame, n_clusters: int = 8, m: int = 4, n_codes: int = 16,
     iters: int = 3, vec_col: str = "embedding", id_col: str = "vec_id",
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | None = None, codebooks: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the IVFADC layout: returns (coarse_centroids, codebooks,
     encoded) where encoded = (id, bkt, codes) — the persistable triple
     (coarse KBs, codebooks KBs, codes m bytes/vector). ``centroids``
-    skips coarse training, the per-epoch production shape.
+    skips coarse training, the per-epoch production shape; passing
+    ``codebooks`` too freezes BOTH quantizers, which is the incremental
+    ingest API — encode a new batch and union/append its triple rows
+    onto the persisted code table; probing the appended layout equals
+    probing a full rebuild under the same frozen models because
+    encoding is per-row deterministic (pytest-pinned,
+    tests/test_pq.py::test_ivfpq_incremental_append_probe_parity).
 
     Scale: coarse assignment and residual computation are shuffle-free
     (one broadcast centroid row, inline argmin, zip_with subtraction);
@@ -527,8 +533,12 @@ def ivfpq_index(
         )
         .select(id_col, "bkt", "__resid")
     )
-    books = pq_fit(resid, m=m, n_codes=n_codes, iters=iters,
-                   vec_col="__resid", id_col=id_col)
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_fit(resid, m=m, n_codes=n_codes, iters=iters,
+                    vec_col="__resid", id_col=id_col)
+    )
     encoded = pq_encode(resid, books, m=m, vec_col="__resid", id_col=id_col).join(
         resid.select(F.col(id_col).alias("id"), "bkt"), "id"
     )

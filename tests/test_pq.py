@@ -272,3 +272,36 @@ def test_ivfpq_reranked_recall_floor(spark, emb, ivfpq):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.55, f"IVFADC mean recall@10 {mean_recall:.2f} < 0.55"
+
+
+def test_ivfpq_incremental_append_probe_parity(spark, emb, ivfpq):
+    """Incremental corpus ANN: encode a NEW batch with BOTH quantizers
+    frozen (ivfpq_index(centroids=..., codebooks=...)) and union it onto
+    the persisted code table; probing the appended layout must equal
+    probing a layout rebuilt from the full corpus under the same frozen
+    models. The same incremental contract the digest/LSH/line indexes
+    pin — ingest is one batch-sized shuffle-free encode + append, never
+    a rebuild — guarded by the invariant that makes it safe: encoding
+    is per-row deterministic given frozen quantizers."""
+    from kafka_map_reduce_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    coarse, books, _ = ivfpq
+    base = emb.filter("vec_id >= 10 and vec_id < 400")
+    batch = emb.filter("vec_id >= 400")
+    full = emb.filter("vec_id >= 10")
+    probes = emb.filter("vec_id < 10")
+
+    def encode_with(df):
+        _, _, enc = ivfpq_index(df, m=M, centroids=coarse, codebooks=books)
+        return enc
+
+    appended = encode_with(base).unionByName(encode_with(batch))
+    rebuilt = encode_with(full)
+    got = ivfpq_topk(probes, coarse, books, appended, k=10, m=M, nprobe=2).collect()
+    want = ivfpq_topk(probes, coarse, books, rebuilt, k=10, m=M, nprobe=2).collect()
+    assert sorted(((r.probe_id, r.rank, r.neighbor_id, r.sim) for r in got)) == sorted(
+        ((r.probe_id, r.rank, r.neighbor_id, r.sim) for r in want)
+    )
