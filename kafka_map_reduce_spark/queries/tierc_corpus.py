@@ -197,17 +197,17 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate being measured) skew the count aggregate's reduce side,
     but partial aggregation collapses them map-side first — each
     partition contributes one row per distinct line, which is the same
-    guarantee the exact-dedup digest shuffle relies on."""
+    guarantee the exact-dedup digest shuffle relies on.
+
+    The line construction is operators/dedup.py:line_hashes — shared
+    with the incremental/streaming line index, so the batch score and
+    the per-batch ingest provably hash the same lines."""
+    from kafka_map_reduce_spark.operators.dedup import line_hashes
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.col("text"), r"\s+").alias("a"))
-    n_lines = F.greatest(
-        F.ceil(F.size("a") / F.lit(float(_LINE_TOKENS))).cast("long"), F.lit(1)
+    lines = line_hashes(d, "text", "doc_id", line_tokens=_LINE_TOKENS).select(
+        F.col("id").alias("doc_id"), "h"
     )
-    hashes = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.md5(F.array_join(F.slice("a", i * _LINE_TOKENS + 1, _LINE_TOKENS), " ")),
-    )
-    lines = toks.select("doc_id", F.explode(hashes).alias("h"))
     cnt = lines.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     dup = F.when(F.col("occ") > 1, F.lit(1)).otherwise(F.lit(0))
     return (
