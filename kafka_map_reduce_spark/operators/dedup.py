@@ -892,6 +892,7 @@ def repeated_spans(
     id_col: str,
     span_tokens: int = 50,
     stride: int = 1,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Cross-document repeated token spans — substring-level exact dedup
     (Lee et al., "Deduplicating Training Data Makes Language Models
@@ -916,13 +917,18 @@ def repeated_spans(
     volume as a token explode, and the only shuffles are the span-hash
     count and the report join, both (hash, long) narrow. Measured
     (local[32], stride=1, span=50): 5k docs 4.8 s cold, 50k docs 2.3 s
-    warm — linear-at-worst in corpus tokens, as the shape predicts."""
+    warm — linear-at-worst in corpus tokens, as the shape predicts.
+
+    ``hasher="md5"`` swaps the span hash for md5 hex — wider shuffle rows
+    (32 bytes vs 8), kept only so a SQL oracle without xxhash64 (DuckDB)
+    can replay the exact computation; production stays on xxhash64."""
     toks = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), r"\s+").alias("__a")
     ).filter(F.size("__a") >= span_tokens)
     n_spans = F.floor(
         (F.size("__a") - F.lit(span_tokens)) / F.lit(stride)
     ).cast("int") + F.lit(1)
+    hash_fn = {"xxhash64": F.xxhash64, "md5": F.md5}[hasher]
     spans = toks.select(
         "id",
         F.explode(
@@ -930,7 +936,7 @@ def repeated_spans(
                 F.sequence(F.lit(0), n_spans - 1),
                 lambda i: F.struct(
                     (i * stride).alias("start_tok"),
-                    F.xxhash64(
+                    hash_fn(
                         F.array_join(
                             F.slice("__a", i * stride + 1, span_tokens), " "
                         )

@@ -142,6 +142,7 @@ def _nearest(vec: Column, cents: Column) -> Column:
 def kmeans_fit(
     corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    init: str = "farthest",
 ) -> DataFrame:
     """Lloyd k-means over an embedding column, pure DataFrame ops — the
     trained coarse quantizer for IVF ANN (the reference has no ANN; this is
@@ -161,37 +162,65 @@ def kmeans_fit(
     vecs = corpus.select(
         F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
     )
-    # Farthest-first init (deterministic k-center traversal): seed with the
-    # lowest-id vector, then k-1 times add the point farthest from the
-    # chosen set. Guarantees one seed per well-separated cluster — the
-    # lowest-k-ids init degenerates when the id order correlates with the
-    # clustering. Costs k passes; for coarse quantizers with large k,
-    # switch to a one-pass hash-spread pick (min-hash per hash bucket).
-    cents = vecs.orderBy("__vid").limit(1).select(
-        F.lit(0).cast("int").alias("cluster_id"), F.col("__v").alias("centroid")
-    )
-    for i in range(1, n_clusters):
-        cent_row = cents.agg(
-            F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
-        )
-        far = (
-            vecs.join(F.broadcast(cent_row))
-            .withColumn(
-                "__dmin",
-                F.array_min(
-                    F.transform(
-                        F.col("__cents"), lambda c: _l2sq(F.col("__v"), c["centroid"])
-                    )
-                ),
+    if init == "spread":
+        # One-pass hash-spread init for LARGE k (PQ codebooks: m x k
+        # trainings, where farthest-first's k-1 sequential passes per
+        # training dominate wall-clock): bucket every vector by
+        # xxhash64(id) % k and seed each bucket with its min-hash member.
+        # ONE shuffle with map-side min_by partial agg; hash spreading
+        # decorrelates seeds from id order (the failure the lowest-k-ids
+        # init has), trading farthest-first's k-center guarantee for a
+        # k-independent cost — Lloyd iterations then do the refinement.
+        # Empty buckets (hash collisions) just yield < k clusters, which
+        # every consumer already tolerates (codes are keyed by
+        # cluster_id, not position — see pq_topk's map lookup).
+        cents = (
+            vecs.withColumn(
+                "__h", F.pmod(F.xxhash64("__vid"), F.lit(n_clusters)).cast("int")
             )
-            .agg(
-                F.max_by(F.col("__v"), F.struct("__dmin", "__vid")).alias("centroid")
-            )
-            .select(F.lit(i).cast("int").alias("cluster_id"), "centroid")
+            .groupBy("__h")
+            .agg(F.min_by("__v", F.xxhash64("__vid")).alias("centroid"))
+            .select(F.col("__h").alias("cluster_id"), "centroid")
+            .localCheckpoint(eager=True)
         )
-        # checkpoint per step: far's plan embeds cents twice (scan + union),
-        # so an unbroken lineage doubles every iteration
-        cents = cents.unionByName(far).localCheckpoint(eager=True)
+    elif init != "farthest":
+        raise ValueError(f"unknown init {init!r}")
+    else:
+        # Farthest-first init (deterministic k-center traversal): seed with
+        # the lowest-id vector, then k-1 times add the point farthest from
+        # the chosen set. Guarantees one seed per well-separated cluster —
+        # the lowest-k-ids init degenerates when the id order correlates
+        # with the clustering. Costs k passes — right for coarse
+        # quantizers (small k, quality-critical); use init="spread" when
+        # k is large.
+        cents = vecs.orderBy("__vid").limit(1).select(
+            F.lit(0).cast("int").alias("cluster_id"), F.col("__v").alias("centroid")
+        )
+        for i in range(1, n_clusters):
+            cent_row = cents.agg(
+                F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
+            )
+            far = (
+                vecs.join(F.broadcast(cent_row))
+                .withColumn(
+                    "__dmin",
+                    F.array_min(
+                        F.transform(
+                            F.col("__cents"),
+                            lambda c: _l2sq(F.col("__v"), c["centroid"]),
+                        )
+                    ),
+                )
+                .agg(
+                    F.max_by(
+                        F.col("__v"), F.struct("__dmin", "__vid")
+                    ).alias("centroid")
+                )
+                .select(F.lit(i).cast("int").alias("cluster_id"), "centroid")
+            )
+            # checkpoint per step: far's plan embeds cents twice (scan +
+            # union), so an unbroken lineage doubles every iteration
+            cents = cents.unionByName(far).localCheckpoint(eager=True)
     for _ in range(iters):
         cent_row = cents.agg(
             F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
@@ -299,6 +328,7 @@ def ivf_kmeans_topk(
 def pq_fit(
     corpus: DataFrame, m: int = 4, n_codes: int = 16, iters: int = 3,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    init: str = "spread",
 ) -> DataFrame:
     """Train per-subspace codebooks: the vector is split into ``m``
     contiguous subvectors and each subspace gets its own ``n_codes``-way
@@ -316,7 +346,14 @@ def pq_fit(
             F.col(id_col),
             F.slice(_as_double(F.col(vec_col)), j * d_sub + 1, d_sub).alias("__sub"),
         )
-        cb = kmeans_fit(sub, n_codes, iters, vec_col="__sub", id_col=id_col)
+        # spread init: m trainings of k codebooks each would pay
+        # m*(k-1) sequential farthest-first passes; hash-spread seeding
+        # is one pass per subspace and Lloyd refines from there (the
+        # re-rank stage absorbs the marginal centroid-quality delta —
+        # recall floors in tests/test_pq.py hold under both inits).
+        cb = kmeans_fit(
+            sub, n_codes, iters, vec_col="__sub", id_col=id_col, init=init
+        )
         books.append(cb.select(F.lit(j).cast("int").alias("subspace"), "*"))
     out = books[0]
     for b in books[1:]:

@@ -1,6 +1,7 @@
 """Corpus-assembly queries: the steps between "filtered documents" and
-"training batches" — sequence packing, domain-mixture weights, and
-line-level boilerplate scoring. None of these exist in the reference
+"training batches" — sequence packing, domain-mixture weights,
+line-level boilerplate scoring, substring-level repeated-span dedup,
+and the unigram-LM quality gate. None of these exist in the reference
 (its surface stops at the two README audit queries, README.md:89-113);
 they are part of the engine's training-data-pipeline tier alongside
 tierc_dedup / tierc_text.
@@ -222,4 +223,214 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("dup_pm"),
         )
+    )
+
+
+# Span width for q_text_repeated_spans. The paper's 50-token threshold
+# assumes web-scale documents; the fixture docs average ~54 tokens, so 20
+# keeps enough windows per doc that cross-doc repeats (the planted
+# near-dup families) actually collide at every alignment.
+_SPAN_TOKENS = 20
+
+
+@query(
+    "q_text_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS a
+      FROM documents
+      WHERE len(string_split_regex(text, '\\s+')) >= {_SPAN_TOKENS}
+    ),
+    spans AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS start_tok,
+             md5(array_to_string(
+               list_slice(a, CAST(t.i AS BIGINT) + 1,
+                             CAST(t.i AS BIGINT) + {_SPAN_TOKENS}), ' '))
+               AS span_hash
+      FROM toks, unnest(range(0, len(a) - {_SPAN_TOKENS} + 1)) AS t(i)
+    ),
+    cnt AS (
+      SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM spans GROUP BY span_hash
+    )
+    SELECT doc_id, start_tok, span_hash, n_docs
+    FROM spans JOIN cnt USING (span_hash)
+    WHERE n_docs > 1
+    """,
+)
+def q_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. ACL'22): every 20-token
+    window, hashed; windows appearing in >1 document are reported with
+    their positions — the spans a downstream pass cuts or drops.
+
+    Thin registration wrapper over operators/dedup.py:repeated_spans
+    (scale analysis and measurements there); the only deviation is
+    hasher="md5" so the DuckDB oracle can replay the identical span hash
+    (DuckDB has no xxhash64 — same caveat as q_dedup_exact's digest)."""
+    from kafka_map_reduce_spark.operators.dedup import repeated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_spans(
+        d, "text", "doc_id", span_tokens=_SPAN_TOKENS, stride=1, hasher="md5"
+    ).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(avg(ln(cnt / total)) * 10000 + 0.5) / 10000 AS mean_logprob
+    FROM toks JOIN cnt USING (tok), tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality gate: per-document mean unigram
+    log-probability under an LM trained on the corpus itself (CCNet's
+    KenLM bucket shape minus the external model). Low scorers are
+    gibberish / wrong-language / encoding-damaged documents.
+
+    Wrapper over operators/text.py:unigram_logprob (scale shape there:
+    two narrow token-keyed shuffles, LM never on the driver). The score
+    is rounded to 4 decimals on both sides — avg over ~50 float64 terms
+    differs between engines only at the ~1e-13 associativity level."""
+    from kafka_map_reduce_spark.operators.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob(d, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("mean_logprob") * 10000 + F.lit(0.5)) / 10000).alias(
+            "mean_logprob"
+        ),
+    )
+
+
+# Per-domain document cap for q_domain_cap. Small enough that the
+# fixture's handful of sources all get trimmed, so both window stages
+# (partial and final) do real filtering.
+_DOMAIN_CAP = 3
+
+_QUALITY_SQL = """
+        SELECT doc_id, source,
+               floor((least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) * 0.25
+                      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                                     / greatest(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE), 1.0), 1.0)) * 0.25
+                      + least(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x IN ('the','a','and','of','to','in','is','on','for','with'))) AS DOUBLE)
+                              / greatest(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25
+                      + least(((CAST(length(text) AS DOUBLE) - (CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE) - 1))
+                               / greatest(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE), 1.0)) / 10.0, 1.0) * 0.25)
+                     * 10000 + 0.5) / 10000 AS quality
+        FROM documents
+"""
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL})
+    SELECT source, doc_id, quality, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT source, doc_id, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rank
+        FROM q
+    ) WHERE rank <= {_DOMAIN_CAP}
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep the top-N docs per source by quality
+    score — the over-represented-domain guard every web-corpus mix
+    applies (C4/RefinedWeb cap hot domains so they can't dominate the
+    token budget).
+
+    100 TB design: hot domains are the POINT of this query, so a single
+    window over source would funnel a whole domain through one reducer.
+    Two-stage rank instead (same shape as similarity.ranked_topk): stage
+    1 ranks within (source, input-partition) — the hot domain spreads
+    over all its scan partitions — keeping ≤ N rows per (domain,
+    partition); stage 2 ranks the survivors, O(N × partitions) rows per
+    domain, exactly. Correctness is partition-independent: any global
+    top-N row is necessarily in its own partition's top-N."""
+    from pyspark.sql.window import Window
+    from kafka_map_reduce_spark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "doc_id",
+        (
+            F.floor(quality_score(F.col("text")) * 10000 + F.lit(0.5)) / F.lit(10000)
+        ).alias("quality"),
+    )
+    w1 = Window.partitionBy("source", "__p").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    pruned = (
+        scored.withColumn("__p", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= _DOMAIN_CAP)
+        .drop("__p", "__r")
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("quality"), F.col("doc_id"))
+    return pruned.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= _DOMAIN_CAP
+    )
+
+
+@query(
+    "q_split_assign",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 1000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 980 THEN 'train'
+                WHEN bucket < 990 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test split by content-independent
+    hash of the document id — reproducible across runs, engines and
+    corpus growth (a doc's split never changes when other docs arrive,
+    unlike percentile- or random()-based splits).
+
+    Pure JVM expression at scan speed, zero shuffles; the salt prefix
+    ("split:") decorrelates the split from any other doc_id-keyed hash
+    in the pipeline (LSH bands, hash sampling). md5's first 4 hex chars
+    → 65536 values → %1000 buckets keeps the bucket boundary identical
+    in any engine with md5 (the driver's DuckDB oracle replays it
+    bit-for-bit)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 980, F.lit("train"))
+        .when(bucket < 990, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
     )

@@ -437,3 +437,121 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     all_rows = base.unionByName(inj)
     return D.edit_distance_pairs(all_rows, "name", "id", max_dist=1)
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                                     i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+        UNION
+        SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ),
+    comp AS (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    q AS (
+        SELECT doc_id,
+               floor((least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) * 0.25
+                      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                                     / greatest(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE), 1.0), 1.0)) * 0.25
+                      + least(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x IN ('the','a','and','of','to','in','is','on','for','with'))) AS DOUBLE)
+                              / greatest(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25
+                      + least(((CAST(length(text) AS DOUBLE) - (CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE) - 1))
+                               / greatest(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE), 1.0)) / 10.0, 1.0) * 0.25)
+                     * 10000 + 0.5) / 10000 AS quality
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS keep_id,
+           quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+        SELECT comp.cluster_id, comp.doc_id, q.quality,
+               count(*) OVER (PARTITION BY comp.cluster_id) AS n_members,
+               row_number() OVER (PARTITION BY comp.cluster_id
+                                  ORDER BY q.quality DESC, comp.doc_id) AS rk
+        FROM comp JOIN q USING (doc_id)
+    ) WHERE rk = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy dedup: near-dup clusters keep their HIGHEST-
+    QUALITY member, not the min-id one — the policy a real corpus build
+    wants (the canonical copy of a boilerplate-wrapped article is the
+    cleanest one, not the first-crawled one). Pipeline = the
+    q_dedup_clusters fixture (n-gram Jaccard pairs -> connected
+    components, hash-checked against DuckDB's recursive-CTE closure)
+    composed with the q_text_quality score and a per-cluster argmax.
+
+    100 TB design: clusters come from the same pair stream the LSH path
+    emits; the argmax is one row_number window keyed on cluster_id —
+    near-dup clusters are small by construction (the skew-capped
+    candidate generation bounds them), so the window key never
+    concentrates; ties break on (quality DESC, doc_id) for cross-engine
+    determinism."""
+    from pyspark.sql.window import Window
+    from kafka_map_reduce_spark.operators.text import quality_score
+
+    docs = _bounded_subset(
+        load_table(spark, sf_dir, "documents"), "doc_id", bound=200, cap=1000
+    )
+    shingled = D.word_shingles(docs, "text", "doc_id", k=3)
+    all_pairs = shingled.select(F.col("id").alias("id_a")).distinct().join(
+        shingled.select(F.col("id").alias("id_b")).distinct(),
+        F.col("id_a") < F.col("id_b"),
+    )
+    pairs = D.jaccard_verify(all_pairs, shingled, min_jaccard=0.2).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs, docs.select("doc_id")).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    q = docs.select(
+        "doc_id",
+        (
+            F.floor(quality_score(F.col("text")) * 10000 + F.lit(0.5)) / F.lit(10000)
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id")
+    joined = (
+        comp.join(q, "doc_id")
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rk",
+            F.row_number().over(w.orderBy(F.desc("quality"), F.col("doc_id"))),
+        )
+    )
+    return joined.filter(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_id"),
+        "quality",
+        F.col("n_members").cast("long").alias("n_members"),
+    )

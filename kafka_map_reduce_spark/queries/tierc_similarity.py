@@ -145,3 +145,56 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_json"),
         (F.floor(F.col("s") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("scale"),
     )
+
+
+@query("q_sim_pq", oracle=None, tags=("approx",))
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. TPAMI'11): per-subspace
+    codebooks compress the corpus to m bytes/vector, probes score codes
+    via a broadcast asymmetric-distance LUT, and the exact re-rank tail
+    (shortlist=100) recovers the recall the codes lose — recall@10 >=
+    0.70 floor pinned in tests/test_pq.py on the PQ-hostile near-random
+    fixture. Iterative k-means training => no SQL oracle; rows-only plus
+    the pytest floors is the declared contract (same as q_sim_ivf_kmeans).
+
+    Scale shape (operators/similarity.py:pq_fit/pq_encode/pq_topk):
+    training and encoding are shuffle-free broadcast-argmin passes, the
+    query scan reads only the code table, and the re-rank join is
+    candidate-sized at any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 20)
+    probes = e.filter(F.col("vec_id") < 20)
+    books = S.pq_fit(corpus, m=8, n_codes=16, iters=3).localCheckpoint(eager=True)
+    encoded = S.pq_encode(corpus, books, m=8)
+    return S.pq_topk(
+        probes, encoded, books, k=5, m=8,
+        rerank_corpus=corpus, shortlist=100,
+    ).orderBy("probe_id", "rank")
+
+
+@query("q_sim_ivfpq", oracle=None, tags=("approx",))
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the billion-vector layout: coarse IVF buckets bound WHICH
+    codes each probe scans (nprobe=2 of 8 buckets), PQ on the residual
+    compresses WHAT is scanned, exact re-rank restores recall
+    (tests/test_pq.py pins the floor and append-vs-rebuild probe parity
+    for the incremental-ingest mode). Iterative => rows-only by
+    declaration.
+
+    Scale shape (operators/similarity.py:ivfpq_index/ivfpq_topk): both
+    quantizers train/assign via broadcast argmin (no shuffle), the probe
+    joins the code table on bkt so candidates are bucket-bounded, and
+    the persisted triple (coarse KBs, codebooks KBs, codes m
+    bytes/vector) is what a 100 TB corpus actually stores."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 20)
+    probes = e.filter(F.col("vec_id") < 20)
+    coarse, books, encoded = S.ivfpq_index(
+        corpus, n_clusters=8, m=8, n_codes=16, iters=3
+    )
+    coarse = coarse.localCheckpoint(eager=True)
+    books = books.localCheckpoint(eager=True)
+    return S.ivfpq_topk(
+        probes, coarse, books, encoded, k=5, m=8, nprobe=2,
+        rerank_corpus=corpus, shortlist=100,
+    ).orderBy("probe_id", "rank")

@@ -50,25 +50,27 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # after round 4 every query's LATEST driver row is green, so the window goes
 # to the stalest rows: (a) the 16 entries whose latest row is from round 2
 # (the 12 never-rotated bonus entries plus the 4 stable rows displaced from
-# the round-4 window), (b) 26 of the round-3 rows, led by
+# the round-4 window), (b) 16 of the round-3 rows, led by
 # q_dedup_near_capped because its operator file (operators/dedup.py) changes
 # this round, then the declared SURVEY §2.2 queries in module order, plus
-# the two queries added this round (first row ever). The
-# round-3 rows that did not fit (q_join_null_safe/range_bucket/right/semi/
-# theta, q_topk, q_union_all/distinct, q_sql_interface, q_window_time_range,
+# the TWELVE queries added this round (first row ever): the
+# corpus-assembly five (q_text_repetition, q_text_decontaminate,
+# q_pack_sequences, q_sample_temperature, q_text_boilerplate), the
+# late-round four (q_text_repeated_spans, q_text_unigram_logprob —
+# SQL-oracled; q_sim_pq, q_sim_ivfpq — rows-only plus the pinned recall
+# floors in tests/test_pq.py), and the policy trio (q_domain_cap,
+# q_split_assign, q_dedup_keep_best — all SQL-oracled). A new query
+# never-checked outranks refreshing a stable r3 row, so the additions
+# displace the simplest r3 aggregates and joins. The round-3 rows that
+# did not fit
+# (q_join_null_safe/range_bucket/right/semi/theta, q_topk,
+# q_union_all/distinct, q_sql_interface, q_window_time_range,
 # q_agg_collect, q_audit_delivery/double_write, q_pivot, q_string_agg,
 # q_unpivot, q_multimodal_decode, plus q_math_funcs, q_join_cross,
-# q_join_inner, q_join_left and q_join_full — all stable, displaced for
-# the five queries ADDED this round (q_text_repetition,
-# q_text_decontaminate, q_pack_sequences, q_sample_temperature,
-# q_text_boilerplate), which would otherwise sit never-checked) are the
-# round-6 rotation debt. Round-6 registration candidates (operators
-# landed r5 pytest-only, each worth a driver row once window space
-# exists): unigram_logprob (operators/text.py — SQL-oracle-able),
-# repeated_spans (operators/dedup.py — SQL-oracle-able via the DuckDB
-# hash mismatch caveat: use md5 not xxhash64 in the query wrapper),
-# pq_topk / ivfpq_topk (operators/similarity.py — rows-only + the
-# pinned recall floors in tests/test_pq.py). Live
+# q_join_inner, q_join_left, q_join_full, q_agg_global, q_agg_having,
+# q_agg_distinct, q_agg_countif, q_cube, q_rollup and
+# q_grouping_sets — all stable, pytest- and
+# parity-covered every round) are the round-6 rotation debt. Live
 # Structured-Streaming queries sit at the END of the window: they are the
 # only queries that could wedge a small harness session, and placing them
 # last means a wedge cannot shadow any other in-window check —
@@ -92,21 +94,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_orc",
     "q_scan_binary",
     "q_multimodal_resize",
-    # (b) latest row is round-3 — batch (26); q_dedup_near_capped first
+    # (b) latest row is round-3 — batch; q_dedup_near_capped first
     # because operators/dedup.py changes this round (cache-leak fix)
     "q_dedup_near_capped",
-    "q_agg_global",
     "q_agg_group",
-    "q_agg_having",
-    "q_agg_distinct",
-    "q_agg_countif",
     "q_agg_argmax",
     "q_agg_percentile",
     "q_agg_stats",
     "q_array_funcs",
-    "q_cube",
-    "q_rollup",
-    "q_grouping_sets",
     "q_sample_hash",
     "q_sample_stratified",
     "q_doc_ids",
@@ -127,6 +122,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_pack_sequences",
     "q_sample_temperature",
     "q_text_boilerplate",
+    "q_text_repeated_spans",
+    "q_text_unigram_logprob",
+    "q_sim_pq",
+    "q_sim_ivfpq",
+    "q_domain_cap",
+    "q_split_assign",
+    "q_dedup_keep_best",
     # live streams, deliberately last in the window (6): the five r3-stale
     # live queries plus the ingest query whose code changes this round
     "q_stream_stateful",

@@ -88,20 +88,39 @@ def test_adc_distance_is_reconstruction_distance(emb, books):
         )
 
 
-def test_pq_recall_floor_vs_exact_l2(spark, emb, books):
-    """Re-ranked recall@10 vs exact squared-L2 top-10 >= 0.70 (m=4, 16
-    codes, shortlist=100) on the 64-dim fixture embeddings.
+@pytest.mark.parametrize(
+    "m_, init_, floor",
+    [
+        # the k-center path: farthest-first seeds, quality-critical small-m
+        (4, "farthest", 0.70),
+        # the default/registered-query config (q_sim_pq): hash-spread
+        # seeds, m=8 — measured 0.86 here vs farthest's 0.84, at 1/3 the
+        # training wall (spread init is one pass per subspace; farthest
+        # is k-1 sequential passes)
+        (8, "spread", 0.70),
+    ],
+)
+def test_pq_recall_floor_vs_exact_l2(spark, emb, m_, init_, floor):
+    """Re-ranked recall@10 vs exact squared-L2 top-10 >= floor (16 codes,
+    shortlist=100) on the 64-dim fixture embeddings, pinned for BOTH
+    k-means inits.
 
     These vectors are near-random — the PQ-hostile case with no cluster
     structure for codebooks to exploit — so plain ADC recall@10 is only
     0.21-0.37 across m/code sweeps (measured m=4..16, 16-32 codes).
     The pinned guarantee is therefore the production configuration:
     ADC shortlist + exact re-rank of the original vectors (the
-    candidate-sized semi-join path in pq_topk), which holds 0.75 here.
-    The other three tests pin exactness of the machinery itself
-    (argmin codes, ADC = reconstruction distance), so this floor is
-    purely about quantization loss, not implementation drift."""
+    candidate-sized semi-join path in pq_topk). At m=4 spread init
+    measures 0.63 — k-center seeding matters when subspaces are wide —
+    which is why the spread floor is pinned at the m=8 config the
+    registered query uses. The other three tests pin exactness of the
+    machinery itself (argmin codes, ADC = reconstruction distance), so
+    this floor is purely about quantization loss, not implementation
+    drift."""
     k = 10
+    books = pq_fit(
+        emb.filter("vec_id >= 10"), m=m_, n_codes=N_CODES, iters=3, init=init_
+    ).localCheckpoint(eager=True)
     probes = emb.filter("vec_id < 10")
     corpus = emb.filter("vec_id >= 10")
 
@@ -136,10 +155,10 @@ def test_pq_recall_floor_vs_exact_l2(spark, emb, books):
     )
     approx = pq_topk(
         probes,
-        pq_encode(corpus, books, m=M),
+        pq_encode(corpus, books, m=m_),
         books,
         k=k,
-        m=M,
+        m=m_,
         rerank_corpus=corpus,
         shortlist=100,
     ).collect()
@@ -154,7 +173,9 @@ def test_pq_recall_floor_vs_exact_l2(spark, emb, books):
         for p_ in exact_sets
     ]
     mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.70, f"PQ mean recall@10 {mean_recall:.2f} < 0.70"
+    assert mean_recall >= floor, (
+        f"PQ m={m_} init={init_} mean recall@10 {mean_recall:.2f} < {floor}"
+    )
 
 
 # ---- IVFADC (ivfpq_index / ivfpq_topk) ------------------------------------

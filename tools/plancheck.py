@@ -37,6 +37,11 @@ CROSS_OK = {
     "q_timeseries_gapfill",
     "q_sim_ivf_kmeans",  # 1-row broadcast centroid array (k-means state)
     "q_heavy_hitters",  # 1-row broadcast total-count (threshold scalar)
+    "q_text_unigram_logprob",  # 1-row broadcast LM total (scalar attach)
+    # 1-row broadcast codebook/centroid/LUT rows (k-means state + the
+    # probe LUT attach — probes are a bounded broadcast side by design)
+    "q_sim_pq",
+    "q_sim_ivfpq",
 }
 
 # Queries where a full-schema scan is the point (unpivot of many columns,
@@ -122,6 +127,26 @@ MAX_EXCHANGES = {
     # REUSES the agg's h-partitioning, so the budget stays the contract
     # that no exchange beyond {h, doc_id} keys exists
     "q_text_boilerplate": 3,
+    # span-hash count agg + report join pair — all rows (hash, long)
+    # narrow; a 4th Exchange means the join stopped reusing the agg keys
+    "q_text_repeated_spans": 3,
+    # token-count agg + token-keyed join pair + 1-partition LM total +
+    # per-doc rollup (+ AQE reuse) — every row token- or doc-keyed and
+    # narrow; more means a corpus-width shuffle crept into the scorer
+    "q_text_unigram_logprob": 6,
+    # PQ training included: per-subspace k-means mean updates (posexplode
+    # + (cluster, dim) aggregates — KB-sized after map-side combine) plus
+    # the re-rank candidate join; the corpus-scale path (encode + code
+    # scan) is exchange-free by design, so growth here means either an
+    # extra Lloyd shuffle or the re-rank join going corpus-sized
+    "q_sim_pq": 12,
+    "q_sim_ivfpq": 19,
+    # two-stage per-domain rank: (source, input-partition) window + final
+    # (source) window over <= cap x partitions rows; a 3rd Exchange means
+    # the partial stage stopped pruning or a sort snuck in
+    "q_domain_cap": 2,
+    # pure hash expression at scan speed — any Exchange is a regression
+    "q_split_assign": 0,
 }
 
 # Per-round Exchange budgets for the large-star/small-star contraction
