@@ -70,7 +70,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # q_join_inner, q_join_left, q_join_full, q_agg_global, q_agg_having,
 # q_agg_distinct, q_agg_countif, q_cube, q_rollup and
 # q_grouping_sets — all stable, pytest- and
-# parity-covered every round) are the round-6 rotation debt. Live
+# parity-covered every round) are the round-6 rotation debt. Round-6
+# registration candidate (landed r5 pytest-only): the logistic-regression
+# quality gate (operators/classifier.py — iterative fit, so rows-only +
+# the pinned floors in tests/test_classifier.py; a frozen-weights scoring
+# query over documents WOULD be SQL-oracle-able if the weights are
+# inlined as literals). Live
 # Structured-Streaming queries sit at the END of the window: they are the
 # only queries that could wedge a small harness session, and placing them
 # last means a wedge cannot shadow any other in-window check —
