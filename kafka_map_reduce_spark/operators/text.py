@@ -214,3 +214,64 @@ def unigram_logprob(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.avg("__lp").alias("mean_logprob"),
     )
+
+
+def hash_embed(
+    text_col: Column, dim: int = 32, hasher: str = "xxhash64"
+) -> Column:
+    """Feature-hashing document embedding (the hashing trick,
+    Weinberger et al. ICML'09): each token hashes to a bucket in [0,
+    dim) with a ±1 sign from an independent hash bit, signed counts are
+    summed per bucket, and the vector is L2-normalized. Deterministic,
+    model-free text → array<double> — the representation that lets the
+    ANN/dedup operators (cosine, top-k, IVF, embedding near-dup) run on
+    a corpus that ships no external embedding model.
+
+    Pure JVM expression, shuffle-free, O(tokens × dim) per doc inside
+    whole-stage codegen (dim is small by design — this is a locality
+    signature, not a semantic model). The ±1 sign makes collisions
+    cancel in expectation instead of accumulating (the standard
+    signed-hashing variance fix).
+
+    ``hasher="md5"`` derives bucket and sign from md5 hex nibbles so a
+    DuckDB oracle replays the embedding bit-for-bit (same caveat as
+    repeated_spans); production default stays xxhash64."""
+    toks = tokens(text_col)
+    if hasher == "xxhash64":
+        bucket = lambda t: F.pmod(F.xxhash64(t), F.lit(dim))  # noqa: E731
+        sign = lambda t: F.when(  # noqa: E731
+            F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+    elif hasher == "md5":
+        bucket = lambda t: F.pmod(  # noqa: E731
+            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"), F.lit(dim)
+        )
+        sign = lambda t: F.when(  # noqa: E731
+            F.pmod(
+                F.conv(F.substring(F.md5(t), 5, 1), 16, 10).cast("long"), F.lit(2)
+            )
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
+    hashed = F.transform(
+        toks, lambda t: F.struct(bucket(t).alias("b"), sign(t).alias("s"))
+    )
+    # ONE left-fold over the hashed tokens, scattering each ±1 into its
+    # bucket slot — tokens hash exactly once. The per-bucket
+    # filter-then-sum alternative re-evaluates the (md5) hash expression
+    # for every bucket probe (Catalyst inlines the alias dim times):
+    # measured 4.4x slower at dim=32 on sf0.01 (see q_text_hash_embed).
+    raw = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, h: F.transform(
+            acc,
+            lambda v, i: F.when(i.cast("long") == h["b"], v + h["s"]).otherwise(v),
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(raw, lambda x: x / F.greatest(norm, F.lit(1e-12)))

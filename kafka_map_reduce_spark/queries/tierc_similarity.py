@@ -198,3 +198,72 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, coarse, books, encoded, k=5, m=8, nprobe=2,
         rerank_corpus=corpus, shortlist=100,
     ).orderBy("probe_id", "rank")
+
+
+@query(
+    "q_sim_text_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+               AS ts
+      FROM documents WHERE doc_id < 120
+    ),
+    hashed AS (
+      SELECT doc_id, list_transform(ts, t -> struct_pack(
+          b := CAST(('0x' || substr(md5(t),1,4)) AS BIGINT) % 32,
+          s := CASE WHEN CAST(('0x' || substr(md5(t),5,1)) AS BIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END
+      )) AS hs
+      FROM toks
+    ),
+    raw AS (
+      SELECT doc_id, list_transform(range(0, 32), j ->
+         COALESCE(list_sum(list_transform(list_filter(hs, h -> h.b = j),
+                                          h -> h.s)), 0.0)) AS r
+      FROM hashed
+    ),
+    emb AS (
+      SELECT doc_id,
+             list_transform(r, x -> x / greatest(
+               sqrt(list_sum(list_transform(r, v -> v*v))), 1e-12)) AS e
+      FROM raw
+    ),
+    scored AS (
+      SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id,
+             list_dot_product(p.e, c.e)
+             / greatest(sqrt(list_dot_product(p.e, p.e))
+                        * sqrt(list_dot_product(c.e, c.e)), 1e-12) AS raw_sim
+      FROM emb p JOIN emb c ON p.doc_id < 10 AND c.doc_id >= 10
+    )
+    SELECT probe_id, neighbor_id,
+           floor(raw_sim * 10000 + 0.5) / 10000 AS sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY raw_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_sim_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END text similarity search with NO external model: raw
+    text -> feature-hashing embeddings (operators/text.py:hash_embed,
+    md5 variant so the whole pipeline has an exact SQL oracle) ->
+    broadcast-probe exact cosine top-k. The composition a retrieval-
+    augmented corpus audit runs when all it has is the text itself.
+
+    Scale: embedding is shuffle-free scan-speed JVM math; the search is
+    the q_sim_topk shape (one corpus scan, two-stage rank). Bounded to
+    doc_id < 120 here only to keep the oracle's all-pairs join small —
+    the Spark side has no such need."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    from kafka_map_reduce_spark.operators.text import hash_embed
+
+    emb = d.select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embed(F.col("text"), dim=32, hasher="md5").alias("embedding"),
+    )
+    return S.brute_force_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+    )

@@ -645,3 +645,62 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_md5").alias("chunk_md5"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+@query(
+    "q_text_hash_embed",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+               AS ts
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, list_transform(ts, t -> struct_pack(
+          b := CAST(('0x' || substr(md5(t),1,4)) AS BIGINT) % 32,
+          s := CASE WHEN CAST(('0x' || substr(md5(t),5,1)) AS BIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END
+      )) AS hs
+      FROM toks
+    ),
+    raw AS (
+      SELECT doc_id, list_transform(range(0, 32), j ->
+         COALESCE(list_sum(list_transform(list_filter(hs, h -> h.b = j),
+                                          h -> h.s)), 0.0)) AS r
+      FROM hashed
+    ),
+    normed AS (
+      SELECT doc_id,
+             list_transform(r, x -> x / greatest(
+               sqrt(list_sum(list_transform(r, v -> v*v))), 1e-12)) AS e
+      FROM raw
+    )
+    SELECT doc_id,
+           to_json(list_transform(e,
+             x -> CAST(floor(x*10000 + 0.5) AS INTEGER))) AS emb_q_json
+    FROM normed
+    """,
+)
+def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (signed hashing trick):
+    model-free text -> normalized array<double>, the representation that
+    lets the cosine/top-k/IVF/embedding-dedup operators run end-to-end
+    from raw text without shipping an external model.
+
+    Thin registration wrapper over operators/text.py:hash_embed (scale
+    analysis there: shuffle-free, whole-stage codegen, O(tokens x dim)
+    per doc); hasher="md5" so the DuckDB oracle replays bucket and sign
+    bit-for-bit, and components are emitted as 1e-4-quantized ints (the
+    q_embed_quantize JSON convention — float FORMATTING differs between
+    engines even when values are bit-equal)."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = X.hash_embed(F.col("text"), dim=32, hasher="md5")
+    return d.select(
+        "doc_id",
+        F.to_json(
+            F.transform(
+                emb, lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("int")
+            )
+        ).alias("emb_q_json"),
+    )

@@ -38,6 +38,7 @@ CROSS_OK = {
     "q_sim_ivf_kmeans",  # 1-row broadcast centroid array (k-means state)
     "q_heavy_hitters",  # 1-row broadcast total-count (threshold scalar)
     "q_text_unigram_logprob",  # 1-row broadcast LM total (scalar attach)
+    "q_sim_text_topk",  # broadcast bounded probes x corpus scan (topk shape)
     # 1-row broadcast codebook/centroid/LUT rows (k-means state + the
     # probe LUT attach — probes are a bounded broadcast side by design)
     "q_sim_pq",
@@ -147,6 +148,10 @@ MAX_EXCHANGES = {
     "q_domain_cap": 2,
     # pure hash expression at scan speed — any Exchange is a regression
     "q_split_assign": 0,
+    # embedding is per-row JVM array math — scan speed, no Exchange
+    "q_text_hash_embed": 0,
+    # the q_sim_topk two-stage rank shape over hashed-text embeddings
+    "q_sim_text_topk": 2,
 }
 
 # Per-round Exchange budgets for the large-star/small-star contraction
