@@ -128,3 +128,34 @@ def running_total(
         .withColumn(out_col, (F.col(_OFFSET) + F.col("__local")).cast("long"))
         .drop(_MID, _PID, _OFFSET, "__local")
     )
+
+
+def hash_split(
+    id_col, salt: str = "split:", train_below: int = 980, val_below: int = 990
+):
+    """Deterministic train/val/test assignment from a salted md5 of the
+    id: returns ``(bucket, split)`` Columns where bucket ∈ [0, 1000) and
+    split ∈ {train, val, test} (98/1/1 by default).
+
+    A doc's split depends only on its id — stable under corpus growth,
+    re-partitioning, and engine choice (md5's first 4 hex chars parse
+    identically everywhere; the registered q_split_assign query pins the
+    DuckDB twin). The salt decorrelates the split from every other
+    id-keyed hash in the pipeline (LSH bands, hash sampling, shard
+    assignment). Pure JVM expression — scan speed, zero shuffles."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    split = (
+        F.when(bucket < train_below, F.lit("train"))
+        .when(bucket < val_below, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return bucket, split

@@ -417,20 +417,8 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     → 65536 values → %1000 buckets keeps the bucket boundary identical
     in any engine with md5 (the driver's DuckDB oracle replays it
     bit-for-bit)."""
+    from kafka_map_reduce_spark.operators.ids import hash_split
+
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(1000),
-    )
-    return d.select(
-        "doc_id",
-        bucket.alias("bucket"),
-        F.when(bucket < 980, F.lit("train"))
-        .when(bucket < 990, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
-    )
+    bucket, split = hash_split(F.col("doc_id"))
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))

@@ -50,3 +50,23 @@ def test_build_matches_flagship_and_layout(spark, tmp_path):
     manifest = spark.read.parquet(os.path.join(out, "_manifest"))
     assert manifest.count() == stats["n_shards"]
     assert manifest.agg(F.sum("n_rows")).collect()[0][0] == n_chunks
+
+
+def test_split_assignment_is_doc_keyed(spark, tmp_path):
+    """Every chunk of a document carries the SAME split (no eval leakage
+    through chunk boundaries), splits match the registered q_split_assign
+    expression, and the stats report covers all chunks."""
+    out = str(tmp_path / "corpus_split")
+    stats = build_corpus(spark, SF_DIR, out, rows_per_shard=16)
+    written = spark.read.parquet(os.path.join(out, "shard=*"))
+    per_doc = written.groupBy("doc_id").agg(
+        F.count_distinct("split").alias("k")
+    )
+    assert per_doc.filter(F.col("k") != 1).count() == 0
+    from kafka_map_reduce_spark.operators.ids import hash_split
+
+    expect = written.select("doc_id", "split").distinct().withColumn(
+        "__expect", hash_split(F.col("doc_id"))[1]
+    )
+    assert expect.filter(F.col("split") != F.col("__expect")).count() == 0
+    assert sum(stats["chunks_per_split"].values()) == stats["n_chunks"]

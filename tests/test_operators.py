@@ -1396,3 +1396,52 @@ def test_stream_line_index_ingest_matches_full_recompute(spark, tmp_path):
         .collect()
     }
     assert got == full
+
+
+def test_hash_embed_contract(spark):
+    """Feature-hashing embeddings: unit-norm for non-empty docs, zero
+    vector for empty text, identical docs -> identical vectors, and a
+    shared-vocabulary pair scores a higher cosine than a disjoint one
+    (the property the downstream embedding-dedup/ANN queries rely on).
+    Both hashers must satisfy the same contract; xxhash64 vs md5 only
+    changes WHICH buckets tokens land in."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_map_reduce_spark.operators.similarity import cosine
+    from kafka_map_reduce_spark.operators.text import hash_embed
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # disjoint
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for hasher in ("xxhash64", "md5"):
+        out = df.select(
+            "id", hash_embed(F.col("text"), dim=32, hasher=hasher).alias("e")
+        )
+        vecs = {r.id: list(r.e) for r in out.collect()}
+        assert all(len(v) == 32 for v in vecs.values())
+        for i in (0, 1, 2, 3):
+            assert math.isclose(
+                sum(x * x for x in vecs[i]), 1.0, abs_tol=1e-9
+            ), f"doc {i} not unit-norm ({hasher})"
+        assert vecs[4] == [0.0] * 32
+        assert vecs[0] == vecs[1], "identical docs must embed identically"
+        sims = {
+            pair: spark.createDataFrame(
+                [(vecs[pair[0]], vecs[pair[1]])], "a array<double>, b array<double>"
+            )
+            .select(cosine(F.col("a"), F.col("b")).alias("s"))
+            .collect()[0]
+            .s
+            for pair in [(0, 2), (0, 3)]
+        }
+        assert sims[(0, 2)] > sims[(0, 3)] + 0.3, (
+            f"near-dup must outscore disjoint ({hasher}): {sims}"
+        )
+        assert sims[(0, 2)] > 0.8, f"near-dup cosine too low ({hasher}): {sims}"

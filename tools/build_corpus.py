@@ -52,6 +52,13 @@ def build_corpus(
         "n_tokens",
         "cum_before",
     ).withColumn("seq_id", F.floor(F.col("cum_before") / F.lit(512)).cast("long"))
+    # Stage 5b: deterministic train/val/test assignment (the registered
+    # q_split_assign expression — keyed on doc_id, so every chunk of a
+    # document lands in the same split and no eval text leaks into train
+    # through a chunk boundary).
+    from kafka_map_reduce_spark.operators.ids import hash_split
+
+    packed = packed.withColumn("split", hash_split(F.col("doc_id"))[1])
     # Stage 6: size-capped ordered shards + manifest.
     manifest = write_shards(
         packed, out_dir, ["doc_id", "chunk_id"], rows_per_shard=rows_per_shard
@@ -63,6 +70,10 @@ def build_corpus(
         F.sum("n_tokens").alias("total_tokens"),
         (F.max(F.col("cum_before") + F.col("n_tokens") - 1) / 512).alias("seqs"),
     ).collect()[0]
+    splits = {
+        r.split: int(r.n)
+        for r in packed.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     return {
         "metric": "corpus_build",
         "sf_dir": sf_dir,
@@ -72,6 +83,7 @@ def build_corpus(
         "n_chunks": int(agg.n_chunks),
         "total_tokens": int(tok.total_tokens),
         "n_sequences_512": int(tok.seqs) + 1,
+        "chunks_per_split": splits,
     }
 
 
