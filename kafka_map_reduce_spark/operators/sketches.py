@@ -84,3 +84,55 @@ def heavy_hitters(
         .filter(F.col("cnt") > F.col("__total") * F.lit(min_share))
         .drop("__total")
     )
+
+
+# ---- Incremental distinct counts: mergeable HLL sketch tables --------------
+# The corpus-monitoring companion to the incremental dedup indexes: corpus-
+# wide approx-distinct counts (unique tokens, sources, digests, ...) that an
+# ingest pipeline keeps CURRENT without ever rescanning the corpus. Each
+# batch contributes one tiny sketch row per column (2^lgk registers, KBs);
+# the corpus-wide estimate is a union-aggregate over the sketch table —
+# O(batches) rows, independent of corpus size. Datasketches HLL via the
+# built-in hll_sketch_agg/hll_union_agg (JVM, mergeable, order-insensitive
+# over register maxima). Merging is NOT bit-identical to a full-scan
+# sketch at small cardinalities — a single sketch can stay in the exact
+# sparse (list/set) mode while a union forces promotion to dense HLL
+# registers — so the pinned contract is agreement within the lgk=12
+# relative-error bound (~1.6%), measured in pytest, not exact equality.
+
+
+def hll_column_sketches(
+    df: DataFrame, cols: list[str], lgk: int = 12
+) -> DataFrame:
+    """One scan, one row per column: (column string, sketch binary).
+
+    All columns sketch in a single aggregate pass (each hll_sketch_agg is
+    its own partial-merge accumulator), then the 1-row result unpivots to
+    the (column, sketch) layout that persists as the incremental sketch
+    table — append one such frame per ingest batch."""
+    one = df.agg(
+        *[F.hll_sketch_agg(F.col(c), lgk).alias(c) for c in cols]
+    )
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"), F.col(c).alias("sketch")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__s")
+    ).select("__s.column", "__s.sketch")
+
+
+def hll_estimates(sketches: DataFrame) -> DataFrame:
+    """(column, approx_distinct) from any pile of sketch rows — per-batch
+    appends, per-partition shards, or one full-scan row; union order is
+    immaterial. The only shuffle is O(columns x sketch-rows) KB-sized."""
+    return sketches.groupBy("column").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "approx_distinct"
+        )
+    )

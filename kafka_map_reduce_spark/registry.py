@@ -73,11 +73,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # q_agg_distinct, q_agg_countif, q_cube, q_rollup and
 # q_grouping_sets, q_orderby and q_array_funcs — all stable, pytest- and
 # parity-covered every round) are the round-6 rotation debt. Round-6
-# registration candidate (landed r5 pytest-only): the logistic-regression
+# registration candidates (landed r5 pytest-only): the logistic-regression
 # quality gate (operators/classifier.py — iterative fit, so rows-only +
 # the pinned floors in tests/test_classifier.py; a frozen-weights scoring
 # query over documents WOULD be SQL-oracle-able if the weights are
-# inlined as literals). Live
+# inlined as literals), the quality-gated streaming ingest
+# (streaming/gated.py — live window candidate, rows-only like the other
+# foreachBatch streams), and the incremental HLL sketch table
+# (operators/sketches.py:hll_column_sketches — approx, rows-only like
+# q_agg_approx_distinct). Live
 # Structured-Streaming queries sit at the END of the window: they are the
 # only queries that could wedge a small harness session, and placing them
 # last means a wedge cannot shadow any other in-window check —
