@@ -693,3 +693,115 @@ def ivfpq_topk(
         .drop("__pv", "__cv")
     )
     return ranked_topk(exact, k)
+
+
+# ---- Embedding near-dup at scale: random-hyperplane LSH --------------------
+# The vector-side twin of the MinHash-LSH text pipeline: q_dedup_embedding's
+# all-pairs cosine is the bounded-fixture form; this is the corpus-scale
+# path. Charikar SimHash-for-vectors (STOC'02): P(two vectors agree on one
+# hyperplane bit) = 1 - theta/pi, so a b-bit table catches a pair with
+# p^b and T independent tables with 1-(1-p^b)^T. At the dedup operating
+# point (near-identical vectors, cosine >= 0.98 => p ~ 0.94) the default
+# b=16, T=8 gives ~0.97 recall while spreading a random corpus over 2^16
+# buckets per table — candidates stay ~ n^2/2^b per table, and the hot-
+# bucket cap (same policy as the text-LSH skew guard) bounds the
+# template-cluster pathology. Unrelated pairs (cosine ~ 0) collide with
+# p ~ 2^-16 per table: candidate generation is equi-join, never all-pairs.
+
+
+def hyperplane_bucket(
+    vec_col: Column, dim: int, bits: int = 16, table: int = 0
+) -> Column:
+    """b-bit random-hyperplane signature: bit j = sign(v . h_j) where
+    h_j is a fixed ±1 vector derived from md5(table, j, i) — literal
+    coefficients baked into the plan, so the bucket is a deterministic
+    pure-JVM expression (no runtime randomness, no model to persist
+    beyond the (table, bits, dim) config)."""
+    import hashlib
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        signs = F.array(
+            *[
+                F.lit(
+                    1.0
+                    if int(
+                        hashlib.md5(f"hp:{table}:{j}:{i}".encode()).hexdigest(),
+                        16,
+                    )
+                    % 2
+                    == 0
+                    else -1.0
+                )
+                for i in range(dim)
+            ]
+        )
+        dot = _fold_sum(F.zip_with(_as_double(vec_col), signs, lambda a, b: a * b))
+        out = out + F.when(dot > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return out
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 16,
+    n_tables: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """(id_a, id_b, sim) pairs with cosine >= threshold, candidates from
+    T hyperplane-LSH tables — the embedding dedup that scales: per table
+    one bucket equi-self-join (shuffle on (table, bucket), narrow rows),
+    then ONE exact cosine verify over the distinct candidate set. The
+    verify join fetches vectors for candidate ids only (semi-join-sized,
+    like jaccard_verify's pushdown). ``max_bucket_size`` drops over-full
+    buckets before the self-join — over-threshold mega-clusters route to
+    exact dedup, identical policy to the text-LSH/SimHash caps."""
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    sigs = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_bucket(F.col("__v"), dim, bits, t).alias(
+                            "bkt"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("__b"),
+    ).select("id", F.col("__b.tbl").alias("tbl"), F.col("__b.bkt").alias("bkt"))
+    if max_bucket_size is not None:
+        counts = sigs.groupBy("tbl", "bkt").agg(F.count(F.lit(1)).alias("__n"))
+        sigs = sigs.join(
+            counts.filter(F.col("__n") <= max_bucket_size).select("tbl", "bkt"),
+            ["tbl", "bkt"],
+        )
+    left = sigs.select("tbl", "bkt", F.col("id").alias("id_a"))
+    right = sigs.select("tbl", "bkt", F.col("id").alias("id_b"))
+    cands = (
+        left.join(right, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias(
+                "sim"
+            ),
+        )
+    )

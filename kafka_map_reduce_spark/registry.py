@@ -81,7 +81,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (streaming/gated.py — live window candidate, rows-only like the other
 # foreachBatch streams), and the incremental HLL sketch table
 # (operators/sketches.py:hll_column_sketches — approx, rows-only like
-# q_agg_approx_distinct). Live
+# q_agg_approx_distinct), and the hyperplane-LSH embedding near-dup
+# (operators/similarity.py:embedding_near_dup — rows-only with the
+# planted-recall floor in tests/test_embedding_lsh.py). Live
 # Structured-Streaming queries sit at the END of the window: they are the
 # only queries that could wedge a small harness session, and placing them
 # last means a wedge cannot shadow any other in-window check —
