@@ -422,3 +422,90 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bucket, split = hash_split(F.col("doc_id"))
     return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+# Frozen classifier weights for q_quality_classifier: trained ONCE with
+# operators/classifier.py:logreg_fit (40 iters, lr=2.0, weak labels
+# n_chars>300 over the sf0.01 fixture) and inlined as literals — the
+# production shape where the model trains rarely/offline and scoring
+# runs everywhere. The trailing zeros are real: the synthetic fixture
+# text has no punctuation/digits/uppercase, so those features got no
+# gradient. Feature order matches classifier.quality_features.
+_CLF_W = (
+    -0.8651733291,  # bias
+    3.7951129234,   # scaled length
+    0.0,            # punct ratio
+    0.0210810601,   # stopword ratio
+    -0.407845013,   # mean token length / 10
+    0.0,            # digit ratio
+    0.0,            # uppercase ratio
+    0.0,            # non-alnum ratio
+)
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             greatest(CAST(length(text) AS DOUBLE), 1.0) AS n,
+             greatest(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                           x -> x <> '')) AS DOUBLE), 1.0) AS n_toks,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                  AS DOUBLE) AS punct,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> x IN ('the','a','and','of','to','in','is','on','for','with')))
+                  AS DOUBLE) AS stop_hits,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS DOUBLE) AS digits,
+             CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                  AS DOUBLE) AS uppers,
+             CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                  AS DOUBLE) AS nonaln
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             0.0 + ({_CLF_W[0]} * 1.0)
+                 + ({_CLF_W[1]} * least(n_chars / 1000.0, 1.0))
+                 + ({_CLF_W[2]} * (punct / n))
+                 + ({_CLF_W[3]} * (stop_hits / n_toks))
+                 + ({_CLF_W[4]} * (((n_chars - (n_toks - 1)) / n_toks) / 10.0))
+                 + ({_CLF_W[5]} * (digits / n))
+                 + ({_CLF_W[6]} * (uppers / n))
+                 + ({_CLF_W[7]} * (nonaln / n)) AS logit
+      FROM t
+    )
+    SELECT doc_id,
+           floor(logit * 10000 + 0.5) / 10000 AS logit,
+           CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM s
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-model classifier gate: score every document with literal
+    logistic-regression weights (operators/classifier.py trains them;
+    the registered query is the inference side a 100 TB corpus actually
+    runs — scan-speed codegen'd dot product, zero shuffles, model as
+    config). Emits the LOGIT, not the sigmoid: exp() is only faithfully
+    rounded and may differ by 1 ulp between JVM and DuckDB libm, while
+    the logit is multiply/add over identically-computed features —
+    bit-equal cross-engine, and keep = logit > 0 is the same decision
+    boundary. The left-fold order of _dot matches the SQL's explicit
+    0.0 + t0 + ... + t7 chain, so float association is identical."""
+    from kafka_map_reduce_spark.operators.classifier import (
+        _dot,
+        quality_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    logit = _dot(
+        F.array(*[F.lit(w) for w in _CLF_W]),
+        quality_features(F.col("text")),
+    )
+    return d.select(
+        "doc_id",
+        (F.floor(logit * 10000 + F.lit(0.5)) / F.lit(10000)).alias("logit"),
+        F.when(logit > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+    )

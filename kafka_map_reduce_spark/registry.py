@@ -50,10 +50,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # after round 4 every query's LATEST driver row is green, so the window goes
 # to the stalest rows: (a) the 16 entries whose latest row is from round 2
 # (the 12 never-rotated bonus entries plus the 4 stable rows displaced from
-# the round-4 window), (b) 14 of the round-3 rows, led by
+# the round-4 window), (b) 13 of the round-3 rows, led by
 # q_dedup_near_capped because its operator file (operators/dedup.py) changes
 # this round, then the declared SURVEY §2.2 queries in module order, plus
-# the FOURTEEN queries added this round (first row ever): the
+# the FIFTEEN queries added this round (first row ever): the
 # corpus-assembly five (q_text_repetition, q_text_decontaminate,
 # q_pack_sequences, q_sample_temperature, q_text_boilerplate), the
 # late-round four (q_text_repeated_spans, q_text_unigram_logprob —
@@ -61,7 +61,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # floors in tests/test_pq.py), the policy trio (q_domain_cap,
 # q_split_assign, q_dedup_keep_best — all SQL-oracled), and the
 # model-free embedding pair (q_text_hash_embed, q_sim_text_topk —
-# SQL-oracled end-to-end, text -> hashed vector -> cosine top-k). A new query
+# SQL-oracled end-to-end, text -> hashed vector -> cosine top-k), and
+# the frozen-weights classifier gate (q_quality_classifier — SQL-oracled
+# logit scoring; the TRAINING side stays pytest-only by nature). A new query
 # never-checked outranks refreshing a stable r3 row, so the additions
 # displace the simplest r3 aggregates and joins. The round-3 rows that
 # did not fit
@@ -71,13 +73,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # q_unpivot, q_multimodal_decode, plus q_math_funcs, q_join_cross,
 # q_join_inner, q_join_left, q_join_full, q_agg_global, q_agg_having,
 # q_agg_distinct, q_agg_countif, q_cube, q_rollup and
-# q_grouping_sets, q_orderby and q_array_funcs — all stable, pytest- and
+# q_grouping_sets, q_orderby, q_array_funcs and q_sample_hash — all
+# stable, pytest- and
 # parity-covered every round) are the round-6 rotation debt. Round-6
-# registration candidates (landed r5 pytest-only): the logistic-regression
-# quality gate (operators/classifier.py — iterative fit, so rows-only +
-# the pinned floors in tests/test_classifier.py; a frozen-weights scoring
-# query over documents WOULD be SQL-oracle-able if the weights are
-# inlined as literals), the quality-gated streaming ingest
+# registration candidates (landed r5 pytest-only): the classifier FIT
+# (operators/classifier.py — iterative, so rows-only + the pinned floors
+# in tests/test_classifier.py; its frozen-weights INFERENCE side is
+# already registered and SQL-oracled as q_quality_classifier), the
+# quality-gated streaming ingest
 # (streaming/gated.py — live window candidate, rows-only like the other
 # foreachBatch streams), and the incremental HLL sketch table
 # (operators/sketches.py:hll_column_sketches — approx, rows-only like
@@ -114,7 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_argmax",
     "q_agg_percentile",
     "q_agg_stats",
-    "q_sample_hash",
     "q_sample_stratified",
     "q_doc_ids",
     "q_funnel",
@@ -142,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_keep_best",
     "q_text_hash_embed",
     "q_sim_text_topk",
+    "q_quality_classifier",
     # live streams, deliberately last in the window (6): the five r3-stale
     # live queries plus the ingest query whose code changes this round
     "q_stream_stateful",

@@ -150,6 +150,8 @@ MAX_EXCHANGES = {
     "q_split_assign": 0,
     # embedding is per-row JVM array math — scan speed, no Exchange
     "q_text_hash_embed": 0,
+    # frozen-weights inference: literal dot product at scan speed
+    "q_quality_classifier": 0,
     # the q_sim_topk two-stage rank shape over hashed-text embeddings
     "q_sim_text_topk": 2,
 }
