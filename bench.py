@@ -415,6 +415,21 @@ def main() -> None:
                 }
         except (json.JSONDecodeError, OSError, TypeError):
             pass  # a malformed prior artifact must not fail the bench
+    # Round-5 additions, timed in their OWN section so the pinned
+    # 18-query headline set stays comparable across rounds. One run each
+    # (these are coverage timings, not regression gates — plancheck owns
+    # their plan budgets). The two ANN entries carry k-means training in
+    # the measured time by design: the registered query trains+searches.
+    r5_added = [
+        "q_text_repeated_spans", "q_text_unigram_logprob",
+        "q_sim_pq", "q_sim_ivfpq",
+        "q_domain_cap", "q_split_assign", "q_dedup_keep_best",
+        "q_text_hash_embed", "q_sim_text_topk", "q_quality_classifier",
+        "q_text_repetition", "q_text_decontaminate", "q_pack_sequences",
+        "q_sample_temperature", "q_text_boilerplate",
+    ]
+    result["r5_additions"] = bench_set(r5_added, sf_dir, 1)
+
     # Tier-A pipeline throughput (added r5): rows/sec through the full
     # source -> transform -> batch-sink path, JVM and Arrow faces.
     result["pipeline"] = bench_pipeline_throughput(spark, sf_dir, n_runs)

@@ -229,13 +229,24 @@ def hash_embed(
 
     Pure JVM expression, shuffle-free, O(tokens × dim) per doc inside
     whole-stage codegen (dim is small by design — this is a locality
-    signature, not a semantic model). The ±1 sign makes collisions
+    signature, not a semantic model). On a real table use
+    :func:`attach_hash_embed` — consuming this Column in the same
+    projection re-inlines the fold per reference (26x measured). The ±1 sign makes collisions
     cancel in expectation instead of accumulating (the standard
     signed-hashing variance fix).
 
     ``hasher="md5"`` derives bucket and sign from md5 hex nibbles so a
     DuckDB oracle replays the embedding bit-for-bit (same caveat as
     repeated_spans); production default stays xxhash64."""
+    raw = _hash_embed_raw(text_col, dim, hasher)
+    norm = F.sqrt(
+        F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(raw, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+
+
+def _hash_embed_raw(text_col: Column, dim: int, hasher: str) -> Column:
+    """Unnormalized signed bucket counts (the expensive fold)."""
     toks = tokens(text_col)
     if hasher == "xxhash64":
         bucket = lambda t: F.pmod(F.xxhash64(t), F.lit(dim))  # noqa: E731
@@ -263,7 +274,7 @@ def hash_embed(
     # filter-then-sum alternative re-evaluates the (md5) hash expression
     # for every bucket probe (Catalyst inlines the alias dim times):
     # measured 4.4x slower at dim=32 on sf0.01 (see q_text_hash_embed).
-    raw = F.aggregate(
+    return F.aggregate(
         hashed,
         F.array_repeat(F.lit(0.0), dim),
         lambda acc, h: F.transform(
@@ -271,7 +282,39 @@ def hash_embed(
             lambda v, i: F.when(i.cast("long") == h["b"], v + h["s"]).otherwise(v),
         ),
     )
-    norm = F.sqrt(
-        F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def attach_hash_embed(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "embedding",
+    dim: int = 32,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """:func:`hash_embed` as a staged DataFrame transform — use THIS on
+    any real table. The single-Column form is one Project, so Catalyst
+    inlines the signed-count fold into every place it is referenced: the
+    norm once plus each of the ``dim`` output elements — ~``dim`` + 1
+    evaluations of the whole fold per row (measured 26x at dim=32:
+    materializing all 5k sf0.1 embeddings warm takes 25.6 s as a single
+    Column vs 0.99 s staged).
+    Staging raw → norm → normalize across separate projections keeps
+    each step an attribute reference: CollapseProject refuses to merge
+    projections when it would duplicate a non-cheap expression, so the
+    fold and the norm are computed exactly once per row."""
+    raw_col = _hash_embed_raw(F.col(text_col), dim, hasher)
+    staged = df.withColumn("__he_raw", raw_col).withColumn(
+        "__he_norm",
+        F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    F.col("__he_raw"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            F.lit(1e-12),
+        ),
     )
-    return F.transform(raw, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+    return staged.withColumn(
+        out_col,
+        F.transform(F.col("__he_raw"), lambda x: x / F.col("__he_norm")),
+    ).drop("__he_raw", "__he_norm")

@@ -695,12 +695,15 @@ def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_embed_quantize JSON convention — float FORMATTING differs between
     engines even when values are bit-equal)."""
     d = load_table(spark, sf_dir, "documents")
-    emb = X.hash_embed(F.col("text"), dim=32, hasher="md5")
-    return d.select(
+    # attach_hash_embed, NOT the Column form: staged projections keep the
+    # signed-count fold at one evaluation per row (the Column form
+    # inlines it into every output element — measured 26x slower here)
+    emb = X.attach_hash_embed(d, "text", "e", dim=32, hasher="md5")
+    return emb.select(
         "doc_id",
         F.to_json(
             F.transform(
-                emb, lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("int")
+                F.col("e"), lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("int")
             )
         ).alias("emb_q_json"),
     )
