@@ -159,3 +159,62 @@ def hash_split(
         .otherwise(F.lit("test"))
     )
     return bucket, split
+
+
+def grouped_running_total(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """:func:`running_total` per group: ``out_col`` = exclusive prefix
+    sum of ``weight_col`` within each ``group_cols`` value, in
+    ``order_cols`` order — the primitive behind per-domain token-budget
+    selection (realize a mixture by taking each domain's docs in
+    deterministic order until its budget is spent).
+
+    The naive ``sum() OVER (PARTITION BY group ORDER BY key)`` funnels
+    every hot group through one reducer — the same pathology the global
+    form avoids, now per group. Same two-phase cure: range-partition by
+    (group, order) so a hot group SPANS partitions; local exclusive sums
+    in a window keyed by (physical partition, group); per-(group,
+    partition) totals roll into offsets through a tiny O(groups x
+    partitions) window and broadcast back. No group ever concentrates:
+    window groups are (synthetic pid, group) slices of one sorted range.
+    """
+    keys = group_cols + order_cols
+    stamped = (
+        df.repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftright(F.col(_MID), _LOCAL_BITS)
+    totals = stamped.groupBy(pid.alias(_PID), *group_cols).agg(
+        F.sum(weight_col).alias("__t")
+    )
+    offsets = totals.select(
+        _PID,
+        *group_cols,
+        F.coalesce(
+            F.sum("__t").over(
+                Window.partitionBy(*group_cols)
+                .orderBy(_PID)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias(_OFFSET),
+    )
+    w_local = (
+        Window.partitionBy(_PID, *group_cols)
+        .orderBy(_MID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        stamped.withColumn(_PID, pid)
+        .withColumn("__local", F.coalesce(F.sum(weight_col).over(w_local), F.lit(0)))
+        .join(F.broadcast(offsets), [_PID, *group_cols])
+        .withColumn(out_col, (F.col(_OFFSET) + F.col("__local")).cast("long"))
+        .drop(_MID, _PID, _OFFSET, "__local")
+    )

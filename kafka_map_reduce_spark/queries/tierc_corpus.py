@@ -509,3 +509,118 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(logit * 10000 + F.lit(0.5)) / F.lit(10000)).alias("logit"),
         F.when(logit > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
     )
+
+
+# Global token budget for q_corpus_mix: small enough that every domain's
+# selection actually truncates at sf0.01, so the keep/cut boundary is
+# exercised in-window.
+_MIX_BUDGET = 10000
+
+
+@query(
+    "q_corpus_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ),
+    c AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot FROM t GROUP BY source),
+    s AS (
+      SELECT source, CAST(floor(sqrt(CAST(tot AS DOUBLE)) * 1000000 + 0.5)
+               AS BIGINT) AS score
+      FROM c
+    ),
+    b AS (
+      SELECT source,
+             CAST(floor(CAST(floor(CAST(score AS DOUBLE) * 1000000
+                                   / (SELECT sum(score) FROM s) + 0.5) AS BIGINT)
+                        * {_MIX_BUDGET} / 1000000.0) AS BIGINT) AS budget
+      FROM s
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY hkey, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_before, budget,
+           CAST(CASE WHEN cum_before + n_tokens <= budget
+                     THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM cum JOIN b USING (source)
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture REALIZATION: turn the q_sample_temperature weights into an
+    actual per-domain document selection — each domain's docs taken in
+    salted-hash order (content-independent, reproducible) until its
+    token budget (weight_ppm x global budget) is spent. The step between
+    "we want 37% web, 12% code" and a concrete training corpus.
+
+    100 TB design: the per-domain exclusive prefix sum is
+    operators/ids.py:grouped_running_total — the naive window PARTITION
+    BY source would pull each hot domain through ONE reducer; the
+    two-phase form range-partitions (source, hkey) so hot domains span
+    partitions, with per-(domain, partition) offsets rolling through an
+    O(domains x partitions) broadcast. Budgets are exact integer
+    arithmetic end-to-end (the q_sample_temperature determinism
+    engineering), and selection is a broadcast join of O(domains)
+    budget rows."""
+    from kafka_map_reduce_spark.operators.ids import grouped_running_total
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).alias(
+            "hkey"
+        ),
+    )
+    c = t.groupBy("source").agg(F.sum("n_tokens").alias("tot"))
+    s = c.select(
+        "source",
+        F.floor(F.sqrt(F.col("tot").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("score"),
+    )
+    tot = s.agg(F.sum("score").alias("__tot"))
+    budgets = (
+        s.join(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(
+                F.floor(
+                    F.col("score").cast("double") * 1000000 / F.col("__tot")
+                    + F.lit(0.5)
+                ).cast("long")
+                * _MIX_BUDGET
+                / F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("budget"),
+        )
+    )
+    cum = grouped_running_total(
+        t, ["source"], ["hkey", "doc_id"], "n_tokens", "cum_before"
+    )
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cum_before",
+            "budget",
+            F.when(
+                F.col("cum_before") + F.col("n_tokens") <= F.col("budget"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("selected"),
+        )
+    )

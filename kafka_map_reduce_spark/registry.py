@@ -50,10 +50,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # after round 4 every query's LATEST driver row is green, so the window goes
 # to the stalest rows: (a) the 16 entries whose latest row is from round 2
 # (the 12 never-rotated bonus entries plus the 4 stable rows displaced from
-# the round-4 window), (b) 13 of the round-3 rows, led by
+# the round-4 window), (b) 12 of the round-3 rows, led by
 # q_dedup_near_capped because its operator file (operators/dedup.py) changes
 # this round, then the declared SURVEY §2.2 queries in module order, plus
-# the FIFTEEN queries added this round (first row ever): the
+# the SIXTEEN queries added this round (first row ever): the
 # corpus-assembly five (q_text_repetition, q_text_decontaminate,
 # q_pack_sequences, q_sample_temperature, q_text_boilerplate), the
 # late-round four (q_text_repeated_spans, q_text_unigram_logprob —
@@ -63,7 +63,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # model-free embedding pair (q_text_hash_embed, q_sim_text_topk —
 # SQL-oracled end-to-end, text -> hashed vector -> cosine top-k), and
 # the frozen-weights classifier gate (q_quality_classifier — SQL-oracled
-# logit scoring; the TRAINING side stays pytest-only by nature). A new query
+# logit scoring; the TRAINING side stays pytest-only by nature), and the
+# mixture realization (q_corpus_mix — SQL-oracled per-domain token-budget
+# selection over grouped_running_total). A new query
 # never-checked outranks refreshing a stable r3 row, so the additions
 # displace the simplest r3 aggregates and joins. The round-3 rows that
 # did not fit
@@ -73,7 +75,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # q_unpivot, q_multimodal_decode, plus q_math_funcs, q_join_cross,
 # q_join_inner, q_join_left, q_join_full, q_agg_global, q_agg_having,
 # q_agg_distinct, q_agg_countif, q_cube, q_rollup and
-# q_grouping_sets, q_orderby, q_array_funcs and q_sample_hash — all
+# q_grouping_sets, q_orderby, q_array_funcs, q_sample_hash and
+# q_agg_stats — all
 # stable, pytest- and
 # parity-covered every round) are the round-6 rotation debt. Round-6
 # registration candidates (landed r5 pytest-only): the classifier FIT
@@ -116,7 +119,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_group",
     "q_agg_argmax",
     "q_agg_percentile",
-    "q_agg_stats",
     "q_sample_stratified",
     "q_doc_ids",
     "q_funnel",
@@ -145,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_hash_embed",
     "q_sim_text_topk",
     "q_quality_classifier",
+    "q_corpus_mix",
     # live streams, deliberately last in the window (6): the five r3-stale
     # live queries plus the ingest query whose code changes this round
     "q_stream_stateful",

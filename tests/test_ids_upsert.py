@@ -142,3 +142,37 @@ class TestMergeUpsert:
         out = spark.read.parquet(path)
         assert out.count() == 100
         assert out.filter("k = 5").first().payload == "X"
+
+
+def test_grouped_running_total_matches_naive_window(spark):
+    """Per-group exclusive prefix sums == the single-reducer
+    sum() OVER (PARTITION BY g ORDER BY k) they replace, including a hot
+    group large enough to span several range partitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_map_reduce_spark.operators.ids import grouped_running_total
+
+    rows = [("hot", i, (i * 7) % 13 + 1) for i in range(5000)]
+    rows += [("cold_a", i, i % 5 + 1) for i in range(40)]
+    rows += [("cold_b", i, 3) for i in range(7)]
+    df = spark.createDataFrame(rows, "g string, k long, w long").repartition(16)
+    got = grouped_running_total(df, ["g"], ["k"], "w", "cum")
+    naive = df.withColumn(
+        "cum",
+        F.coalesce(
+            F.sum("w").over(
+                Window.partitionBy("g")
+                .orderBy("k")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    assert (
+        got.select("g", "k", "cum")
+        .exceptAll(naive.select("g", "k", "cum"))
+        .count()
+        == 0
+    )
+    assert got.count() == naive.count()

@@ -43,6 +43,7 @@ CROSS_OK = {
     # probe LUT attach — probes are a bounded broadcast side by design)
     "q_sim_pq",
     "q_sim_ivfpq",
+    "q_corpus_mix",  # 1-row broadcast score total (scalar attach)
 }
 
 # Queries where a full-schema scan is the point (unpivot of many columns,
@@ -154,6 +155,11 @@ MAX_EXCHANGES = {
     "q_quality_classifier": 0,
     # the q_sim_topk two-stage rank shape over hashed-text embeddings
     "q_sim_text_topk": 2,
+    # mixture realization: range exchange + local-window exchange (the
+    # grouped two-phase prefix sum, both O(rows) narrow) + per-source
+    # aggregate pair + tiny offsets/budget rollups; more means the
+    # per-domain window collapsed back to a single-reducer plan
+    "q_corpus_mix": 6,
 }
 
 # Per-round Exchange budgets for the large-star/small-star contraction
