@@ -485,3 +485,96 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     return spark.read.parquet(pairs_path).drop("batch").orderBy("id_a", "id_b")
+
+
+@query("q_stream_gated_ingest", oracle=None, tags=("streaming",))
+def q_stream_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated live ingest (streaming/gated.py): a frozen
+    classifier — trained ONCE here on a labeled seed, then immutable —
+    scores every micro-batch and routes accepts/rejects to batch-keyed
+    overwrite partitions. The production composition where the model
+    trains rarely and the gate runs on every arriving batch forever;
+    retry-safe with NO read-own-write hazard (the gate reads no prior
+    state — contrast q_stream_dedup_ingest).
+
+    The replay plants separable traffic: micro-batch rows are either
+    real fixture prose (accept) or digit-noise junk built from the same
+    rows (reject, id+500000). Rows-only (iterative training); routing
+    parity, conservation and redelivery idempotence are pytest-pinned
+    in tests/test_gated_ingest.py. Output = (doc_id, batch, decision)
+    for every routed row."""
+    import time
+
+    from kafka_map_reduce_spark.operators.classifier import (
+        logreg_fit,
+        quality_features,
+    )
+    from kafka_map_reduce_spark.sources import load_table
+    from kafka_map_reduce_spark.streaming.gated import gated_ingest_stream
+
+    wd = _work_dir(sf_dir, "gated_ingest")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # seed model: fixture prose vs digit-noise junk (deterministic fit)
+    junk = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(
+            F.lit("00 11## 22@@ 33 "),
+            F.regexp_replace(F.col("text"), r"[A-Za-z]", "9"),
+        ).alias("text"),
+    )
+    seed = (
+        docs.filter(F.col("doc_id") < 100)
+        .withColumn("y", F.lit(1))
+        .unionByName(junk.withColumn("y", F.lit(0)))
+        .withColumn("x", quality_features(F.col("text")))
+    )
+    weights = logreg_fit(seed, "x", "y", dim=8, iters=15, lr=2.0)
+
+    # two micro-batches of mixed traffic, age-ordered files
+    src = os.path.join(wd, "src")
+    os.makedirs(src, exist_ok=True)
+    mk_junk = lambda d: d.select(  # noqa: E731
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.lit("00 11## 22@@ 33 "),
+            F.regexp_replace(F.col("text"), r"[A-Za-z]", "9"),
+        ).alias("text"),
+    )
+    b1_base = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    b2_base = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    for i, b in enumerate(
+        (
+            b1_base.unionByName(mk_junk(b1_base.filter(F.col("doc_id") % 3 == 0))),
+            b2_base.unionByName(mk_junk(b2_base.filter(F.col("doc_id") % 4 == 0))),
+        )
+    ):
+        tmp = os.path.join(wd, f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (time.time() - 100 + i, time.time() - 100 + i))
+
+    accept = os.path.join(wd, "accept")
+    reject = os.path.join(wd, "reject")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = gated_ingest_stream(
+        stream, weights, accept, reject, os.path.join(wd, "ckpt")
+    )
+    _drain(q)
+    acc = spark.read.option("basePath", accept).parquet(
+        os.path.join(accept, "batch=*")
+    ).select("doc_id", F.col("batch").cast("string").alias("batch"))
+    rej = spark.read.option("basePath", reject).parquet(
+        os.path.join(reject, "batch=*")
+    ).select("doc_id", F.col("batch").cast("string").alias("batch"))
+    return (
+        acc.withColumn("decision", F.lit("accept"))
+        .unionByName(rej.withColumn("decision", F.lit("reject")))
+        .orderBy("doc_id", "batch")
+    )

@@ -50,10 +50,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # after round 4 every query's LATEST driver row is green, so the window goes
 # to the stalest rows: (a) the 16 entries whose latest row is from round 2
 # (the 12 never-rotated bonus entries plus the 4 stable rows displaced from
-# the round-4 window), (b) 12 of the round-3 rows, led by
+# the round-4 window), (b) 11 of the round-3 rows, led by
 # q_dedup_near_capped because its operator file (operators/dedup.py) changes
 # this round, then the declared SURVEY §2.2 queries in module order, plus
-# the SIXTEEN queries added this round (first row ever): the
+# the SEVENTEEN queries added this round (first row ever): the
 # corpus-assembly five (q_text_repetition, q_text_decontaminate,
 # q_pack_sequences, q_sample_temperature, q_text_boilerplate), the
 # late-round four (q_text_repeated_spans, q_text_unigram_logprob —
@@ -65,7 +65,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the frozen-weights classifier gate (q_quality_classifier — SQL-oracled
 # logit scoring; the TRAINING side stays pytest-only by nature), and the
 # mixture realization (q_corpus_mix — SQL-oracled per-domain token-budget
-# selection over grouped_running_total). A new query
+# selection over grouped_running_total); q_stream_gated_ingest (the
+# classifier gate live, rows-only) joins the stream block at the very
+# end of the window. A new query
 # never-checked outranks refreshing a stable r3 row, so the additions
 # displace the simplest r3 aggregates and joins. The round-3 rows that
 # did not fit
@@ -75,8 +77,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # q_unpivot, q_multimodal_decode, plus q_math_funcs, q_join_cross,
 # q_join_inner, q_join_left, q_join_full, q_agg_global, q_agg_having,
 # q_agg_distinct, q_agg_countif, q_cube, q_rollup and
-# q_grouping_sets, q_orderby, q_array_funcs, q_sample_hash and
-# q_agg_stats — all
+# q_grouping_sets, q_orderby, q_array_funcs, q_sample_hash,
+# q_agg_stats and q_histogram — all
 # stable, pytest- and
 # parity-covered every round) are the round-6 rotation debt. Round-6
 # registration candidates (landed r5 pytest-only): the classifier FIT
@@ -122,7 +124,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_sample_stratified",
     "q_doc_ids",
     "q_funnel",
-    "q_histogram",
     "q_timeseries_gapfill",
     "q_join_multiway",
     "q_join_anti",
@@ -156,6 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_enrich",
     "q_stream_join",
     "q_stream_dedup_ingest",
+    "q_stream_gated_ingest",
 )
 
 
