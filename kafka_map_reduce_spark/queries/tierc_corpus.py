@@ -1,9 +1,11 @@
 """Corpus-assembly queries: the steps between "filtered documents" and
-"training batches" — sequence packing, domain-mixture weights,
-line-level boilerplate scoring, substring-level repeated-span dedup,
-and the unigram-LM quality gate. None of these exist in the reference
-(its surface stops at the two README audit queries, README.md:89-113);
-they are part of the engine's training-data-pipeline tier alongside
+"training batches" — sequence packing, domain-mixture weights and their
+realization as a token-budgeted selection, line-level boilerplate
+scoring, substring-level repeated-span dedup, the unigram-LM and
+frozen-classifier quality gates, per-domain caps, and deterministic
+train/val/test splits. None of these exist in the reference (its
+surface stops at the two README audit queries, README.md:89-113); they
+are part of the engine's training-data-pipeline tier alongside
 tierc_dedup / tierc_text.
 """
 
