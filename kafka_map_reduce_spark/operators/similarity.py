@@ -776,6 +776,14 @@ def embedding_near_dup(
             )
         ).alias("__b"),
     ).select("id", F.col("__b.tbl").alias("tbl"), F.col("__b.bkt").alias("bkt"))
+    # Materialize the signatures once: three consumers (bucket-count cap,
+    # both sides of the candidate self-join) would otherwise each re-run
+    # the T x b x dim hyperplane folds — higher-order-function lambdas
+    # that stay interpreted, the dominant cost of the whole operator
+    # (measured 2.5x end-to-end: 16.5 s vs 6.5 s at sf0.01). At corpus
+    # scale this is the table you PERSIST anyway (the LSH band-index
+    # pattern of the text pipeline).
+    sigs = sigs.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         counts = sigs.groupBy("tbl", "bkt").agg(F.count(F.lit(1)).alias("__n"))
         sigs = sigs.join(

