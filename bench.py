@@ -427,6 +427,7 @@ def main() -> None:
         "q_text_hash_embed", "q_sim_text_topk", "q_quality_classifier",
         "q_text_repetition", "q_text_decontaminate", "q_pack_sequences",
         "q_sample_temperature", "q_text_boilerplate",
+        "q_corpus_mix", "q_dedup_embedding_lsh",
     ]
     result["r5_additions"] = bench_set(r5_added, sf_dir, 1)
 
