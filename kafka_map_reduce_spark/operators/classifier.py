@@ -97,7 +97,8 @@ def logreg_fit(
     ``(w: array<double>)`` of length ``dim`` (bias folded into the
     features as a constant-1 component — see quality_features).
 
-    grad_j = mean((sigmoid(w.x) - y) * x_j) + l2 * w_j; the mean keeps
+    grad_j = mean((sigmoid(w.x) - y) * x_j) + l2 * w_j for j >= 1 (the
+    bias at j = 0 is exempt from the penalty); the mean keeps
     ``lr`` corpus-size-independent. ``dim`` is explicit (not probed from
     the data) so the init is a pure literal and the fit plan never runs
     a row-sampling job.
@@ -141,11 +142,20 @@ def logreg_fit(
             w.join(F.broadcast(grad))
             .join(F.broadcast(n_row))
             .select(
-                F.zip_with(
-                    "w",
-                    "__grad",
-                    lambda wj, gj: wj
-                    - F.lit(lr) * (gj / F.col("__n") + F.lit(l2) * wj),
+                # index-aware update: feature 0 is the folded-in bias and
+                # is NEVER L2-penalized — shrinking the intercept toward 0
+                # miscalibrates the decision threshold (standard logreg
+                # regularization excludes the intercept)
+                F.transform(
+                    F.arrays_zip("w", "__grad"),
+                    lambda s, i: s["w"]
+                    - F.lit(lr)
+                    * (
+                        s["__grad"] / F.col("__n")
+                        + F.when(i >= 1, F.lit(l2) * s["w"]).otherwise(
+                            F.lit(0.0)
+                        )
+                    ),
                 ).alias("w")
             )
             # truncate the per-iteration lineage growth (kmeans_fit pattern)

@@ -29,7 +29,11 @@ def cosine(a: Column, b: Column) -> Column:
     dot = _fold_sum(F.zip_with(ad, bd, lambda x, y: x * y))
     na = F.sqrt(_fold_sum(F.zip_with(ad, ad, lambda x, y: x * y)))
     nb = F.sqrt(_fold_sum(F.zip_with(bd, bd, lambda x, y: x * y)))
-    return dot / (na * nb)
+    # Zero-norm guard matching every DuckDB oracle's greatest(.., 1e-12):
+    # without it a zero embedding (e.g. hash-embed of empty text) yields
+    # NaN, and Spark sorts NaN LARGEST, so it would rank FIRST in
+    # ranked_topk's desc order while the oracle ranks it last.
+    return dot / F.greatest(na * nb, F.lit(1e-12))
 
 
 def ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -380,6 +384,27 @@ def _codebook_row(codebooks: DataFrame) -> DataFrame:
     )
 
 
+def _codebook_d_sub(codebooks: DataFrame) -> int:
+    """Subvector width implied by the codebook (KB-sized table — the
+    limit(1) probe is bounded metadata, not a data scan)."""
+    row = codebooks.select(F.size("centroid").alias("d")).limit(1).collect()
+    if not row:
+        raise ValueError("empty codebook table")
+    return row[0]["d"]
+
+
+def _check_pq_dim(df: DataFrame, vec_col: str, m: int, d_sub: int, what: str):
+    """Fail loudly when vectors don't split into m x d_sub — silently
+    flooring size/m (the old behavior) would drop the trailing dims from
+    codes AND probe LUT slices, skewing every ADC distance."""
+    row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if row and row[0]["d"] != m * d_sub:
+        raise ValueError(
+            f"{what} dim {row[0]['d']} != m*d_sub = {m}*{d_sub}; "
+            "codebook and vectors disagree"
+        )
+
+
 def pq_encode(
     corpus: DataFrame, codebooks: DataFrame, m: int = 4,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -389,9 +414,14 @@ def pq_encode(
     Shuffle-free: the full codebook set rides along as ONE broadcast row
     (m x n_codes x d_sub doubles — KBs), the per-subspace argmin is the
     same inline array_min as IVF assignment. Codes materialize at scan
-    speed; at corpus scale this is the representation you persist."""
+    speed; at corpus scale this is the representation you persist.
+
+    d_sub comes from the CODEBOOK (with an m*d_sub == dim assertion),
+    not floor(dim/m): externally-supplied codebooks with a non-divisible
+    dim must fail loudly, not silently truncate the trailing dims."""
+    d_sub = _codebook_d_sub(codebooks)
+    _check_pq_dim(corpus, vec_col, m, d_sub, "corpus")
     book_row = _codebook_row(codebooks)
-    dim_over_m = F.floor(F.size(vec_col) / F.lit(m)).cast("int")
     return (
         corpus.join(F.broadcast(book_row))
         .select(
@@ -400,7 +430,7 @@ def pq_encode(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda j: _nearest(
                     F.slice(
-                        _as_double(F.col(vec_col)), j * dim_over_m + 1, dim_over_m
+                        _as_double(F.col(vec_col)), j * F.lit(d_sub) + 1, d_sub
                     ),
                     F.col("__books")[j],
                 )["cid"],
@@ -438,6 +468,8 @@ def pq_topk(
     shortlist 25 / 50 / 100. The floor test pins shortlist=100 >= 0.70.
     A fixed few-hundred-row shortlist is a vanishing fraction of a real
     corpus, so the re-rank join stays candidate-sized at any scale."""
+    d_sub = _codebook_d_sub(codebooks)
+    _check_pq_dim(probes, vec_col, m, d_sub, "probes")
     book_row = _codebook_row(codebooks)
     p = (
         probes.select(
@@ -460,11 +492,7 @@ def pq_topk(
                             c["cluster_id"].alias("k"),
                             _l2sq(
                                 F.slice(
-                                    F.col("__pv"),
-                                    j
-                                    * F.floor(F.size("__pv") / F.lit(m)).cast("int")
-                                    + 1,
-                                    F.floor(F.size("__pv") / F.lit(m)).cast("int"),
+                                    F.col("__pv"), j * F.lit(d_sub) + 1, d_sub
                                 ),
                                 c["centroid"],
                             ).alias("v"),

@@ -50,6 +50,12 @@ def gate_micro_batch(
         weights,
         "__x",
     ).drop("__x")
+    # A NULL text yields NULL features -> NULL prob, which fails BOTH
+    # threshold predicates — the row would silently land in neither
+    # stream, breaking conservation (accept ∪ reject == input). Route
+    # unscorable rows to the reject/audit stream with a -1.0 sentinel
+    # score (outside [0,1], unambiguous in the audit trail).
+    scored = scored.withColumn("prob", F.coalesce(F.col("prob"), F.lit(-1.0)))
     scored.filter(F.col("prob") >= threshold).drop("prob").write.mode(
         "overwrite"
     ).parquet(os.path.join(accept_path, f"batch={this_batch}"))

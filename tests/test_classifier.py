@@ -120,3 +120,25 @@ def test_predict_plan_is_shuffle_free(spark, planted):
     for shuffle in ("Exchange hashpartitioning", "Exchange rangepartitioning",
                     "Exchange SinglePartition"):
         assert shuffle not in plan, "scoring must stay at scan speed"
+
+
+def test_l2_exempts_bias_numpy_parity(spark, planted):
+    """Regularized fit must match the closed-form update with the
+    penalty EXCLUDED for the bias (feature 0) — standard logreg
+    regularization never shrinks the intercept."""
+    got = (
+        logreg_fit(planted, "x", "y", dim=DIM, iters=3, lr=0.5, l2=0.3)
+        .collect()[0]
+        .w
+    )
+    pdf = planted.toPandas()
+    X = np.array(pdf["x"].tolist())
+    y = pdf["y"].to_numpy().astype(float)
+    w = np.zeros(DIM)
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        grad = ((p - y) @ X) / len(y)
+        pen = 0.3 * w
+        pen[0] = 0.0
+        w = w - 0.5 * (grad + pen)
+    assert np.allclose(np.array(got), w, atol=1e-12)

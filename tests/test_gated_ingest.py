@@ -107,3 +107,22 @@ def test_retry_is_idempotent(spark, seed_model, arriving, tmp_path):
     assert os.listdir(accept) == ["batch=7"] or sorted(
         os.listdir(accept)
     ) == sorted(["batch=7", "_SUCCESS"])
+
+
+def test_null_text_routed_to_reject_not_dropped(spark, seed_model, tmp_path):
+    """A NULL text yields a NULL score, which satisfies NEITHER
+    threshold predicate — before the coalesce fix such rows vanished
+    from both streams. They must land in reject with the -1.0 sentinel
+    so conservation (accept ∪ reject == input) holds on dirty data."""
+    rows = [
+        (1, "the calm old river and the quiet dog walk home at dusk"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    accept, reject = str(tmp_path / "acc"), str(tmp_path / "rej")
+    gate_micro_batch(df, 0, seed_model, accept, reject)
+    acc = spark.read.parquet(os.path.join(accept, "batch=0"))
+    rej = spark.read.parquet(os.path.join(reject, "batch=0"))
+    assert acc.count() + rej.count() == 2
+    scores = {r.doc_id: r.prob for r in rej.collect()}
+    assert scores.get(2) == -1.0, f"null-text row not in reject: {scores}"

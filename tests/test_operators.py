@@ -44,6 +44,21 @@ def test_cosine_matches_numpy(spark):
     assert math.isclose(got, want, rel_tol=1e-12)
 
 
+def test_cosine_zero_norm_is_zero_not_nan(spark):
+    """A zero embedding (hash-embed of empty text) must score 0, never
+    NaN — Spark orders NaN LARGEST, so a NaN sim would rank a zero-norm
+    doc FIRST in every desc top-k while the DuckDB oracles (which guard
+    with greatest(.., 1e-12)) rank it last."""
+    from kafka_map_reduce_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0, 0.0], [1.0, 2.0, 3.0])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first().c
+    assert got == 0.0 and not math.isnan(got)
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     from kafka_map_reduce_spark.operators.dedup import hamming_pairs, simhash
 

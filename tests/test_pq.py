@@ -326,3 +326,15 @@ def test_ivfpq_incremental_append_probe_parity(spark, emb, ivfpq):
     assert sorted(((r.probe_id, r.rank, r.neighbor_id, r.sim) for r in got)) == sorted(
         ((r.probe_id, r.rank, r.neighbor_id, r.sim) for r in want)
     )
+
+
+def test_pq_dim_mismatch_fails_loudly(spark, emb, books):
+    """Externally-supplied codebooks whose m*d_sub disagrees with the
+    vector dim must raise, not silently floor(dim/m) and drop trailing
+    dims from codes and probe LUT slices (which skews every ADC
+    distance)."""
+    with pytest.raises(ValueError, match="dim"):
+        pq_encode(emb, books, m=M - 1)
+    enc = pq_encode(emb, books, m=M)
+    with pytest.raises(ValueError, match="dim"):
+        pq_topk(emb.limit(2), enc, books, m=M - 1).collect()
