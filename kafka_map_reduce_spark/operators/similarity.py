@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -769,6 +770,73 @@ def hyperplane_bucket(
     return out
 
 
+def _hyperplane_sign_matrix(dim: int, bits: int, n_tables: int):
+    """(dim, n_tables*bits) ±1 matrix from the same md5 derivation as
+    :func:`hyperplane_bucket` — column t*bits+j is table t's hyperplane
+    j, so Arrow and JVM signatures are bit-identical by construction."""
+    import hashlib
+
+    import numpy as np
+
+    H = np.empty((dim, n_tables * bits), dtype=np.float64)
+    for t in range(n_tables):
+        for j in range(bits):
+            for i in range(dim):
+                h = int(
+                    hashlib.md5(f"hp:{t}:{j}:{i}".encode()).hexdigest(), 16
+                )
+                H[i, t * bits + j] = 1.0 if h % 2 == 0 else -1.0
+    return H
+
+
+def hyperplane_buckets_all(
+    dim: int, bits: int = 16, n_tables: int = 8
+):
+    """All ``n_tables`` hyperplane signatures of a vector in ONE Arrow
+    batch: returns a pandas-UDF Column factory producing array<long> of
+    length n_tables (bucket of table t at position t).
+
+    Why a pandas UDF when the repo's rule is built-ins first: the JVM
+    form is T x b higher-order-function folds per row (zip_with +
+    aggregate stay INTERPRETED — no codegen for lambda bodies), each
+    re-evaluating the array cast, i.e. ~T*b*dim interpreted ops/row.
+    Vectorized, the whole signature set is one (batch x dim) @
+    (dim x T*b) numpy matmul + a bit-pack — measured at sf0.1 (5k docs,
+    dim 32, T=8, b=16), min-of-3 on a checkpointed input: signatures
+    6.42 s JVM folds vs 0.21 s Arrow (30x). The staged-projection JVM
+    variant (cast hoisted once, per-table signature projections — the
+    attach_hash_embed precedent) was measured too and came out SLOWER
+    than plain (7.27 s): staging removes the re-cast but not the
+    interpreted folds, which are the actual cost. So Arrow wins and the
+    JVM expression stays for single-bucket uses and the determinism pin
+    (tests assert Arrow == JVM bit-parity). q_dedup_embedding_lsh
+    end-to-end at sf0.1: 16.0 s (r5) -> ~6.3 s; the residual is the
+    shared model-free embedding stage (attach_hash_embed, ~5 s cold
+    scan+fold) and the exact-cosine verify over ~209k candidates
+    (~2.1 s), not the signatures."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    H = _hyperplane_sign_matrix(dim, bits, n_tables)
+    pow2 = (2 ** np.arange(bits, dtype=np.int64))[None, None, :]
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(v.tolist(), dtype=np.float64)  # (n, dim)
+        # strict > 0, matching the JVM expression's F.when(dot > 0, ..)
+        b = (V @ H) > 0  # (n, n_tables*bits)
+        packed = (
+            (b.reshape(len(V), n_tables, bits) * pow2)
+            .sum(axis=2)
+            .astype(np.int64)
+        )
+        return pd.Series([row.tolist() for row in packed])
+
+    return buckets
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     dim: int,
@@ -788,29 +856,18 @@ def embedding_near_dup(
     buckets before the self-join — over-threshold mega-clusters route to
     exact dedup, identical policy to the text-LSH/SimHash caps."""
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    # All T signatures in ONE Arrow batch per row (numpy matmul) — the
+    # per-table JVM fold explode this replaced was the operator's
+    # dominant cost (see hyperplane_buckets_all's measured numbers).
+    all_b = hyperplane_buckets_all(dim, bits, n_tables)
     sigs = base.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_bucket(F.col("__v"), dim, bits, t).alias(
-                            "bkt"
-                        ),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("__b"),
-    ).select("id", F.col("__b.tbl").alias("tbl"), F.col("__b.bkt").alias("bkt"))
+        F.posexplode(all_b(_as_double(F.col("__v")))).alias("tbl", "bkt"),
+    )
     # Materialize the signatures once: three consumers (bucket-count cap,
     # both sides of the candidate self-join) would otherwise each re-run
-    # the T x b x dim hyperplane folds — higher-order-function lambdas
-    # that stay interpreted, the dominant cost of the whole operator
-    # (measured 2.5x end-to-end: 16.5 s vs 6.5 s at sf0.01). At corpus
-    # scale this is the table you PERSIST anyway (the LSH band-index
-    # pattern of the text pipeline).
+    # the Arrow signature stage. At corpus scale this is the table you
+    # PERSIST anyway (the LSH band-index pattern of the text pipeline).
     sigs = sigs.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         counts = sigs.groupBy("tbl", "bkt").agg(F.count(F.lit(1)).alias("__n"))

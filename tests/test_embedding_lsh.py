@@ -104,3 +104,27 @@ def test_signature_is_deterministic(spark, planted):
         hyperplane_bucket(F.col("embedding"), DIM, 16, 1).alias("b")
     ).collect()
     assert sorted(r.b for r in c) != sorted(r.b for r in b)
+
+
+def test_arrow_buckets_match_jvm_expression(spark, planted):
+    """The vectorized Arrow signature (one numpy matmul for all T
+    tables) must be bit-identical to the per-table JVM fold expression —
+    same md5 sign derivation, same strict dot > 0 convention."""
+    from kafka_map_reduce_spark.operators.similarity import (
+        hyperplane_buckets_all,
+    )
+
+    T, B = 4, 16
+    arrow = planted.select(
+        "vec_id",
+        F.posexplode(
+            hyperplane_buckets_all(DIM, B, T)(F.col("embedding"))
+        ).alias("tbl", "bkt"),
+    ).collect()
+    got = {(r.vec_id, r.tbl): r.bkt for r in arrow}
+    for t in range(T):
+        jvm = planted.select(
+            "vec_id", hyperplane_bucket(F.col("embedding"), DIM, B, t).alias("b")
+        ).collect()
+        for r in jvm:
+            assert got[(r.vec_id, t)] == r.b, (r.vec_id, t)
