@@ -222,6 +222,34 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hll_sketches",
+    oracle=None,  # approximate: Apache DataSketches HLL, engine-specific
+    tags=("approx",),
+)
+def q_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus statistics from the persistable HLL sketch
+    table (operators/sketches.py): ONE scan per table sketches every
+    audited column (each hll_sketch_agg its own mergeable partial
+    accumulator), then estimation reads the KB-sized sketch rows — the
+    append-only shape where per-ingest-batch sketch rows accumulate and
+    distinct-counts union them WITHOUT rescanning the corpus. Rows-only
+    by declaration (HLL estimates are sketch-implementation-specific;
+    <=5% error vs exact and append==full-scan merge semantics are pinned
+    in tests/test_hll_sketches.py)."""
+    from kafka_map_reduce_spark.operators.sketches import (
+        hll_column_sketches,
+        hll_estimates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    sketches = hll_column_sketches(
+        docs, ["doc_id", "lang", "source"]
+    ).unionByName(hll_column_sketches(events, ["user_id", "event_type"]))
+    return hll_estimates(sketches).orderBy("column")
+
+
+@query(
     "q_agg_percentile",
     oracle=f"""
     SELECT l_returnflag,

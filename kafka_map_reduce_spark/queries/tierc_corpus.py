@@ -513,6 +513,60 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_classifier_fit", oracle=None, tags=("iterative",))
+def q_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINING side of the quality gate: distributed full-batch
+    gradient descent (operators/classifier.py:logreg_fit) on weak
+    labels (n_chars > 300 — the same rule that produced the frozen
+    q_quality_classifier weights), emitting one (feature, weight) row
+    per model dimension. Iterative — every GD step is a broadcast +
+    posexplode + dim-keyed aggregate — so no SQL oracle is possible;
+    the guarantees live in tests/test_classifier.py (single-step parity
+    vs the numpy closed form at 1e-12, separable-data accuracy floor,
+    determinism, bias-exempt L2). Weights floor-round to 6 decimals so
+    the rows-only record is stable across runs.
+
+    Scale: per iteration the ONLY data-sized stage is the gradient
+    aggregate (map-side combine reduces it to dim x partitions rows);
+    the model itself is one broadcast row, never on the driver."""
+    from kafka_map_reduce_spark.operators.classifier import (
+        logreg_fit,
+        quality_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        quality_features(F.col("text")).alias("x"),
+        (F.col("n_chars") > 300).cast("int").alias("y"),
+    )
+    w = logreg_fit(labeled, "x", "y", dim=8, iters=10, lr=1.0)
+    names = F.array(
+        *[
+            F.lit(n)
+            for n in (
+                "bias",
+                "len_scaled",
+                "punct_ratio",
+                "stopword_ratio",
+                "mean_tok_len_10",
+                "digit_ratio",
+                "upper_ratio",
+                "nonalnum_ratio",
+            )
+        ]
+    )
+    return (
+        w.select(F.posexplode("w").alias("idx", "weight"))
+        .select(
+            F.element_at(names, F.col("idx") + 1).alias("feature"),
+            (F.floor(F.col("weight") * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias(
+                "weight"
+            ),
+        )
+        .orderBy("feature")
+    )
+
+
 # Global token budget for q_corpus_mix: small enough that every domain's
 # selection actually truncates at sf0.01, so the keep/cut boundary is
 # exercised in-window.

@@ -45,109 +45,94 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# Explicit iteration-order priority for external correctness harnesses that
-# check a bounded prefix of ``all_queries()``. Round 5: freshness rotation
-# plus the round's additions — after round 4 every query's LATEST driver row
-# is green, so the window goes to (a) the 16 entries whose latest row is
-# from round 2 (the 12 never-rotated bonus entries plus the 4 stable rows
-# displaced from the round-4 window), (b) 10 of the round-3 rows, led by
-# q_dedup_near_capped because its operator file (operators/dedup.py)
-# changes this round, (c) the EIGHTEEN queries added this round, each with
-# its first-ever driver row:
-#   - corpus assembly: q_text_repetition, q_text_decontaminate,
-#     q_pack_sequences, q_sample_temperature, q_text_boilerplate,
-#     q_corpus_mix (all SQL-oracled)
-#   - substring/LM gates: q_text_repeated_spans, q_text_unigram_logprob
-#     (SQL-oracled)
-#   - ANN: q_sim_pq, q_sim_ivfpq (rows-only + recall floors in
-#     tests/test_pq.py)
-#   - policy: q_domain_cap, q_split_assign, q_dedup_keep_best
-#     (SQL-oracled)
-#   - model-free embeddings: q_text_hash_embed, q_sim_text_topk
-#     (SQL-oracled end-to-end), q_dedup_embedding_lsh (rows-only +
-#     planted floor in tests/test_embedding_lsh.py)
-#   - learned gate: q_quality_classifier (SQL-oracled frozen-weights
-#     logit scoring), q_stream_gated_ingest (the gate live, rows-only)
-# A new query never-checked outranks refreshing a stable r3 row, so the
-# additions displace the simplest r3 aggregates and joins. The r3 rows
-# that did not fit (q_join_null_safe/range_bucket/right/semi/theta,
-# q_topk, q_union_all/distinct, q_sql_interface, q_window_time_range,
-# q_agg_collect, q_audit_delivery/double_write, q_pivot, q_string_agg,
-# q_unpivot, q_multimodal_decode, q_math_funcs, q_join_cross,
-# q_join_inner, q_join_left, q_join_full, q_agg_global, q_agg_having,
-# q_agg_distinct, q_agg_countif, q_cube, q_rollup, q_grouping_sets,
-# q_orderby, q_array_funcs, q_sample_hash, q_agg_stats, q_histogram,
-# q_agg_percentile — all stable, pytest- and parity-covered every round)
-# are the round-6 rotation debt. Round-6 registration candidates (landed
-# r5 pytest-only): the classifier FIT (operators/classifier.py —
-# iterative, rows-only + the pinned floors in tests/test_classifier.py;
-# its inference side is already registered as q_quality_classifier) and
-# the incremental HLL sketch table (operators/sketches.py:
-# hll_column_sketches — approx, rows-only like q_agg_approx_distinct).
-# Live Structured-Streaming queries sit at the END of the window: they
-# are the only queries that could wedge a small harness session, and
-# placing them last means a wedge cannot shadow any other in-window
-# check.
+# Explicit iteration-order priority for external correctness harnesses
+# that check a bounded prefix (50) of ``all_queries()``. Freshness
+# rotation: a never-checked registration outranks refreshing a stale
+# row; stale rows outrank fresh ones; queries whose CODE changed this
+# round re-enter regardless of freshness. Live Structured-Streaming
+# queries (module streaming_live) sit contiguously at the END of the
+# window — they are the only queries that could wedge a small harness
+# session, and placing them last means a wedge cannot shadow any other
+# in-window check (pytest-enforced, test_registry_contract.py).
+#
+# Round-6 window: the 35 rows whose latest driver record is r3, the two
+# r6 registrations (q_classifier_fit, q_hll_sketches), the seven queries
+# touched by this round's similarity/classifier code changes, the three
+# oldest r4 rows-only entries, and two live streams (r4-stale watermark
+# + the gated ingest whose gate code changed).
+#
+# Round-7 queue (r4-stale remainder, oldest-first): q_cast,
+# q_conditional, q_date_funcs, q_dedup_clusters, q_dedup_exact,
+# q_dedup_incremental (rows-only), q_dedup_simhash(+_capped, rows-only),
+# q_dedup_ngram_jaccard, q_dedup_exact_incremental, q_distinct,
+# q_embed_quantize, q_except, q_filter, q_heavy_hitters, q_histogram
+# (refreshed r6), q_intersect, q_json_funcs, q_multimodal_frames,
+# q_pipeline_e2e, q_projection, q_scan_json_lines, q_scan_parquet,
+# q_scan_partitioned, q_stream_dedup/session/sliding/tumbling,
+# q_string_funcs, q_text_chunks, q_text_redact, q_text_stats,
+# q_text_tokens, q_udaf_grouped, q_udf_scalar, q_udtf_explode,
+# q_window_frame, q_window_lead_lag, q_window_rank, q_window_running,
+# q_dedup_clusters_star — plus whatever r6 registers beyond 50.
 _PRIORITY: tuple[str, ...] = (
-    # (a) latest row is round-2 — batch (16)
-    "q_multimodal_meta",
-    "q_sim_ivf",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_subquery_correlated",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tfidf",
-    "q_token_count",
-    "q_window_dist",
-    "q_window_value_funcs",
-    "q_scan_csv",
-    "q_scan_orc",
-    "q_scan_binary",
-    "q_multimodal_resize",
-    # (b) latest row is round-3 — batch; q_dedup_near_capped first
-    # because operators/dedup.py changes this round (cache-leak fix)
-    "q_dedup_near_capped",
-    "q_agg_group",
-    "q_agg_argmax",
-    "q_sample_stratified",
-    "q_doc_ids",
-    "q_funnel",
-    "q_timeseries_gapfill",
-    "q_join_multiway",
-    "q_join_anti",
-    "q_join_asof",
-    # new this round, first driver row ever — batch (5): the two text
-    # gates plus the corpus-assembly trio (queries/tierc_corpus.py).
-    # They displace q_join_inner/left/full — the simplest, most stable
-    # r3 rows (plain equi-joins, pytest- and parity-covered every
-    # round), which join the round-6 rotation debt instead.
-    "q_text_repetition",
-    "q_text_decontaminate",
-    "q_pack_sequences",
-    "q_sample_temperature",
-    "q_text_boilerplate",
-    "q_text_repeated_spans",
-    "q_text_unigram_logprob",
+    # (a) latest driver row is round-3 — joins (9)
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_theta",
+    "q_join_cross",
+    "q_join_null_safe",
+    "q_join_range_bucket",
+    # (a) r3 — aggregates / grouping (9)
+    "q_agg_global",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_agg_countif",
+    "q_agg_stats",
+    "q_agg_percentile",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    # (a) r3 — sorts, set ops, SQL surface (7)
+    "q_orderby",
+    "q_topk",
+    "q_union_all",
+    "q_union_distinct",
+    "q_sql_interface",
+    "q_window_time_range",
+    "q_agg_collect",
+    # (a) r3 — audits, pivots, scalar funcs, sampling (10)
+    "q_audit_delivery",
+    "q_audit_double_write",
+    "q_pivot",
+    "q_unpivot",
+    "q_string_agg",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_sample_hash",
+    "q_histogram",
+    "q_multimodal_decode",
+    # (b) new registrations this round, first driver row ever (2)
+    "q_classifier_fit",
+    "q_hll_sketches",
+    # (c) code changed this round: Arrow LSH signatures, PQ dim
+    # validation, cosine zero-norm guard (7)
+    "q_dedup_embedding_lsh",
     "q_sim_pq",
     "q_sim_ivfpq",
-    "q_domain_cap",
-    "q_split_assign",
-    "q_dedup_keep_best",
-    "q_text_hash_embed",
+    "q_sim_cosine",
+    "q_sim_topk",
     "q_sim_text_topk",
-    "q_quality_classifier",
-    "q_corpus_mix",
-    "q_dedup_embedding_lsh",
-    # live streams, deliberately last in the window (6): the five r3-stale
-    # live queries plus the ingest query whose code changes this round
-    "q_stream_stateful",
-    "q_stream_dlq",
-    "q_sink_jsonl",
-    "q_stream_enrich",
-    "q_stream_join",
-    "q_stream_dedup_ingest",
+    "q_dedup_embedding",
+    # (d) oldest r4 rows-only entries (3) + one r4 batch-face stream (1)
+    "q_agg_approx_distinct",
+    "q_sketch_quantile",
+    "q_dedup_near",
+    "q_stream_dedup",
+    # (e) live streams, last in the window (2): r4-stale watermark and
+    # the gated ingest whose gate code changed this round
+    "q_stream_watermark",
     "q_stream_gated_ingest",
 )
 
