@@ -177,23 +177,43 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-document repetition gate (operators/text.py:repetition_score):
-    repeated 3-gram ratio per doc, the Gopher-style filter a training
-    pipeline runs before anything else. Shuffle-free JVM expression —
-    0-Exchange budget in plancheck; exact gram counts ride along so the
-    oracle hash pins the integers, not just the rounded ratio."""
+    """Intra-document repetition gate (operators/text.py:repetition_score
+    semantics): repeated 3-gram ratio per doc, the Gopher-style filter a
+    training pipeline runs before anything else. Shuffle-free JVM
+    expression — 0-Exchange budget in plancheck; exact gram counts ride
+    along so the oracle hash pins the integers, not just the ratio.
+
+    Staged projections (the attach_hash_embed pattern): a single select
+    inlines the gram-building transform into n_grams, n_distinct AND the
+    score (~4 evaluations of word_ngrams + 2 of array_distinct per row);
+    staging grams -> counts -> ratio computes each exactly once.
+    Measured min-of-3 at sf0.1: 4.01 s single-projection -> 1.48 s
+    staged (2.7x). xxhash64-ing grams before array_distinct was measured
+    too (1.39 s) and REJECTED: 6% more for a 64-bit collision risk that
+    would silently desync n_distinct from the string-exact oracle."""
     d = load_table(spark, sf_dir, "documents")
-    grams = X.word_ngrams(F.col("text"), 3)
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return d.select(
+    staged = (
+        d.withColumn("__g", X.word_ngrams(F.col("text"), 3))
+        .withColumn("__n", F.size("__g"))
+        .withColumn("__nd", F.size(F.array_distinct("__g")))
+    )
+    return staged.select(
         "doc_id",
-        total.cast("long").alias("n_grams"),
-        distinct.cast("long").alias("n_distinct"),
-        (
-            F.floor(X.repetition_score(F.col("text"), 3) * 10000 + F.lit(0.5))
+        F.col("__n").cast("long").alias("n_grams"),
+        F.col("__nd").cast("long").alias("n_distinct"),
+        F.when(F.col("__n") <= 0, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.col("__nd").cast("double") / F.col("__n").cast("double")
+                )
+                * 10000
+                + F.lit(0.5)
+            )
             / F.lit(10000)
-        ).alias("rep3"),
+        )
+        .alias("rep3"),
     )
 
 
