@@ -269,15 +269,24 @@ def bench_corpus_scaleup(spark, sf_dir: str, sf1_dir: str, n_runs: int) -> dict:
     split, and token-keyed LM join are exactly the plans whose skew
     claims deserve a 10x-data measurement.
 
-    Part 2: the skew claim itself, measured. The sf1 documents get their
-    source remapped so ONE domain owns ~50% of all rows, then the same
-    per-domain exclusive prefix sum runs two ways: the engine's two-phase
-    grouped_running_total (hot domain SPANS range partitions; window
-    groups are synthetic-pid slices) vs the naive
-    ``sum() OVER (PARTITION BY source ORDER BY doc_id)`` that funnels the
-    hot domain through one reducer. ``naive_over_two_phase`` records the
-    pathology's magnitude at this scale; on a real cluster it grows with
-    the hot domain while the two-phase time stays flat per row."""
+    Part 2: the skew claim itself, measured HONESTLY. The sf1 documents
+    are exploded x20 to 1M rows with ONE domain owning 50%, then the
+    per-domain exclusive prefix sum runs two ways: the engine's
+    two-phase grouped_running_total (hot domain SPANS range partitions)
+    vs the naive ``sum() OVER (PARTITION BY source ORDER BY doc_id)``
+    that funnels the hot domain through one reducer.
+
+    What the numbers mean: in a single local JVM the NAIVE form wins
+    wall-clock (measured ~0.5 s vs ~1.1 s at 1M rows — no network
+    shuffle, and one thread sorts 500k narrow rows easily), so the
+    recorded time ratio is the two-phase form's insurance premium, not
+    a victory lap. The scale argument is the CONCENTRATION metric
+    recorded alongside: ``naive_max_task_rows`` equals the hot domain
+    (50% of the corpus through ONE task — grows linearly with data
+    until that task exceeds executor memory or becomes the straggler),
+    while ``two_phase_max_task_rows`` is bounded by the range layout
+    (~rows/partitions) REGARDLESS of skew. At 100 TB the former is an
+    OOM; the latter is just another partition."""
     import time as _time
 
     from pyspark.sql import Window
@@ -307,15 +316,21 @@ def bench_corpus_scaleup(spark, sf_dir: str, sf1_dir: str, n_runs: int) -> dict:
 
     docs_hot = (
         spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+        .select("doc_id", "n_chars", "source")
+        .withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(19))))
         .select(
-            "doc_id",
+            (F.col("doc_id") * 20 + F.col("__r")).alias("doc_id"),
             "n_chars",
-            F.when(F.pmod(F.col("doc_id"), 2) == 0, F.lit("hot_source"))
+            F.when(
+                F.pmod(F.col("doc_id") * 20 + F.col("__r"), 2) == 0,
+                F.lit("hot_source"),
+            )
             .otherwise(F.col("source"))
             .alias("source"),
         )
         .localCheckpoint(eager=True)  # isolate prefix-sum cost from scan
     )
+    n_rows = docs_hot.count()
     n_hot = docs_hot.filter(F.col("source") == "hot_source").count()
     two_phase = best_of(
         lambda: materialize(
@@ -337,14 +352,35 @@ def bench_corpus_scaleup(spark, sf_dir: str, sf1_dir: str, n_runs: int) -> dict:
             )
         )
     )
+    # Concentration: the scale-invariant witness. Naive funnels the
+    # whole hot domain through one task; two-phase's max task is set by
+    # the range layout (measured, not assumed).
+    two_phase_max = (
+        docs_hot.repartitionByRange("source", "doc_id")
+        .groupBy(F.spark_partition_id().alias("__p"))
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
     out["hot_domain"] = {
-        "n_rows": docs_hot.count(),
+        "n_rows": n_rows,
         "hot_domain_rows": n_hot,
         "two_phase_sec": two_phase,
         "naive_window_sec": naive,
-        "naive_over_two_phase": round(naive / two_phase, 2)
-        if two_phase > 0
+        "two_phase_over_naive_local": round(two_phase / naive, 2)
+        if naive > 0
         else None,
+        "naive_max_task_rows": n_hot,
+        "two_phase_max_task_rows": int(two_phase_max),
+        "note": (
+            "single-JVM local mode favors the naive window (no network "
+            "shuffle; one thread sorts the hot domain easily) — the "
+            "recorded time ratio is the two-phase form's insurance "
+            "premium. The scale argument is concentration: naive puts "
+            "hot_domain_rows (50% of the corpus, grows with data) "
+            "through ONE task; two-phase's max task is bounded by the "
+            "range layout regardless of skew."
+        ),
     }
     docs_hot.unpersist()
     return out
@@ -584,7 +620,18 @@ def main() -> None:
     detail["r5_additions"] = bench_set(r5_added, sf_dir, n_runs)
 
     # Round-6 additions (first-timed this round).
-    r6_added = [n for n in ("q_classifier_fit", "q_hll_sketches") if n in specs]
+    r6_added = [
+        n
+        for n in (
+            "q_classifier_fit",
+            "q_hll_sketches",
+            "q_corpus_report",
+            "q_sim_sq8",
+            "q_text_decontaminate_spans",
+            "q_stream_mix_monitor",
+        )
+        if n in specs
+    ]
     if r6_added:
         detail["r6_additions"] = bench_set(r6_added, sf_dir, n_runs)
 

@@ -318,3 +318,60 @@ def attach_hash_embed(
         out_col,
         F.transform(F.col("__he_raw"), lambda x: x / F.col("__he_norm")),
     ).drop("__he_raw", "__he_norm")
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Span-level decontamination (the surgery step of Lee et al. /
+    GPT-3-style contamination handling): instead of DROPPING a train doc
+    that shares k-gram shingles with the eval set (the doc-level
+    q_text_decontaminate policy — wasteful when one quoted sentence
+    taints a long document), cut exactly the contaminated token spans
+    and keep the rest.
+
+    Returns (id, n_tokens, n_removed, cleaned_text): a shingle matching
+    an eval shingle at 1-based token position p removes tokens
+    p..p+k-1; overlapping matches union naturally. cleaned_text is the
+    space-join of surviving tokens.
+
+    100 TB design: the eval side is an eval suite, tiny by definition —
+    its distinct shingle set is BROADCAST, so matching is a map-side
+    hash join against every train shingle partition; the only shuffle
+    is the per-doc matched-position aggregate, bounded by actual
+    contamination volume. The surgery itself is an index-aware filter
+    over the token array — pure JVM, scan speed."""
+    toks = F.split(F.col(text_col), " ")
+    grams = word_ngrams(F.col(text_col), k)
+    eval_sh = (
+        eval_docs.select(
+            F.explode(word_ngrams(F.col(text_col), k)).alias("__s")
+        )
+        .distinct()
+    )
+    hits = (
+        docs.select(F.col(id_col), F.posexplode(grams).alias("__p0", "__s"))
+        .join(F.broadcast(eval_sh), "__s")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set(F.col("__p0") + 1)).alias("__ps"))
+    )
+    with_ps = docs.join(hits, id_col, "left").withColumn(
+        "__ps", F.coalesce(F.col("__ps"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        toks,
+        lambda t, j: ~F.exists(
+            F.col("__ps"),
+            lambda p: (F.lit(j) + 1 >= p) & (F.lit(j) + 1 <= p + (k - 1)),
+        ),
+    )
+    return with_ps.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )

@@ -578,3 +578,71 @@ def q_stream_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rej.withColumn("decision", F.lit("reject")))
         .orderBy("doc_id", "batch")
     )
+
+
+@query(
+    "q_stream_mix_monitor",
+    oracle="""
+    WITH s AS (
+      SELECT source AS domain, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    k AS (SELECT count(*) AS nd FROM s),
+    tot AS (SELECT sum(n_docs) AS total FROM s),
+    r AS (
+      SELECT domain,
+             CAST(n_docs AS BIGINT) AS n_docs,
+             floor(n_docs / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS obs_frac,
+             floor(1.0 / nd * 10000 + 0.5) / 10000 AS tgt_frac
+      FROM s, k, tot
+    )
+    SELECT domain, n_docs, obs_frac, tgt_frac,
+           floor((obs_frac - tgt_frac) * 10000 + 0.5) / 10000 AS drift,
+           CAST(CASE WHEN abs(obs_frac - tgt_frac) > 0.02 THEN 1 ELSE 0 END
+                AS BIGINT) AS over
+    FROM r
+    """,
+    tags=("streaming",),
+)
+def q_stream_mix_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live corpus-mixture drift monitor (streaming/monitor.py): each
+    micro-batch appends ONE tiny per-domain count aggregate under a
+    batch-keyed overwrite partition; the drift report reads only those
+    O(batches x domains) stats rows — the corpus is scanned exactly once
+    by the stream itself, never by the report. Target mixture here is
+    uniform over the observed domains, so the availableNow drain makes
+    the cumulative report equal a plain GROUP BY over the table — which
+    is precisely what the SQL oracle hash-checks (a live streaming query
+    with an EXACT oracle, like q_stream_enrich).
+
+    Scale: the per-batch aggregate is domains x 1 rows (KBs) with
+    map-side combine absorbing the scan; monitoring cost is independent
+    of corpus size — the same index-tracks-the-batch contract as the
+    dedup band index and the HLL sketch table, pytest-pinned for
+    conservation and redelivery idempotence in tests/test_monitor.py."""
+    from kafka_map_reduce_spark.sources import load_table
+    from kafka_map_reduce_spark.streaming.monitor import (
+        mixture_drift_report,
+        mixture_monitor_stream,
+    )
+
+    wd = _work_dir(sf_dir, "mix_monitor")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src = os.path.join(wd, "src")
+    docs.repartitionByRange(3, "doc_id").write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stats = os.path.join(wd, "stats")
+    _drain(
+        mixture_monitor_stream(stream, stats, os.path.join(wd, "ckpt"))
+    )
+    n_domains = docs.select("source").distinct().count()
+    targets = (
+        docs.select(F.col("source").alias("domain"))
+        .distinct()
+        .withColumn("tgt_frac", F.lit(1.0) / F.lit(float(n_domains)))
+    )
+    return mixture_drift_report(spark, stats, targets).orderBy("domain")

@@ -513,6 +513,91 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_corpus_report",
+    oracle="""
+    WITH dg AS (
+      SELECT md5(coalesce(text, '')) AS h, count(*) AS c
+      FROM documents GROUP BY 1
+    ),
+    t AS (
+      SELECT d.source,
+             len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                             x -> x <> '')) AS toks,
+             d.n_chars,
+             CASE WHEN dg.c > 1 THEN 1 ELSE 0 END AS is_dup,
+             CAST(('0x' || substr(md5('split:' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 4)) AS INTEGER) % 1000 AS bucket
+      FROM documents d JOIN dg ON md5(coalesce(d.text, '')) = dg.h
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(is_dup) AS BIGINT) AS n_exact_dup_docs,
+           CAST(sum(CASE WHEN bucket < 980 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+           CAST(sum(CASE WHEN bucket >= 980 AND bucket < 990 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN bucket >= 990 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test
+    FROM t GROUP BY source
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the dashboard row a corpus
+    build publishes per snapshot: document and token volume, exact-dup
+    exposure (corpus-wide digest counts, so cross-source duplicates
+    show in BOTH sources), and train/val/test composition under the
+    deterministic salted-md5 split. All-integer aggregates, so the
+    oracle hash is bit-exact by construction.
+
+    Scale shape: one md5-digest hash aggregate (16-byte keys, map-side
+    combine) + a digest equi-join back + one source-keyed aggregate —
+    the same two-shuffle budget as exact dedup, and the token count
+    rides the existing scan (no extra pass)."""
+    from kafka_map_reduce_spark.operators.ids import hash_split
+    from kafka_map_reduce_spark.operators.text import tokens
+
+    # coalesce: a NULL text must not silently drop through the digest
+    # equi-join (NULL keys never match in either engine)
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__h", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    )
+    dg = d.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    bucket, _split = hash_split(F.col("doc_id"))
+    t = d.join(dg, "__h").select(
+        "source",
+        F.size(tokens(F.col("text"))).alias("__toks"),
+        "n_chars",
+        (F.col("__c") > 1).cast("int").alias("__dup"),
+        bucket.alias("__bucket"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__toks").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("__dup").cast("long").alias("n_exact_dup_docs"),
+            F.sum((F.col("__bucket") < 980).cast("int"))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(
+                ((F.col("__bucket") >= 980) & (F.col("__bucket") < 990)).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("n_val"),
+            F.sum((F.col("__bucket") >= 990).cast("int"))
+            .cast("long")
+            .alias("n_test"),
+        )
+        .orderBy("source")
+    )
+
+
 @query("q_classifier_fit", oracle=None, tags=("iterative",))
 def q_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRAINING side of the quality gate: distributed full-batch

@@ -172,6 +172,32 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+@query("q_sim_sq8", oracle=None, tags=("approx",))
+def q_sim_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN — the 1-byte/dim point on the engine's
+    compression spectrum (exact -> SQ8 -> PQ -> IVFADC; the faiss
+    ScalarQuantizer / Lucene int8 shape). The quantizer is just two
+    dim-length arrays (per-dimension min/span), codes decode
+    per-dimension inside the distance fold, and the exact re-rank tail
+    (shortlist=50) restores what rounding loses — recall floors pinned
+    in tests/test_sq8.py. min/max depends on an aggregation over the
+    corpus => no closed-form SQL twin worth maintaining; rows-only by
+    declaration like its quantized siblings.
+
+    Scale shape (operators/similarity.py:sq8_fit/encode/topk): training
+    is ONE dim-keyed narrow aggregate (map-side combine -> dim x
+    partitions rows), encode/score are shuffle-free broadcast
+    expressions, re-rank join candidate-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 20)
+    probes = e.filter(F.col("vec_id") < 20)
+    quant = S.sq8_fit(corpus).localCheckpoint(eager=True)
+    encoded = S.sq8_encode(corpus, quant)
+    return S.sq8_topk(
+        probes, encoded, quant, k=5, rerank_corpus=corpus, shortlist=50
+    ).orderBy("probe_id", "rank")
+
+
 @query("q_sim_ivfpq", oracle=None, tags=("approx",))
 def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the billion-vector layout: coarse IVF buckets bound WHICH

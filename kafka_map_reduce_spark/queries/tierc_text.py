@@ -284,6 +284,71 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_decontaminate_spans",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    g AS (
+      SELECT doc_id, a,
+             CASE WHEN len(a) < 3 THEN []
+                  ELSE list_transform(range(1, greatest(len(a) - 1, 1)),
+                                      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+             END AS gs
+      FROM t
+    ),
+    ev AS (SELECT DISTINCT unnest(gs) AS s FROM g WHERE doc_id % 97 = 0),
+    hit AS (
+      SELECT doc_id, list_sort(list(DISTINCT i)) AS ps
+      FROM (
+        SELECT g.doc_id, u.i
+        FROM g, unnest(range(1, len(gs) + 1)) AS u(i)
+        WHERE g.doc_id % 97 <> 0 AND gs[i] IN (SELECT s FROM ev)
+      )
+      GROUP BY doc_id
+    ),
+    surg AS (
+      SELECT g.doc_id, a,
+             list_transform(
+               list_filter(range(1, len(a) + 1),
+                           j -> len(list_filter(coalesce(hit.ps, []),
+                                                p -> j >= p AND j <= p + 2)) = 0),
+               j -> a[j]) AS kept
+      FROM g LEFT JOIN hit USING (doc_id)
+      WHERE g.doc_id % 97 <> 0
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(a) AS BIGINT) AS n_tokens,
+           CAST(len(a) - len(kept) AS BIGINT) AS n_removed,
+           -- a FULLY-removed doc has kept = [] and DuckDB's
+           -- array_to_string([]) is NULL where Spark's array_join is ''
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM surg
+    """,
+)
+def q_text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (operators/text.py:
+    remove_contaminated_spans) — the surgery q_text_decontaminate's
+    doc-level flag stops short of: every train-doc 3-gram matching an
+    eval shingle (the same deterministic doc_id % 97 eval slice) has its
+    k tokens CUT, and the cleaned text survives. One quoted sentence no
+    longer costs the whole document. Full string output hash-checked
+    against the DuckDB replay of the identical surgery.
+
+    Scale: eval shingles broadcast (an eval suite is tiny by
+    definition); the only shuffle is the per-doc matched-position
+    aggregate, bounded by contamination volume; the cut itself is an
+    index-aware JVM array filter at scan speed."""
+    from kafka_map_reduce_spark.operators.text import (
+        remove_contaminated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_contaminated_spans(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
+
+
 @query("q_text_fingerprint", oracle=None, tags=("heuristic",))
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprint (pandas UDF)."""

@@ -1460,3 +1460,34 @@ def test_hash_embed_contract(spark):
             f"near-dup must outscore disjoint ({hasher}): {sims}"
         )
         assert sims[(0, 2)] > 0.8, f"near-dup cosine too low ({hasher}): {sims}"
+
+
+def test_remove_contaminated_spans_exact_surgery(spark):
+    """Every token covered by an eval-matching 3-gram is cut, nothing
+    else: planted contamination in mid-document removes exactly the
+    quoted span; clean and too-short docs pass through untouched."""
+    from kafka_map_reduce_spark.operators.text import (
+        remove_contaminated_spans,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(0, "the secret eval answer is forty two")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta the secret eval answer is forty two gamma delta"),
+            (2, "totally unrelated clean text with many plain tokens"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_contaminated_spans(train, eval_docs).collect()
+    }
+    assert got[1].n_tokens == 11 and got[1].n_removed == 7
+    assert got[1].cleaned_text == "alpha beta gamma delta"
+    assert got[2].n_removed == 0
+    assert got[2].cleaned_text == "totally unrelated clean text with many plain tokens"
+    assert got[3].n_removed == 0 and got[3].cleaned_text == "too short"

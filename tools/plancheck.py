@@ -43,6 +43,9 @@ CROSS_OK = {
     # probe LUT attach — probes are a bounded broadcast side by design)
     "q_sim_pq",
     "q_sim_ivfpq",
+    # 1-row broadcast quantizer (min/span arrays) + bounded broadcast
+    # probes x code scan — the same topk shape as q_sim_pq
+    "q_sim_sq8",
     "q_corpus_mix",  # 1-row broadcast score total (scalar attach)
 }
 
