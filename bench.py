@@ -354,14 +354,25 @@ def bench_corpus_scaleup(spark, sf_dir: str, sf1_dir: str, n_runs: int) -> dict:
     )
     # Concentration: the scale-invariant witness. Naive funnels the
     # whole hot domain through one task; two-phase's max task is set by
-    # the range layout (measured, not assumed).
-    two_phase_max = (
-        docs_hot.repartitionByRange("source", "doc_id")
-        .groupBy(F.spark_partition_id().alias("__p"))
-        .count()
-        .agg(F.max("count").alias("m"))
-        .first()["m"]
-    )
+    # the range layout (measured, not assumed). AQE's partition
+    # coalescing merges these deliberately-small bench partitions into a
+    # few big ones (1M narrow rows ~ 30 MB < one advisory partition),
+    # which would report the coalesced size, not the layout bound — at
+    # 100 TB partitions are full and coalescing is a no-op, so the probe
+    # disables it for this one measurement.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        two_phase_max = (
+            docs_hot.repartitionByRange("source", "doc_id")
+            .groupBy(F.spark_partition_id().alias("__p"))
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev_coalesce)
     out["hot_domain"] = {
         "n_rows": n_rows,
         "hot_domain_rows": n_hot,
