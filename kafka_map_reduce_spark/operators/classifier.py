@@ -108,10 +108,14 @@ def logreg_fit(
     dim x partitions narrow rows; everything else is 1-row state. The
     same shape at 1000 executors: one broadcast, one treeish aggregate,
     no driver round-trip."""
+    # Materialize the (features, label) projection ONCE: every GD
+    # iteration joins `vecs`, and without a barrier each iteration
+    # re-evaluates the upstream scan + feature expressions (10 iters =
+    # 10 feature passes). On a cluster this is the cached training set.
     vecs = df.select(
         F.col(features_col).alias("__x"),
         F.col(label_col).cast("double").alias("__y"),
-    )
+    ).localCheckpoint(eager=False)
     w = df.sparkSession.range(1).select(
         F.array(*[F.lit(0.0) for _ in range(dim)]).alias("w")
     )
