@@ -116,6 +116,18 @@ MAX_EXCHANGES = {
     # means a corpus-scale shuffle snuck into the ingest path.
     "q_dedup_incremental": 11,
     "q_text_repetition": 0,  # per-row JVM gram math, scan speed
+    # corpus-wide digest count agg + digest join-back + source rollup —
+    # the exact-dedup two-shuffle shape plus one; a 4th Exchange means
+    # the digest join stopped reusing the agg partitioning
+    "q_corpus_report": 3,
+    # broadcast eval shingles (map-side join) + per-doc matched-position
+    # agg + its join-back; the surgery itself is narrow — a 3rd Exchange
+    # means the eval side stopped broadcasting
+    "q_text_decontaminate_spans": 2,
+    # quantizer fit: ONE (pos)-keyed min/max agg (dim x partitions rows
+    # after map-side combine) + its 1-row rollup + re-rank candidate
+    # join; encode/score are exchange-free broadcast expressions
+    "q_sim_sq8": 3,
     # broadcast eval-set shingles (map-side hash join) + overlap count agg
     # + per-doc argmax window; a 3rd Exchange would mean the benchmark
     # side stopped broadcasting — the scale contract of decontamination
@@ -144,8 +156,12 @@ MAX_EXCHANGES = {
     # the re-rank candidate join; the corpus-scale path (encode + code
     # scan) is exchange-free by design, so growth here means either an
     # extra Lloyd shuffle or the re-rank join going corpus-sized
-    "q_sim_pq": 12,
-    "q_sim_ivfpq": 19,
+    # (tightened r6: grouped k-means shares init/Lloyd passes across all
+    # m subspaces, so training's exchange count stopped scaling with m —
+    # 12 -> 7 and 19 -> 10 measured; growth past these means an extra
+    # Lloyd shuffle or the re-rank join going corpus-sized)
+    "q_sim_pq": 7,
+    "q_sim_ivfpq": 10,
     # two-stage per-domain rank: (source, input-partition) window + final
     # (source) window over <= cap x partitions rows; a 3rd Exchange means
     # the partial stage stopped pruning or a sort snuck in
