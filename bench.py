@@ -640,6 +640,7 @@ def main() -> None:
             "q_sim_sq8",
             "q_text_decontaminate_spans",
             "q_stream_mix_monitor",
+            "q_text_bpe",
         )
         if n in specs
     ]

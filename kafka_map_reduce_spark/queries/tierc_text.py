@@ -349,6 +349,31 @@ def q_text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_text_bpe", oracle=None, tags=("iterative",))
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable BPE tokenizer end-to-end (operators/bpe.py): learn 20
+    merges from the corpus's distinct-word table (each merge = one
+    weighted pair-count aggregate + a narrow per-word rewrite — the
+    vocabulary reduction that makes distributed BPE training cheap
+    under Zipf), then encode every document with the frozen merge table
+    via the Arrow-batched greedy lowest-rank encoder (word-memoized).
+    Iterative training => rows-only; the train/encode consistency
+    property, determinism, and monotone compression are pytest-pinned
+    in tests/test_bpe.py. Output: per-doc whitespace vs BPE token
+    counts and the first 8 BPE tokens as a preview string."""
+    from kafka_map_reduce_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(d, n_merges=20)
+    enc = bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("preview"),
+    )
+
+
 @query("q_text_fingerprint", oracle=None, tags=("heuristic",))
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprint (pandas UDF)."""
