@@ -35,6 +35,11 @@ QUERIES = [
     "q_text_boilerplate",
     "q_doc_ids",
     "q_pipeline_e2e",
+    # added r6: the third dedup modality on its Arrow signature path
+    # (perf-weak in r5, fixed r6 — this is its 100x-scale witness) and
+    # the per-source health report's digest-join/aggregate chain
+    "q_dedup_embedding_lsh",
+    "q_corpus_report",
 ]
 
 
