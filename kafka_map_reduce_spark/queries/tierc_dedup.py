@@ -584,3 +584,27 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(emb, dim=32, threshold=0.95).orderBy(
         "id_a", "id_b"
     )
+
+
+@query("q_dedup_embedding_lsh_capped", oracle=None, tags=("approx",))
+def q_dedup_embedding_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_embedding_lsh with the 100 TB cap configuration
+    (max_bucket_size=16) — completing the capped-variant symmetry with
+    q_dedup_near_capped / q_dedup_simhash_capped. The cap is the
+    DENSITY governor, measured at sf10 (500k docs): candidates are
+    genuine near-threshold neighbors that longer signatures cannot
+    separate (b=20/T=10 and b=22/T=11 measured, only 20-35% fewer
+    candidates), while cap=16 runs 22.1 s vs 57.7 s at the default 64
+    (2.6x) by routing dense template clusters to exact dedup — the same
+    policy the text-LSH hot-band cap implements (SURVEY §6 r6
+    scale-spot analysis)."""
+    from kafka_map_reduce_spark.operators.similarity import embedding_near_dup
+    from kafka_map_reduce_spark.operators.text import attach_hash_embed
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = attach_hash_embed(d, "text", "embedding", dim=32, hasher="md5").select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup(
+        emb, dim=32, threshold=0.95, max_bucket_size=16
+    ).orderBy("id_a", "id_b")

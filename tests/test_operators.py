@@ -1491,3 +1491,57 @@ def test_remove_contaminated_spans_exact_surgery(spark):
     assert got[2].n_removed == 0
     assert got[2].cleaned_text == "totally unrelated clean text with many plain tokens"
     assert got[3].n_removed == 0 and got[3].cleaned_text == "too short"
+
+
+def test_remove_contaminated_spans_matches_python_reference(spark):
+    """Randomized (seeded, no RNG at test time beyond the fixed seed)
+    cross-check: the Spark surgery must equal a direct Python
+    implementation of 'cut every token covered by an eval-matching
+    3-gram' over 200 random docs with planted phrase overlaps."""
+    import random
+
+    from kafka_map_reduce_spark.operators.text import (
+        remove_contaminated_spans,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    phrases = [
+        ["alpha", "beta", "gamma", "delta"],
+        ["one", "two", "three"],
+        ["red", "green", "blue", "cyan", "magenta"],
+    ]
+    eval_rows = [(1000 + i, " ".join(p)) for i, p in enumerate(phrases)]
+    docs = []
+    for i in range(200):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if rng.random() < 0.5:  # plant a phrase mid-document
+            p = rng.choice(phrases)
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + p + toks[pos:]
+        docs.append((i, " ".join(toks)))
+
+    def py_surgery(text: str, eval_texts: list) -> tuple:
+        ev = set()
+        for et in eval_texts:
+            a = et.split(" ")
+            for j in range(len(a) - 2):
+                ev.add(" ".join(a[j : j + 3]))
+        a = text.split(" ")
+        removed = set()
+        for j in range(len(a) - 2):
+            if " ".join(a[j : j + 3]) in ev:
+                removed.update((j, j + 1, j + 2))
+        kept = [t for j, t in enumerate(a) if j not in removed]
+        return len(a), len(a) - len(kept), " ".join(kept)
+
+    eval_texts = [t for _, t in eval_rows]
+    want = {i: py_surgery(t, eval_texts) for i, t in docs}
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in remove_contaminated_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            spark.createDataFrame(eval_rows, "doc_id long, text string"),
+        ).collect()
+    }
+    assert got == want
