@@ -641,6 +641,8 @@ def main() -> None:
             "q_text_decontaminate_spans",
             "q_stream_mix_monitor",
             "q_text_bpe",
+            "q_dedup_embedding_lsh_capped",
+            "q_epoch_order",
         )
         if n in specs
     ]

@@ -765,3 +765,57 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("selected"),
         )
     )
+
+
+@query(
+    "q_epoch_order",
+    oracle="""
+    WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+    k AS (
+      SELECT d.doc_id, e.epoch,
+             CAST(('0x' || substr(md5('epoch:' || CAST(e.epoch AS VARCHAR)
+                                       || ':' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 12)) AS BIGINT) AS sort_key
+      FROM documents d, e
+    )
+    SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, sort_key,
+           CAST(sort_key % 8 AS BIGINT) AS shard
+    FROM k
+    """,
+)
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle order — the resumable-data-loader
+    primitive: every (doc, epoch) gets a salted-md5 sort key, so each
+    epoch reads the corpus in a different but fully REPRODUCIBLE order
+    (crash-resume lands on the same permutation; adding docs never
+    perturbs existing keys, unlike rand(seed) which depends on
+    partitioning). Readers range-partition by (epoch, sort_key) or
+    group by the derived shard; the key itself is a pure JVM expression
+    at scan speed, zero shuffles — the global sort is the CONSUMER's
+    choice, not baked into the assignment. md5's first 12 hex chars
+    (48 bits, fits a BIGINT exactly in both engines) keep the oracle
+    bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(3).select(F.col("id").cast("long").alias("epoch"))
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("epoch:"),
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return d.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        key.alias("sort_key"),
+        F.pmod(key, F.lit(8)).cast("long").alias("shard"),
+    )

@@ -47,6 +47,9 @@ CROSS_OK = {
     # probes x code scan — the same topk shape as q_sim_pq
     "q_sim_sq8",
     "q_corpus_mix",  # 1-row broadcast score total (scalar attach)
+    # 3-row broadcast epoch table x corpus scan — the per-epoch key
+    # fan-out is the operator's semantics, O(rows x epochs)
+    "q_epoch_order",
 }
 
 # Queries where a full-schema scan is the point (unpivot of many columns,
