@@ -131,6 +131,63 @@ class JsonLinesSink:
         )
 
 
+def kafka_writer_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+    """The exact option set a Kafka write is constructed with — factored
+    out (like sources.kafka_reader_options) so the producer contract is
+    unit-testable without a broker or the connector on the classpath."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }
+
+
+def to_kafka_records(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Serialize a batch to the Kafka producer schema: ``value`` =
+    JSONEachRow of the row (the same wire format as JsonLinesSink /
+    the reference sink, clickhouse.rs:86-88), optional ``key`` = the
+    named column cast to string (Kafka's default partitioner then
+    routes by key hash — the per-key ordering contract the reference's
+    per-partition actors rely on). Pure transform, broker-independent —
+    this is the half of the sink the unit tests pin byte-for-byte."""
+    payload = [c for c in df.columns if c != key_col]
+    cols = [F.to_json(F.struct(*payload)).alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
+class KafkaSink:
+    """Kafka producer sink (the write-side twin of sources.kafka_source):
+    each micro-batch serializes via :func:`to_kafka_records` and writes
+    with the batch Kafka writer. Effectively-once composition is the
+    checkpoint contract (A9): the write is at-least-once, downstream
+    consumers dedup on (topic, key, payload) or an id column — same
+    semantics the reference's producer + ClickHouse replacing-merge
+    sink family provides. Requires the spark-sql-kafka connector on the
+    classpath; the serialization + option contract is covered without a
+    broker, the live round-trip by the env-gated integration test."""
+
+    def __init__(
+        self, bootstrap_servers: str, topic: str, key_col: str | None = None
+    ):
+        self.bootstrap_servers = bootstrap_servers
+        self.topic = topic
+        self.key_col = key_col
+
+    def write(self, df: DataFrame, batch_id: int) -> int:
+        recs = to_kafka_records(df, self.key_col)
+
+        def action(d: DataFrame) -> None:
+            w = d.write.format("kafka")
+            for k, v in kafka_writer_options(
+                self.bootstrap_servers, self.topic
+            ).items():
+                w = w.option(k, v)
+            w.save()
+
+        return _observed_write(recs, action)
+
+
 class ConsoleSink:
     """The OsStreamWriter analogue (os_stream.rs:12-70) — DLQ default.
 

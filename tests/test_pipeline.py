@@ -422,3 +422,35 @@ def test_par_map_async_non_dict_return_goes_to_dlq(spark):
     )
     assert {r.id for r in dlq.rows} == {0, 3, 6}
     assert {r.id for r in sink.rows} == {1, 2, 4, 5, 7, 8}
+
+
+def test_kafka_writer_options_and_record_serialization(spark):
+    """A7-analogue producer contract without a broker: the writer option
+    set, and to_kafka_records' wire format — value must be byte-identical
+    to the JsonLinesSink JSONEachRow serialization of the payload
+    columns, with the routing key cast to string and EXCLUDED from the
+    payload."""
+    from kafka_map_reduce_spark.streaming.pipeline import (
+        kafka_writer_options,
+        to_kafka_records,
+    )
+
+    assert kafka_writer_options("b1:9092,b2:9092", "out") == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "topic": "out",
+    }
+    df = spark.createDataFrame(
+        [(1, "alpha", 2.5), (2, "beta", -1.0)],
+        "user_id long, name string, score double",
+    )
+    recs = to_kafka_records(df, key_col="user_id").collect()
+    assert [r.key for r in recs] == ["1", "2"]
+    assert recs[0].value == '{"name":"alpha","score":2.5}'
+    assert recs[1].value == '{"name":"beta","score":-1.0}'
+    # keyless form: whole row is the payload, no key column
+    keyless = to_kafka_records(df)
+    assert keyless.columns == ["value"]
+    assert (
+        keyless.collect()[0].value
+        == '{"user_id":1,"name":"alpha","score":2.5}'
+    )
