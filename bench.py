@@ -643,6 +643,7 @@ def main() -> None:
             "q_text_bpe",
             "q_dedup_embedding_lsh_capped",
             "q_epoch_order",
+            "q_text_compressibility",
         )
         if n in specs
     ]

@@ -375,3 +375,38 @@ def remove_contaminated_spans(
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("cleaned_text"),
     )
+
+
+def compression_ratio(
+    text_col_name: str, out_prefix: str = "z"
+):
+    """Column factory for the zlib compression-ratio quality signal
+    (Gopher/RefinedWeb-style): returns a pandas-UDF Column producing
+    struct(n_bytes long, n_compressed long, ratio double) where ratio =
+    compressed/raw UTF-8 size. Repetitive boilerplate compresses far
+    below prose (low ratio); random noise barely compresses (ratio near
+    or above 1) — both tails are gate candidates.
+
+    Why a pandas UDF when the repo's rule is built-ins first: Spark has
+    no SQL-surface DEFLATE, so there is no JVM-expression alternative to
+    measure against; zlib level 6 over Arrow batches is executor-local,
+    deterministic for a given zlib (rows-only + pytest contract, like
+    the winnowing fingerprint), and costs one pass over the bytes."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_bytes: long, n_compressed: long, ratio: double>")
+    def z(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((None, None, None))
+                continue
+            raw = t.encode("utf-8")
+            comp = len(zlib.compress(raw, 6))
+            n = len(raw)
+            rows.append((n, comp, comp / max(n, 1)))
+        return pd.DataFrame(rows, columns=["n_bytes", "n_compressed", "ratio"])
+
+    return z(F.col(text_col_name))

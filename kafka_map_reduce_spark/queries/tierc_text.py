@@ -817,3 +817,28 @@ def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("emb_q_json"),
     )
+
+
+@query("q_text_compressibility", oracle=None, tags=("heuristic",))
+def q_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (operators/text.py:
+    compression_ratio) — the Gopher/RefinedWeb junk detector the other
+    gates don't subsume: repeated boilerplate compresses far below
+    prose, random noise barely compresses, so BOTH distribution tails
+    are drop candidates. Rows-only (no DEFLATE in DuckDB); the
+    three-regime ordering and exact byte accounting are pytest-pinned.
+    Executor-local Arrow batches, one pass over the bytes, zero
+    shuffles."""
+    from kafka_map_reduce_spark.operators.text import compression_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", compression_ratio("text").alias("z")
+    ).select(
+        "doc_id",
+        F.col("z.n_bytes").alias("n_bytes"),
+        F.col("z.n_compressed").alias("n_compressed"),
+        (F.floor(F.col("z.ratio") * 10000 + F.lit(0.5)) / F.lit(10000)).alias(
+            "ratio"
+        ),
+    )

@@ -75,8 +75,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # q_dedup_clusters_star — plus the r6 registrations beyond this window,
 # never driver-checked yet (first rows due r7): q_corpus_report,
 # q_sim_sq8, q_text_decontaminate_spans, q_text_bpe,
-# q_dedup_embedding_lsh_capped, q_epoch_order, q_stream_mix_monitor
-# (live — window-edge rule applies when it enters).
+# q_dedup_embedding_lsh_capped, q_epoch_order, q_text_compressibility,
+# q_stream_mix_monitor (live — window-edge rule applies when it
+# enters).
 _PRIORITY: tuple[str, ...] = (
     # (a) latest driver row is round-3 — joins (9)
     "q_join_inner",

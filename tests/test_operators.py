@@ -1545,3 +1545,44 @@ def test_remove_contaminated_spans_matches_python_reference(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_compression_ratio_orders_junk_prose_noise(spark):
+    """The zlib signal must separate the three regimes: repeated
+    boilerplate << natural prose << incompressible noise, with exact
+    byte accounting (n_compressed == len(zlib.compress(utf8, 6)))."""
+    import zlib
+
+    from kafka_map_reduce_spark.operators.text import compression_ratio
+
+    boiler = "subscribe now click here " * 40
+    prose = (
+        "the river bent east past the mill and the children counted "
+        "herons from the old stone bridge while their father mended "
+        "nets below in the shade of the willow trees near the landing "
+    ) * 5
+    # high-entropy deterministic stream via md5 bytes mapped onto 90
+    # printable symbols (~6.5 bits/char): nothing for deflate to exploit
+    # (hex would hand Huffman a 16-symbol alphabet and compress BELOW
+    # prose; naive modular sequences are periodic and compress too)
+    import hashlib
+
+    raw = b"".join(
+        hashlib.md5(f"noise:{i}".encode()).digest() for i in range(64)
+    )
+    noise = "".join(chr(33 + c % 90) for c in raw)
+    df = spark.createDataFrame(
+        [(1, boiler), (2, prose), (3, noise), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.z
+        for r in df.select(
+            "doc_id", compression_ratio("text").alias("z")
+        ).collect()
+    }
+    assert got[1].ratio < got[2].ratio < got[3].ratio
+    for i, t in ((1, boiler), (2, prose), (3, noise)):
+        assert got[i].n_compressed == len(zlib.compress(t.encode(), 6))
+        assert got[i].n_bytes == len(t.encode())
+    assert got[4].ratio is None  # null text -> null signal, not a crash
