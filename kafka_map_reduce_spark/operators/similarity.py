@@ -820,9 +820,17 @@ def ivfpq_index(
 
     Scale: coarse assignment and residual computation are shuffle-free
     (one broadcast centroid row, inline argmin, zip_with subtraction);
-    residual codebook training reuses kmeans_fit per subspace; encoding
-    is pq_encode over the residual column — the corpus is scanned, never
-    shuffled."""
+    residual codebook training reuses kmeans_fit (grouped across
+    subspaces since r6); encoding is pq_encode over the residual column
+    — the corpus is scanned, never shuffled.
+
+    The coarse quantizer KEEPS farthest-first init despite its k-1
+    sequential passes: spread init was measured at sf0.1 (m=8,
+    nprobe=2, re-ranked, min-of-2 end-to-end) as 6.7 s vs 9.5 s but
+    cost 6 recall points (recall@10 0.39 vs 0.45) — coarse-centroid
+    quality decides WHICH buckets a probe scans, so seeding quality is
+    the recall budget here, unlike the residual codebooks where the
+    re-rank tail absorbs spread init's marginal loss."""
     cents = (
         centroids
         if centroids is not None
