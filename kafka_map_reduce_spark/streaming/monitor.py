@@ -67,17 +67,24 @@ def mixture_drift_report(
 
     ``targets`` is a (domain, tgt_frac) table (broadcast — it is
     mixture-config-sized). Fractions floor-round to 4 decimals AFTER the
-    integer aggregation so the report is bit-stable cross-engine; a
-    domain present in targets but absent from the stream still reports
-    (n_docs = 0, full negative drift) — going dark is exactly the event
-    the monitor exists to catch."""
+    integer aggregation so the report is bit-stable cross-engine. Both
+    asymmetries of a mixture incident report: a domain present in
+    targets but absent from the stream still reports (n_docs = 0, full
+    negative drift — a source going dark), and a domain present in the
+    STREAM but absent from targets reports with tgt_frac = 0.0 and
+    maximal positive drift, its rows counted in the grand total — a
+    flood from an unregistered source must shift the report, not vanish
+    from it. Hence the full-outer join + coalesce on BOTH sides."""
     stats = spark.read.parquet(os.path.join(stats_path, "batch=*"))
     totals = stats.groupBy("domain").agg(F.sum("n").alias("n_docs"))
-    # right join keeps target domains that never arrived
-    joined = totals.join(F.broadcast(targets), "domain", "right").select(
+    # full-outer: keep target domains that never arrived AND stream
+    # domains absent from the target mixture (rogue sources). Full-outer
+    # equi-joins can't broadcast (Spark falls back to SMJ), but both
+    # sides are O(domains) aggregate rows — the shuffle is KBs.
+    joined = totals.join(targets, "domain", "full_outer").select(
         "domain",
         F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
-        "tgt_frac",
+        F.coalesce(F.col("tgt_frac"), F.lit(0.0)).alias("tgt_frac"),
     )
     grand = joined.agg(F.sum("n_docs").alias("__total"))
     r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000)  # noqa: E731

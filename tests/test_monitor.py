@@ -91,3 +91,27 @@ def test_dark_domain_still_reports(spark, docs, tmp_path):
     assert rep["arxiv"].n_docs == 0
     assert rep["arxiv"].over == 1
     assert rep["arxiv"].drift == -0.3
+
+
+def test_rogue_domain_surfaces_with_zero_target(spark, docs, tmp_path):
+    """The inverse of the dark-domain test: a domain flooding the STREAM
+    that is absent from the target mixture must surface with
+    tgt_frac = 0.0 and maximal positive drift — and its rows must count
+    in the grand total (the classic unregistered-source mixture
+    incident must shift the report, not vanish from it)."""
+    stats = str(tmp_path / "stats")
+    mixture_stats_batch(docs, 0, stats)  # 150 web + 50 books
+    rep = {
+        r.domain: r
+        for r in mixture_drift_report(
+            spark, stats, _targets(spark, [("web", 1.0)])
+        ).collect()
+    }
+    # rogue "books" (50 of 200 rows) reports with zero target
+    assert rep["books"].n_docs == 50
+    assert rep["books"].tgt_frac == 0.0
+    assert rep["books"].drift == 0.25
+    assert rep["books"].over == 1
+    # and its rows are IN the denominator: web is 150/200, not 150/150
+    assert rep["web"].obs_frac == 0.75
+    assert rep["web"].drift == -0.25
