@@ -1075,8 +1075,11 @@ def hyperplane_buckets_all(
     interpreted folds, which are the actual cost. So Arrow wins and the
     JVM expression stays for single-bucket uses and the determinism pin
     (tests assert Arrow == JVM bit-parity). q_dedup_embedding_lsh
-    end-to-end at sf0.1: 16.0 s (r5) -> ~6.3 s; the residual is the
-    shared model-free embedding stage (attach_hash_embed, ~5 s cold
+    end-to-end at sf0.1: 16.0 s (r5 bench) -> ~6.3 s COLD single-run /
+    3.97 s warm min-of-3 (the number BENCH_DETAIL_r06 r5_additions
+    records — bench methodology is min-of-3, so the two figures differ
+    by design, not regression); the cold-vs-warm gap is the shared
+    model-free embedding stage (attach_hash_embed, ~5 s cold
     scan+fold) and the exact-cosine verify over ~209k candidates
     (~2.1 s), not the signatures."""
     import numpy as np

@@ -351,16 +351,20 @@ def q_text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_text_bpe", oracle=None, tags=("iterative",))
 def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trainable BPE tokenizer end-to-end (operators/bpe.py): learn 20
-    merges from the corpus's distinct-word table (each merge = one
-    weighted pair-count aggregate + a narrow per-word rewrite — the
-    vocabulary reduction that makes distributed BPE training cheap
-    under Zipf), then encode every document with the frozen merge table
-    via the Arrow-batched greedy lowest-rank encoder (word-memoized).
-    Iterative training => rows-only; the train/encode consistency
-    property, determinism, and monotone compression are pytest-pinned
-    in tests/test_bpe.py. Output: per-doc whitespace vs BPE token
-    counts and the first 8 BPE tokens as a preview string."""
+    """Trainable BPE tokenizer end-to-end (operators/bpe.py): ONE
+    distributed word-count aggregate over the corpus, then the merge
+    loop runs driver-local over the collected Zipf-bounded word table
+    with incremental pair counts (the standard trainer design — a
+    production 50k-merge vocabulary is seconds of local work, not
+    O(n_merges) sequential Spark jobs; the per-merge distributed loop
+    survives only as the documented super-vocabulary fallback). The
+    frozen merge table then encodes every document via the
+    Arrow-batched greedy lowest-rank encoder (word-memoized).
+    Iterative training => rows-only; train/encode consistency,
+    determinism, monotone compression, AND local-vs-distributed
+    trainer parity are pytest-pinned in tests/test_bpe.py. Output:
+    per-doc whitespace vs BPE token counts and the first 8 BPE tokens
+    as a preview string."""
     from kafka_map_reduce_spark.operators.bpe import bpe_encode, bpe_train
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")

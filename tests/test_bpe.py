@@ -66,6 +66,60 @@ def test_encoder_matches_sequential_merge_application(
     assert got == want
 
 
+def test_local_trainer_matches_distributed_fallback(spark, corpus):
+    """The driver-local merge loop (the default path) and the
+    one-Spark-job-per-merge distributed fallback must learn the SAME
+    merge table — same pairs, same ranks. max_driver_vocab=0 forces
+    the fallback; the r6->r7 restructure is only sound if this parity
+    holds on a corpus with tie-breaks and overlapping pairs."""
+    local = [
+        (r.rank, r.left, r.right)
+        for r in bpe_train(corpus, n_merges=12).collect()
+    ]
+    dist = [
+        (r.rank, r.left, r.right)
+        for r in bpe_train(
+            corpus, n_merges=12, max_driver_vocab=0
+        ).collect()
+    ]
+    assert local == dist and len(local) == 12
+
+
+def test_local_trainer_handles_overlapping_pairs(spark):
+    """'aaaa' stresses overlap accounting: the pair (a,a) counts every
+    adjacent occurrence, but the greedy rewrite merges non-overlapping
+    left-to-right. Local and distributed paths must agree exactly."""
+    df = spark.createDataFrame(
+        [(0, "aaaa aaaa aa baa aab")], "doc_id long, text string"
+    )
+    local = [
+        (r.rank, r.left, r.right)
+        for r in bpe_train(df, n_merges=6).collect()
+    ]
+    dist = [
+        (r.rank, r.left, r.right)
+        for r in bpe_train(df, n_merges=6, max_driver_vocab=0).collect()
+    ]
+    assert local == dist
+
+
+def test_production_vocabulary_trains_in_one_job(spark, corpus):
+    """n_merges=500 must NOT schedule O(n_merges) Spark jobs: the only
+    distributed work is the word-count aggregate (+ the count guard),
+    and the whole training call finishes in seconds. The merge loop
+    exhausts this tiny corpus early and stops — also asserted."""
+    import time
+
+    t0 = time.time()
+    m = bpe_train(corpus, n_merges=500).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 30, f"driver-local training took {elapsed:.1f}s"
+    # the corpus exhausts well before 500 merges (best pair count < 2)
+    assert 12 <= len(m) < 500
+    ranks = [r.rank for r in m]
+    assert ranks == list(range(len(m)))
+
+
 def test_training_is_deterministic(spark, corpus):
     a = [(r.rank, r.left, r.right) for r in bpe_train(corpus, n_merges=8).collect()]
     b = [(r.rank, r.left, r.right) for r in bpe_train(corpus, n_merges=8).collect()]
