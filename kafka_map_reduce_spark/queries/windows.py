@@ -32,14 +32,48 @@ from kafka_map_reduce_spark.sources import load_table
     """,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """row_number / rank / dense_rank; top-10 per group."""
+    """row_number / rank / dense_rank; top-10 per group — two-stage.
+
+    l_returnflag has cardinality 3, so the naive single window sorts
+    the whole table at parallelism 3 (the one reducer per flag owns
+    every row — at 100 TB, three tasks sort the world). Stage 1 instead
+    takes each INPUT partition's top-10 per flag under the full w
+    ordering (keys spread over partitions x flags, the partial
+    TakeOrdered — same shape as operators/similarity.ranked_topk);
+    stage 2 runs the original windows on the <= partitions x flags x 10
+    survivors. Exact, not approximate: a global-top-10 row's rn/rk/dr
+    depend only on rows ordered before it, every one of which is itself
+    global-top-10 and therefore survives its local cut (if a partition
+    drops a row, the 10 rows beating it locally all precede it — and
+    any row they precede — so pruned row_number can never understate);
+    the unchanged full-table SQL oracle hash-checks exactly this.
+
+    r7 measurement (sf0.1, isolated min-of-3, warm): scan alone 0.14 s;
+    one-window form 1.01 s; two-stage 1.14 s. So the r4->r6 bench drift
+    (0.695 -> 0.930 s) was machine noise, not a plan change — the old
+    form re-measures at 1.01 s today — and at toy scale the two-stage's
+    extra exchange costs ~0.13 s more than parallelism 3 -> 96 saves.
+    The two-stage is kept anyway: it is the only form whose sort cost
+    shrinks with cluster size (the one-window form sorts the full table
+    on exactly 3 tasks forever)."""
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
         F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
     )
+    w1 = Window.partitionBy(
+        F.spark_partition_id(), "l_returnflag"
+    ).orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
     w2 = Window.partitionBy("l_returnflag").orderBy(F.desc("l_extendedprice"))
-    return (
+    pruned = (
         li.select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+        )
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= 10)
+        .drop("__r")
+    )
+    return (
+        pruned.select(
             "l_orderkey",
             "l_linenumber",
             "l_returnflag",
