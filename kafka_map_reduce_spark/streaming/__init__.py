@@ -8,6 +8,11 @@ from kafka_map_reduce_spark.streaming.pipeline import (
 )
 from kafka_map_reduce_spark.streaming.http_sink import HttpJsonLinesSink
 from kafka_map_reduce_spark.streaming.gated import gated_ingest_stream
+from kafka_map_reduce_spark.streaming.group import (
+    FileTopic,
+    GroupConsumer,
+    GroupCoordinator,
+)
 from kafka_map_reduce_spark.streaming.monitor import (
     mixture_drift_report,
     mixture_monitor_stream,
@@ -16,6 +21,9 @@ from kafka_map_reduce_spark.streaming.sources import file_replay_stream, kafka_s
 
 __all__ = [
     "ConsoleSink",
+    "FileTopic",
+    "GroupConsumer",
+    "GroupCoordinator",
     "HttpJsonLinesSink",
     "JsonLinesSink",
     "KafkaSink",

@@ -1,0 +1,170 @@
+"""Consumer-group rebalance simulation (streaming/group.py): the A10
+state machine (reference lib.rs:392-462) exercised without a broker —
+partition moves mid-stream resume from the GROUP's committed offsets,
+revoke-before-commit redelivers, and an idempotent keyed sink upgrades
+the at-least-once window to exactly-once."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_map_reduce_spark.streaming.group import (
+    FileTopic,
+    GroupConsumer,
+    GroupCoordinator,
+)
+
+N_PARTS = 4
+FILES_PER_PART = 6
+ROWS_PER_FILE = 3
+
+
+@pytest.fixture()
+def topic(spark, tmp_path):
+    t = FileTopic(str(tmp_path / "topic"), N_PARTS)
+    for p in range(N_PARTS):
+        for f in range(FILES_PER_PART):
+            base = (p * FILES_PER_PART + f) * ROWS_PER_FILE
+            t.produce(
+                spark.range(base, base + ROWS_PER_FILE).select(
+                    F.col("id").alias("event_id")
+                ),
+                p,
+            )
+    return t
+
+
+def _drain(consumer, sink_rows, max_files=2):
+    """Poll-commit until caught up, appending (partition, offset,
+    event_id) tuples to sink_rows."""
+    while True:
+        df = consumer.poll(max_files_per_partition=max_files)
+        if df is None:
+            return
+        sink_rows.extend(
+            (r.partition, r.offset, r.event_id) for r in df.collect()
+        )
+        consumer.commit()
+
+
+def _expected(parts):
+    out = set()
+    for p in parts:
+        for f in range(FILES_PER_PART):
+            base = (p * FILES_PER_PART + f) * ROWS_PER_FILE
+            out |= {(p, f, base + i) for i in range(ROWS_PER_FILE)}
+    return out
+
+
+def test_rebalance_moves_partition_without_loss_or_duplication(
+    spark, topic, tmp_path
+):
+    """The headline A10 scenario: A owns {0,1}, B owns {2,3}; after
+    partial progress p1 is revoked from A and assigned to B. B must
+    resume p1 from the group's committed offset (not earliest), and the
+    union of both sinks is every record exactly once."""
+    coord = GroupCoordinator(str(tmp_path / "group"))
+    a = GroupConsumer(spark, topic, coord)
+    b = GroupConsumer(spark, topic, coord)
+    a.assign({0, 1})
+    b.assign({2, 3})
+
+    rows_a: list = []
+    rows_b: list = []
+    # mid-stream: each consumer polls twice (2 files/partition each) and
+    # commits — partial progress in the group log
+    for _ in range(2):
+        df = a.poll(max_files_per_partition=1)
+        rows_a.extend((r.partition, r.offset, r.event_id) for r in df.collect())
+        a.commit()
+        df = b.poll(max_files_per_partition=1)
+        rows_b.extend((r.partition, r.offset, r.event_id) for r in df.collect())
+        b.commit()
+    assert coord.committed(1) == 2  # A committed 2 of p1's 6 files
+
+    # REBALANCE: p1 moves A -> B
+    a.revoke({1})
+    b.assign({1})
+
+    before_b = len(rows_b)
+    _drain(a, rows_a)
+    _drain(b, rows_b)
+
+    # B's first p1 record resumed at offset 2 — the group's commit, not 0
+    p1_b = sorted((o for p, o, _ in rows_b[before_b:] if p == 1))
+    assert p1_b[0] == 2
+
+    got = set(rows_a) | set(rows_b)
+    assert got == _expected(range(N_PARTS))
+    assert len(rows_a) + len(rows_b) == len(got)  # no duplicates anywhere
+    for p in range(N_PARTS):
+        assert coord.committed(p) == FILES_PER_PART
+
+
+def test_revoke_before_commit_redelivers_to_next_assignee(
+    spark, topic, tmp_path
+):
+    """The at-least-once window: A polls p0 but is revoked BEFORE
+    committing (crash analogue). The next assignee re-reads the same
+    offsets — nothing is lost; a keyed idempotent sink (dedup on
+    partition+offset+event, the batch-keyed-overwrite convention)
+    yields exactly-once downstream."""
+    coord = GroupCoordinator(str(tmp_path / "group"))
+    a = GroupConsumer(spark, topic, coord)
+    a.assign({0})
+    df = a.poll(max_files_per_partition=2)
+    seen_by_a = {(r.partition, r.offset, r.event_id) for r in df.collect()}
+    a.revoke({0})  # in-flight, uncommitted -> dropped
+    assert coord.committed(0) == 0
+
+    b = GroupConsumer(spark, topic, coord)
+    b.assign({0})
+    rows_b: list = []
+    _drain(b, rows_b)
+    # redelivery: B saw everything A had in flight, plus the rest
+    assert seen_by_a <= set(rows_b)
+    # idempotent keyed sink: dedup on the stable key recovers exact-once
+    sink = set(rows_b) | seen_by_a
+    assert sink == _expected([0])
+
+
+def test_fresh_consumer_after_full_drain_polls_nothing(
+    spark, topic, tmp_path
+):
+    """Checkpoint-recovered offsets: once the group log says every
+    partition is at its end offset, a brand-new consumer assigned the
+    whole topic (a full-group rebalance) reads zero records — the A9
+    redelivery-idempotence contract across consumer generations."""
+    coord = GroupCoordinator(str(tmp_path / "group"))
+    a = GroupConsumer(spark, topic, coord)
+    a.assign(set(range(N_PARTS)))
+    rows: list = []
+    _drain(a, rows, max_files=3)
+    assert set(rows) == _expected(range(N_PARTS))
+
+    fresh = GroupConsumer(spark, topic, coord)
+    fresh.assign(set(range(N_PARTS)))
+    assert fresh.poll() is None
+    # and new production is picked up from the committed frontier only
+    topic.produce(
+        spark.range(10_000, 10_003).select(F.col("id").alias("event_id")), 2
+    )
+    df = fresh.poll(max_files_per_partition=4)
+    got = [(r.partition, r.offset, r.event_id) for r in df.collect()]
+    assert sorted(got) == [
+        (2, FILES_PER_PART, 10_000),
+        (2, FILES_PER_PART, 10_001),
+        (2, FILES_PER_PART, 10_002),
+    ]
+
+
+def test_commit_rewind_is_rejected(spark, topic, tmp_path):
+    """The commit log is monotone per partition — a stale consumer
+    generation cannot rewind the group (zombie fencing's observable
+    half)."""
+    coord = GroupCoordinator(str(tmp_path / "group"))
+    coord.commit(0, 3)
+    with pytest.raises(ValueError, match="rewind"):
+        coord.commit(0, 1)
+    assert coord.committed(0) == 3

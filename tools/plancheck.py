@@ -95,7 +95,12 @@ MAX_EXCHANGES = {
     "q_join_multiway": 2,
     # union two-sided repartition-by-key + presentation sort
     "q_join_asof": 2,
-    "q_window_rank": 1,  # one partitionBy shuffle, like every window
+    # Two exchanges BY DESIGN since r7: stage 1 hashes on
+    # (spark_partition_id, flag) for the partition-local top-10 (the
+    # flag key alone has cardinality 3 — one reducer per flag would
+    # sort the whole table at parallelism 3), stage 2 ranks the bounded
+    # survivor set on flag. See q_window_rank's docstring for numbers.
+    "q_window_rank": 2,
     # per-partition pre-prune + per-probe rank + presentation sort;
     # probes ride a 1-row-ish broadcast, so only small aggregates move
     "q_sim_topk": 2,
