@@ -218,3 +218,48 @@ def grouped_running_total(
         .withColumn(out_col, (F.col(_OFFSET) + F.col("__local")).cast("long"))
         .drop(_MID, _PID, _OFFSET, "__local")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsamp:",
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — Efraimidis
+    & Spirakis (IPL 2006) A-ES with the uniform draw derived from a
+    salted md5 of the id instead of an RNG: key_i = ln(u_i) / w_i and
+    the sample is the k largest keys. Same result on every engine, run,
+    partitioning, and cluster size (the reproducibility contract of
+    hash_split / q_sample_hash, extended to WEIGHTED selection — e.g.
+    quality- or length-weighted corpus subsetting where a plain
+    Bernoulli thin-out over-represents junk).
+
+    Scale shape: the key is a pure JVM expression at scan speed (zero
+    shuffles), and the k-largest selection is orderBy+limit =
+    TakeOrderedAndProject — a per-partition k-heap + driver merge of
+    partitions x k rows, never a global sort. Weights are clamped to
+    >= 1e-9 so a zero-weight row gets key -> -inf (never sampled)
+    rather than a NaN that Spark would sort first.
+
+    u_i = (h+1)/(2^32+1) in (0,1) from the first 8 md5 hex chars: open
+    at 0 so ln never sees 0, and the salt decorrelates the draw from
+    every other id-keyed hash in the pipeline."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967297.0)
+    key = F.log(u) / F.greatest(
+        F.col(weight_col).cast("double"), F.lit(1e-9)
+    )
+    return (
+        df.withColumn(key_col, key)
+        .orderBy(F.desc(key_col), F.col(id_col))
+        .limit(k)
+    )

@@ -216,6 +216,81 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_bigrams: DataFrame | None = None,
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-probability with add-k smoothing —
+    the order-2 upgrade of :func:`unigram_logprob`'s perplexity gate.
+    A unigram LM cannot see scrambled word order or template churn
+    (every token individually common, every transition rare); the
+    bigram conditional ln((c(w1,w2)+k) / (c(w1·)+k·V)) does, which is
+    why CCNet-style quality bucketing uses an n-gram LM, not a bag of
+    words. c(w1·) is the bigram-context count (= occurrences of w1 in
+    non-final position) and V the corpus vocabulary size, so rows sum
+    to a proper conditional distribution per context.
+
+    ``lm_bigrams`` (a (w1, w2, cnt12) table persisted from a reference
+    corpus) scores against a FIXED model — the production setup;
+    default trains on ``df`` itself. Documents with fewer than two
+    tokens have no bigrams and are absent from the output (both
+    engines agree by construction).
+
+    Scale shape: bigrams come from a zip_with over the per-doc token
+    array (no positional self-join); the LM is one (w1,w2)-keyed hash
+    aggregate with map-side combine absorbing the Zipf head; scoring
+    joins exploded doc bigrams to the LM on the pair key and
+    re-aggregates per doc. V is a broadcast 1-row aggregate. The LM
+    never touches the driver — same contract as the unigram gate."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__ts")
+    )
+    vocab_row = (
+        base.select(F.explode("__ts").alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("__v"))
+    )
+    bi = (
+        base.filter(F.size("__ts") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__ts"), 1, F.size("__ts") - 1),
+                    F.slice(F.col("__ts"), 2, F.size("__ts") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("__b"),
+        )
+        .select("id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    )
+    if lm_bigrams is None:
+        lm_bigrams = bi.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("cnt12")
+        )
+    lm_uni = lm_bigrams.groupBy("w1").agg(F.sum("cnt12").alias("cnt1"))
+    scored = (
+        bi.join(lm_bigrams, ["w1", "w2"], "left")
+        .join(lm_uni, ["w1"], "left")
+        .join(F.broadcast(vocab_row))
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.coalesce(F.col("cnt12").cast("double"), F.lit(0.0))
+                 + F.lit(k_smooth))
+                / (F.coalesce(F.col("cnt1").cast("double"), F.lit(0.0))
+                   + F.lit(k_smooth) * F.col("__v"))
+            ),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("__lp").alias("mean_logprob"),
+    )
+
+
 def hash_embed(
     text_col: Column, dim: int = 32, hasher: str = "xxhash64"
 ) -> Column:

@@ -90,6 +90,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_weighted",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             ln((CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) + 1) / 4294967297.0)
+             / greatest(CAST(n_chars AS DOUBLE), 1e-9) AS k
+      FROM documents
+    )
+    SELECT doc_id, weight,
+           floor(k * 10000000 + 0.5) / 10000000 AS es_key
+    FROM h
+    ORDER BY k DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministic (operators/
+    ids.py:weighted_sample — Efraimidis-Spirakis A-ES keyed on a salted
+    md5 uniform): the 100 longest-biased docs where inclusion
+    probability tracks n_chars, reproducible across engines, runs and
+    partitionings. The corpus-subsetting primitive between plain hash
+    sampling (q_sample_hash, uniform) and temperature mixing
+    (q_sample_temperature, per-domain): per-DOCUMENT weights.
+
+    Plan: key is a JVM expression at scan speed, selection is
+    orderBy+limit = TakeOrderedAndProject (per-partition k-heap +
+    driver merge of partitions x k rows — no global sort, no window).
+    The DuckDB oracle replays hash, key and cut bit-for-bit; es_key is
+    floor-rounded at 1e-7 AFTER selection on both sides."""
+    from kafka_map_reduce_spark.operators.ids import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    out = weighted_sample(d, k=100, weight_col="weight")
+    return out.select(
+        "doc_id",
+        "weight",
+        (F.floor(F.col("es_key") * 10000000 + F.lit(0.5)) / 10000000).alias(
+            "es_key"
+        ),
+    )
+
+
+@query(
     "q_sample_temperature",
     oracle="""
     WITH c AS (
@@ -312,6 +358,65 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "n_tokens",
+        (F.floor(F.col("mean_logprob") * 10000 + F.lit(0.5)) / 10000).alias(
+            "mean_logprob"
+        ),
+    )
+
+
+@query(
+    "q_text_bigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    v AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
+      FROM (SELECT unnest(ts) AS tok FROM t)
+    ),
+    bi AS (
+      SELECT doc_id, ts[CAST(i AS INTEGER)] AS w1,
+             ts[CAST(i AS INTEGER) + 1] AS w2
+      FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+      WHERE len(ts) >= 2
+    ),
+    lm12 AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cnt12
+      FROM bi GROUP BY 1, 2
+    ),
+    lm1 AS (SELECT w1, sum(cnt12) AS cnt1 FROM lm12 GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(avg(ln((cnt12 + 0.5) / (cnt1 + 0.5 * vsz))) * 10000 + 0.5)
+               / 10000 AS mean_logprob
+    FROM bi b JOIN lm12 USING (w1, w2) JOIN lm1 USING (w1), v
+    GROUP BY b.doc_id
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 perplexity gate (operators/text.py:bigram_logprob):
+    per-doc mean add-k bigram log-probability under an LM trained on
+    the corpus itself. Catches what the unigram gate
+    (q_text_unigram_logprob) structurally cannot — scrambled word
+    order, template churn, and boilerplate stitched from individually
+    common tokens — because the score is the conditional
+    ln((c(w1,w2)+k)/(c(w1 .)+k V)), not a bag-of-words marginal.
+
+    Scale: bigrams via zip_with over the per-doc token array (never a
+    positional self-join); LM = one (w1,w2)-keyed hash aggregate with
+    map-side combine on the Zipf head; scoring re-joins on the pair
+    key; V is a broadcast 1-row aggregate. Docs with < 2 tokens have
+    no bigrams and are absent on both sides by construction."""
+    from kafka_map_reduce_spark.operators.text import bigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    out = bigram_logprob(d, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_bigrams",
         (F.floor(F.col("mean_logprob") * 10000 + F.lit(0.5)) / 10000).alias(
             "mean_logprob"
         ),

@@ -72,7 +72,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (live) at the window edge. The monitor's full-outer rogue-domain fix
 # and the driver-local BPE trainer landed BEFORE these first rows.
 #
-# Round-8 queue (r5-stale, oldest-first): q_agg_argmax, q_agg_group,
+# Round-8 queue — first the two r4-stale rows displaced by the r7
+# registrations (q_except, q_intersect), then r5-stale oldest-first:
+# q_agg_argmax, q_agg_group,
 # q_corpus_mix, q_dedup_keep_best, q_dedup_near_capped, q_doc_ids,
 # q_domain_cap, q_funnel, q_join_anti, q_join_asof, q_join_multiway,
 # q_multimodal_meta, q_multimodal_resize, q_pack_sequences,
@@ -113,13 +115,15 @@ _PRIORITY: tuple[str, ...] = (
     "q_udf_scalar",
     "q_udaf_grouped",
     "q_udtf_explode",
-    # (b) r4-stale — windows & set ops (6)
+    # (a) never driver-checked r7 registrations (2; displaced q_except +
+    # q_intersect to the r8 queue — never-checked outranks stale)
+    "q_sample_weighted",
+    "q_text_bigram_logprob",
+    # (b) r4-stale — windows (4)
     "q_window_rank",
     "q_window_running",
     "q_window_frame",
     "q_window_lead_lag",
-    "q_except",
-    "q_intersect",
     # (b) r4-stale — dedup family (9)
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -1,0 +1,171 @@
+"""Weighted sampling (operators/ids.py:weighted_sample) and the bigram
+LM gate (operators/text.py:bigram_logprob): determinism, statistical
+bias of the A-ES keys, hand-computed LM scores, and the
+order-sensitivity property the unigram gate lacks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_map_reduce_spark.operators.ids import weighted_sample
+from kafka_map_reduce_spark.operators.text import (
+    bigram_logprob,
+    unigram_logprob,
+)
+
+
+# ---------------------------------------------------------------- sampling
+
+
+@pytest.fixture(scope="module")
+def weighted_rows(spark):
+    # ids 0..999: even ids weight 10, odd ids weight 1
+    return spark.createDataFrame(
+        [(i, 10 if i % 2 == 0 else 1) for i in range(1000)],
+        "doc_id long, w long",
+    )
+
+
+def test_weighted_sample_is_deterministic_and_partition_stable(
+    spark, weighted_rows
+):
+    a = [r.doc_id for r in weighted_sample(weighted_rows, 50, "w").collect()]
+    b = [
+        r.doc_id
+        for r in weighted_sample(
+            weighted_rows.repartition(13), 50, "w"
+        ).collect()
+    ]
+    assert sorted(a) == sorted(b) and len(a) == 50
+
+
+def test_weighted_sample_tracks_weights(spark, weighted_rows):
+    """Half the rows carry 10x the weight; the A-ES sample must be
+    dominated by them (expected heavy share ~10/11; the deterministic
+    hash draw fixes the outcome, so the assertion is exact-repeatable,
+    not flaky)."""
+    got = weighted_sample(weighted_rows, 100, "w").collect()
+    heavy = sum(1 for r in got if r.doc_id % 2 == 0)
+    assert heavy >= 80
+
+
+def test_weighted_sample_zero_weight_never_selected(spark):
+    df = spark.createDataFrame(
+        [(i, 0 if i < 500 else 1) for i in range(1000)],
+        "doc_id long, w long",
+    )
+    got = weighted_sample(df, 400, "w").collect()
+    assert all(r.doc_id >= 500 for r in got)
+    # and the clamp keeps keys finite (no NaN ranking first)
+    assert all(not math.isnan(r.es_key) for r in got)
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    """The full A-ES pipeline replayed in pure Python (salted md5 ->
+    uniform -> ln(u)/w -> top-k) must pick the identical id set — the
+    cross-engine reproducibility contract the operator exists for."""
+    import hashlib
+
+    rows = [(i, 1 + (i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted(
+        r.doc_id for r in weighted_sample(df, 25, "w").collect()
+    )
+
+    def key(i, w):
+        h = int(hashlib.md5(f"wsamp:{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967297.0
+        return math.log(u) / w
+
+    want = sorted(
+        i
+        for i, _ in sorted(
+            rows, key=lambda t: (-key(t[0], t[1]), t[0])
+        )[:25]
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------- bigram LM
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Tiny corpus where the LM is computable by hand: docs 'a b a b'
+    and 'a c'. Bigrams: (a,b)x2, (b,a)x1, (a,c)x1; c(a.)=3, c(b.)=1,
+    V=3 (a,b,c), k=0.5."""
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_logprob)
+        for r in bigram_logprob(df).collect()
+    }
+    v = 3.0
+    p_ab = (2 + 0.5) / (3 + 0.5 * v)
+    p_ba = (1 + 0.5) / (1 + 0.5 * v)
+    p_ac = (1 + 0.5) / (3 + 0.5 * v)
+    want0 = (math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    want1 = math.log(p_ac)
+    assert got[0][0] == 3 and got[1][0] == 1
+    assert got[0][1] == pytest.approx(want0, abs=1e-9)
+    assert got[1][1] == pytest.approx(want1, abs=1e-9)
+
+
+def test_bigram_gate_sees_scrambled_order_unigram_cannot(spark):
+    """The property that justifies the order-2 gate: a document whose
+    tokens are individually common but whose TRANSITIONS never occur in
+    the corpus scores far below its in-order twin on the bigram gate,
+    while the unigram gate rates both identically."""
+    fluent = "the cat sat on the mat and the dog ran to the cat"
+    # same multiset of tokens, adversarially reordered
+    scrambled = "cat the on sat mat the dog and ran the to cat the"
+    corpus = [(i, fluent) for i in range(20)] + [(100, scrambled)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    uni = {r.doc_id: r.mean_logprob for r in unigram_logprob(df).collect()}
+    assert uni[100] == pytest.approx(uni[0], abs=1e-9)  # blind
+
+    bi = {r.doc_id: r.mean_logprob for r in bigram_logprob(df).collect()}
+    assert bi[100] < bi[0] - 1.0  # the order-2 gate separates them
+
+
+def test_bigram_short_docs_absent(spark):
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, ""), (2, "two tokens")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in bigram_logprob(df).collect()}
+    assert got == {2}
+
+
+def test_bigram_fixed_lm_scores_new_batch(spark):
+    """Production shape: train the LM once, score a new batch against
+    it — unseen transitions get the k/(c+kV) floor, not -inf."""
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
+    )
+    from kafka_map_reduce_spark.operators.text import tokens
+
+    base = train.select(tokens(F.col("text")).alias("ts"))
+    bi = base.filter(F.size("ts") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    lm12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt12"))
+    batch = spark.createDataFrame(
+        [(7, "b z")], "doc_id long, text string"
+    )
+    got = bigram_logprob(batch, lm_bigrams=lm12).collect()
+    assert len(got) == 1 and got[0].n_bigrams == 1
+    # (b,z) unseen, context b has cnt1=1, V of the BATCH vocab (b,z)=2
+    assert got[0].mean_logprob == pytest.approx(
+        math.log(0.5 / (1 + 0.5 * 2)), abs=1e-9
+    )

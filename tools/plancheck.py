@@ -38,6 +38,7 @@ CROSS_OK = {
     "q_sim_ivf_kmeans",  # 1-row broadcast centroid array (k-means state)
     "q_heavy_hitters",  # 1-row broadcast total-count (threshold scalar)
     "q_text_unigram_logprob",  # 1-row broadcast LM total (scalar attach)
+    "q_text_bigram_logprob",  # 1-row broadcast vocab size (scalar attach)
     "q_sim_text_topk",  # broadcast bounded probes x corpus scan (topk shape)
     # 1-row broadcast codebook/centroid/LUT rows (k-means state + the
     # probe LUT attach — probes are a bounded broadcast side by design)

@@ -40,13 +40,21 @@ QUERIES = [
     # the per-source health report's digest-join/aggregate chain
     "q_dedup_embedding_lsh",
     "q_corpus_report",
+    # added r7: the ANN family's 100x witness (the one Tier C pillar
+    # without one) — IVFADC's nprobe bucket restriction and SQ8's
+    # full-scan-but-compressed contract, each with a candidate audit
+    "q_sim_ivfpq",
+    "q_sim_sq8",
 ]
 
 
 def ensure_sf10(spark, sf1_dir: str, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
-    marker = os.path.join(out_dir, f"_REPLICAS_{REPLICAS}_v1_OK")
+    # v2: embeddings replicated too (r7, the ANN scale rows), each
+    # replica deterministically perturbed so replicas are near but not
+    # bit-identical neighbors
+    marker = os.path.join(out_dir, f"_REPLICAS_{REPLICAS}_v2_OK")
     if os.path.exists(marker):
         return
     if os.path.exists(out_dir):
@@ -76,6 +84,24 @@ def ensure_sf10(spark, sf1_dir: str, out_dir: str) -> None:
                 )
                 if "n_chars" in r.columns:
                     r = r.withColumn("n_chars", F.length(F.col(text_col)))
+            if "embedding" in r.columns and i > 0:
+                # deterministic per-replica perturbation (bounded +-0.05):
+                # keeps the corpus distribution (same coarse structure)
+                # without 10 bit-identical copies of every vector, which
+                # would degenerate every ANN tie-break
+                r = r.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, j: x
+                        + F.lit(0.05)
+                        * F.sin(
+                            F.col(id_cols[0]).cast("double") * F.lit(7.0)
+                            + j.cast("double") * F.lit(13.0)
+                            + F.lit(float(i) * 29.0)
+                        ),
+                    ),
+                )
             parts.append(r)
         out = parts[0]
         for p in parts[1:]:
@@ -84,8 +110,51 @@ def ensure_sf10(spark, sf1_dir: str, out_dir: str) -> None:
 
     replicate("documents", ["doc_id"], "text")
     replicate("events", ["event_id", "user_id"], None)
+    replicate("embeddings", ["vec_id"], None)
     with open(marker, "w") as f:
         f.write("ok\n")
+
+
+def ann_candidate_audit(spark, data_dir: str) -> dict:
+    """The measured half of the 'nprobe restricts the scan' claim: for
+    the q_sim_ivfpq operating point (n_clusters=8, nprobe=2, probes =
+    vec_id < 20), how many code rows does each probe actually scan?
+    Computed from the index itself — bucket histogram + each probe's
+    nprobe-nearest coarse buckets (8 centroids x 20 probes: driver-side
+    numpy is the honest tool-code shape). SQ8 is full-scan by design,
+    so its 'candidates' ARE the corpus — reported for contrast."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kafka_map_reduce_spark.operators import similarity as S
+    from kafka_map_reduce_spark.sources import load_table
+
+    e = load_table(spark, data_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 20)
+    probes = e.filter(F.col("vec_id") < 20)
+    coarse, _books, encoded = S.ivfpq_index(
+        corpus, n_clusters=8, m=8, n_codes=16, iters=3
+    )
+    sizes = {r["bkt"]: r["n"] for r in
+             encoded.groupBy("bkt").agg(F.count(F.lit(1)).alias("n")).collect()}
+    cents = sorted(
+        (r["cluster_id"], np.asarray(r["centroid"], dtype=float))
+        for r in coarse.collect()
+    )
+    n_corpus = sum(sizes.values())
+    cands = []
+    for r in probes.select("vec_id", "embedding").collect():
+        v = np.asarray(r["embedding"], dtype=float)
+        d = sorted((float(np.sum((v - c) ** 2)), cid) for cid, c in cents)
+        cands.append(sum(sizes.get(cid, 0) for _, cid in d[:2]))
+    return {
+        "corpus_vectors": n_corpus,
+        "ivfpq_avg_candidates_per_probe": round(sum(cands) / len(cands), 1),
+        "ivfpq_max_candidates_per_probe": max(cands),
+        "ivfpq_scan_fraction": round(sum(cands) / len(cands) / n_corpus, 4),
+        "sq8_candidates_per_probe": n_corpus,  # full quantized scan by design
+        "bucket_sizes": {int(k): int(v) for k, v in sorted(sizes.items())},
+    }
 
 
 def main() -> int:
@@ -139,6 +208,10 @@ def main() -> int:
             q: round(sf10_times[q] / sf1_times[q], 2)
             for q in QUERIES
             if sf1_times[q] > 0
+        },
+        "ann_candidate_audit": {
+            "sf1": ann_candidate_audit(spark, sf1_dir),
+            "sf10": ann_candidate_audit(spark, sf10_dir),
         },
     }
     print(json.dumps(result))
