@@ -650,6 +650,15 @@ def main() -> None:
     if r6_added:
         detail["r6_additions"] = bench_set(r6_added, sf_dir, n_runs)
 
+    # Round-7 additions (first-timed this round).
+    r7_added = [
+        n
+        for n in ("q_sample_weighted", "q_text_bigram_logprob")
+        if n in specs
+    ]
+    if r7_added:
+        detail["r7_additions"] = bench_set(r7_added, sf_dir, n_runs)
+
     # Tier-A pipeline throughput (added r5): rows/sec through the full
     # source -> transform -> batch-sink path, JVM and Arrow faces.
     detail["pipeline"] = bench_pipeline_throughput(spark, sf_dir, n_runs)
