@@ -147,6 +147,40 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_text",
+    oracle="""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line source round-trip — the log-ingestion face of the
+    source surface: rows serialized as delimited lines via the text
+    sink, read back as unstructured `value` lines and re-structured
+    with a typed split (the classic raw-log -> columns extraction).
+    Like q_scan_csv, no inference pass: the projection is the schema.
+    The text source is splittable and whole-stage-codegen'd the same as
+    CSV; at 100 TB it is the format most crawl/log dumps arrive in."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    )
+    out = _scratch(sf_dir, "text")
+    d.coalesce(1).write.text(out)
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), "\t")
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("source"),
+        parts.getItem(2).cast("long").alias("n_chars"),
+    )
+
+
+@query(
     "q_scan_orc",
     oracle="""
     SELECT r_regionkey, r_name FROM region
