@@ -653,7 +653,12 @@ def main() -> None:
     # Round-7 additions (first-timed this round).
     r7_added = [
         n
-        for n in ("q_sample_weighted", "q_text_bigram_logprob", "q_scan_text")
+        for n in (
+            "q_sample_weighted",
+            "q_text_bigram_logprob",
+            "q_scan_text",
+            "q_dedup_semantic",
+        )
         if n in specs
     ]
     if r7_added:

@@ -1205,3 +1205,83 @@ def embedding_near_dup(
             ),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
+    init: str = "farthest",
+) -> DataFrame:
+    """(id_a, id_b, sim) pairs with cosine >= threshold, candidates
+    bounded by trained k-means clusters — the SemDeDup shape (Abbas et
+    al. 2023, arXiv:2303.09540): cluster the embedding space, then
+    compare only WITHIN clusters.
+
+    Complementary to :func:`embedding_near_dup`, not redundant with it:
+    hyperplane LSH's collision probability (1 - theta/pi per bit)
+    collapses below ~0.95 cosine — at the SEMANTIC thresholds where
+    paraphrases and boilerplate variants live (0.7-0.9), b=16 tables
+    catch almost nothing. K-means candidates have no per-pair collision
+    decay: any pair whose members co-assign is compared exactly, so the
+    operating threshold is a free parameter. The cost model flips
+    accordingly: within-cluster all-pairs is O(sum c_i^2) <= N^2/k for
+    balanced clusters — scale k with the corpus (k ~ N/c for a target
+    cluster size c, the SemDeDup paper's own regime) and the term stays
+    ~N*c, linear in the corpus. ``max_cluster_size`` is the same
+    hot-bucket governor as every other dedup modality: over-full
+    clusters (template blobs) drop out of the quadratic join and route
+    to exact dedup. Misses are only pairs split across a cluster
+    boundary — the epsilon-ball-at-the-border case the paper accepts;
+    recall on planted near-dups is pytest-pinned
+    (tests/test_semantic_dedup.py).
+
+    Scale shape: k-means via kmeans_fit (broadcast centroids, shuffle-
+    free assignment); ONE equi-self-join on cluster id; exact cosine
+    over candidates in Arrow batches. Iterative training => rows-only
+    declaration, like every trained-model operator here."""
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
+    ).localCheckpoint(eager=False)
+    cents = kmeans_fit(
+        base, n_clusters, iters, vec_col="__v", id_col="id", init=init
+    )
+    cent_row = cents.agg(
+        F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
+    )
+    assigned = (
+        base.join(F.broadcast(cent_row))
+        .withColumn("bkt", _nearest(F.col("__v"), F.col("__cents"))["cid"])
+        .select("id", "bkt", "__v")
+        .localCheckpoint(eager=False)  # cap-count + both join sides
+    )
+    if max_cluster_size is not None:
+        counts = assigned.groupBy("bkt").agg(F.count(F.lit(1)).alias("__n"))
+        assigned = assigned.join(
+            counts.filter(F.col("__n") <= max_cluster_size).select("bkt"),
+            "bkt",
+        )
+    left = assigned.select(
+        "bkt", F.col("id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    right = assigned.select(
+        "bkt", F.col("id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    cos = cosine_pairs_arrow()
+    return (
+        left.join(right, "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cos(F.col("__va"), F.col("__vb")))
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias(
+                "sim"
+            ),
+        )
+    )

@@ -608,3 +608,55 @@ def q_dedup_embedding_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(
         emb, dim=32, threshold=0.95, max_bucket_size=16
     ).orderBy("id_a", "id_b")
+
+
+@query("q_dedup_semantic", oracle=None, tags=("approx",))
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth dedup modality — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters bound the candidate set, exact
+    cosine WITHIN clusters (operators/similarity.py:semantic_dedup).
+    Fills the threshold band the hyperplane-LSH modality structurally
+    cannot reach: LSH collision probability collapses below ~0.95
+    cosine, while the paraphrase/boilerplate-variant band lives at
+    0.7-0.9 — here threshold 0.85 over the embeddings table, where
+    bucketed LSH at the same threshold would need impractically many
+    tables for usable recall.
+
+    Input: the same model-free text -> hash-embedding face as the LSH
+    modality (the synthetic embeddings table is near-dup-free by
+    construction — max pairwise cosine 0.51 — so it cannot witness any
+    dedup threshold), making the two vector modalities directly
+    comparable: same vectors, different candidate generators, and every
+    pair the 0.95-threshold LSH path finds is a subset of what this
+    0.85 band returns.
+
+    Rows-only by declaration (iterative k-means training, like every
+    trained-model operator); planted-near-dup recall, the
+    cluster-bounded candidate count, and the hot-cluster cap are
+    pytest-pinned in tests/test_semantic_dedup.py. Scale shape:
+    broadcast-centroid assignment (shuffle-free), ONE equi-self-join on
+    cluster id, Arrow cosine over candidates; O(sum c_i^2) stays ~N*c
+    when k scales with the corpus (the paper's regime), and over-full
+    clusters drop to exact dedup via max_cluster_size — the same
+    governor as every other modality's cap."""
+    from kafka_map_reduce_spark.operators.similarity import semantic_dedup
+    from kafka_map_reduce_spark.operators.text import attach_hash_embed
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = attach_hash_embed(
+        d, "text", "embedding", dim=32, hasher="md5"
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    # k scales with the corpus (target cluster ~250 vectors) so the
+    # within-cluster quadratic term stays ~N*250 at ANY data size; the
+    # count is a 1-row dim probe, and spread init keeps the k-means
+    # seeding cost k-independent (farthest-first's k-1 passes would
+    # grow with the corpus here).
+    k = max(8, emb.count() // 250)
+    return semantic_dedup(
+        emb,
+        threshold=0.85,
+        n_clusters=k,
+        iters=3,
+        max_cluster_size=2000,
+        init="spread",
+    ).orderBy("id_a", "id_b")

@@ -73,7 +73,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # and the driver-local BPE trainer landed BEFORE these first rows.
 #
 # Round-8 queue — first the three r4-stale rows displaced by the r7
-# registrations (q_except, q_intersect, q_stream_session), then
+# registrations (q_except, q_intersect, q_stream_session,
+# q_stream_sliding), then
 # r5-stale oldest-first:
 # q_agg_argmax, q_agg_group,
 # q_corpus_mix, q_dedup_keep_best, q_dedup_near_capped, q_doc_ids,
@@ -116,12 +117,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_udf_scalar",
     "q_udaf_grouped",
     "q_udtf_explode",
-    # (a) never driver-checked r7 registrations (3; displaced q_except,
-    # q_intersect + q_stream_session to the r8 queue — never-checked
-    # outranks stale)
+    # (a) never driver-checked r7 registrations (4; displaced q_except,
+    # q_intersect, q_stream_session + q_stream_sliding to the r8 queue —
+    # never-checked outranks stale)
     "q_sample_weighted",
     "q_text_bigram_logprob",
     "q_scan_text",
+    "q_dedup_semantic",
     # (b) r4-stale — windows (4)
     "q_window_rank",
     "q_window_running",
@@ -151,7 +153,6 @@ _PRIORITY: tuple[str, ...] = (
     # (b) r4-stale — pipeline e2e + batch-face streams (4)
     "q_pipeline_e2e",
     "q_stream_tumbling",
-    "q_stream_sliding",
     # (d) live stream, last in the window (1): first-ever driver row,
     # with the rogue-domain full-outer fix already in
     "q_stream_mix_monitor",
