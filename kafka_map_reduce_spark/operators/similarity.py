@@ -144,6 +144,48 @@ def _nearest(vec: Column, cents: Column) -> Column:
     )
 
 
+# Above this many centroids the JVM argmin (array_min over a transform
+# of the broadcast centroid array) leaves codegen territory: HOF lambda
+# bodies are INTERPRETED, so assignment costs ~k x dim interpreted ops
+# per row — measured as a wall at k=2000/sf10 (the r7 semantic-dedup
+# scale run did not finish in 25 min; the Arrow path below finishes the
+# same assignment in seconds). Same diagnosis and cure as the r6
+# hyperplane-signature matmul.
+_ARROW_ASSIGN_MIN_K = 64
+
+
+def _assign_arrow(cents_rows):
+    """pandas_udf factory: nearest-centroid id for array<double> vectors
+    via ONE numpy matmul per Arrow batch (||v-c||^2 = |v|^2 - 2 v.C^T +
+    |c|^2). ``cents_rows`` is the collected (cluster_id, centroid) list
+    — k x dim doubles, KBs-to-MBs, shipped in the UDF closure like every
+    other broadcast model here (PQ LUTs, BPE ranks). Centroids sorted by
+    cluster_id so argmin's first-minimum tie-break matches the JVM
+    struct-min (lowest cid wins); distances are float64 matmuls, so a
+    knife-edge tie at the last ulp could in principle assign differently
+    than the JVM fold — acceptable for the rows-only trained-model
+    operators that use this path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(cents_rows, key=lambda r: r["cluster_id"])
+    cids = np.array([r["cluster_id"] for r in rows], dtype="int64")
+    C = np.array([list(r["centroid"]) for r in rows], dtype="float64")
+    cn = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        import numpy as np
+
+        V = np.array([list(x) for x in v], dtype="float64")
+        d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
+        return pd.Series(cids[np.argmin(d2, axis=1)]).astype("int32")
+
+    return assign
+
+
 def kmeans_fit(
     corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -157,12 +199,17 @@ def kmeans_fit(
     iteration count; argmin ties break on cluster_id. Returns
     (cluster_id int, centroid array<double>).
 
-    Scale shape per iteration: assignment is shuffle-free (centroids ride
-    along as ONE broadcast row holding an array<struct> — k centroids x
-    64 dims is KBs even at k=4096); the mean update is posexplode +
-    (cluster, dim) hash aggregate — 2 shuffles whose width is rows x dims,
-    with map-side partial aggregation collapsing it to clusters x dims x
-    partitions. Centroids never touch the driver.
+    Scale shape per iteration: assignment is shuffle-free — for k <=
+    _ARROW_ASSIGN_MIN_K centroids ride along as ONE broadcast row
+    holding an array<struct> and argmin is an inline JVM expression,
+    never touching the driver; for larger k the JVM HOF argmin is
+    interpreted (k x dim interpreted ops per row — the measured wall at
+    k=2000) so the centroid table (k x dim doubles, KBs-to-MBs) is
+    collected into an Arrow matmul UDF closure instead, the standard
+    model-as-broadcast shape. The mean update is posexplode +
+    (cluster, dim) hash aggregate — 2 shuffles whose width is rows x
+    dims, with map-side partial aggregation collapsing it to clusters x
+    dims x partitions.
     """
     vecs = corpus.select(
         F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
@@ -226,15 +273,28 @@ def kmeans_fit(
             # checkpoint per step: far's plan embeds cents twice (scan +
             # union), so an unbroken lineage doubles every iteration
             cents = cents.unionByName(far).localCheckpoint(eager=True)
+    use_arrow = n_clusters > _ARROW_ASSIGN_MIN_K
     for _ in range(iters):
-        cent_row = cents.agg(
-            F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
-        )
-        assigned = (
-            vecs.join(F.broadcast(cent_row))
-            .withColumn("__cid", _nearest(F.col("__v"), F.col("__cents"))["cid"])
-            .select("__vid", "__v", "__cid")
-        )
+        if use_arrow:
+            # large k: interpreted HOF argmin is the wall (see
+            # _ARROW_ASSIGN_MIN_K); one numpy matmul per Arrow batch
+            assign = _assign_arrow(cents.collect())
+            assigned = vecs.withColumn("__cid", assign(F.col("__v"))).select(
+                "__vid", "__v", "__cid"
+            )
+        else:
+            cent_row = cents.agg(
+                F.collect_list(F.struct("cluster_id", "centroid")).alias(
+                    "__cents"
+                )
+            )
+            assigned = (
+                vecs.join(F.broadcast(cent_row))
+                .withColumn(
+                    "__cid", _nearest(F.col("__v"), F.col("__cents"))["cid"]
+                )
+                .select("__vid", "__v", "__cid")
+            )
         cents = (
             assigned.select("__cid", F.posexplode("__v").alias("__pos", "__x"))
             .groupBy("__cid", "__pos")
@@ -1207,6 +1267,60 @@ def embedding_near_dup(
     )
 
 
+def _normalize_arrow():
+    """pandas_udf: L2-normalize array<double> vectors (zero-norm guard
+    1e-12, matching cosine's). One pass per vector so the per-pair
+    verify can be a bare dot product — each vector joins ~cluster-size
+    pairs, and per-pair norms would redo the same sqrt that many
+    times."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def norm(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array(v.tolist(), dtype=np.float64)
+        n = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-12)
+        return pd.Series(list(V / n[:, None]))
+
+    return norm
+
+
+def _bucket_pairs_fn(threshold: float):
+    """applyInPandas kernel: ALL over-threshold pairs of one cluster via
+    a single U @ U.T BLAS call on the bucket's unit vectors. The reason
+    this exists instead of a bucket self-join + per-pair scorer: a
+    self-join materializes ~c rows PER VECTOR each carrying both
+    256-byte vectors through Arrow — measured at sf10 (62.5M candidate
+    pairs) the transfer, not the math, was the entire verify cost (107 s
+    raw-cosine, 14.5/12.8 s dot-vs-cos at sf1 — i.e. pre-normalizing
+    bought nothing). Grouped, each vector crosses the wire ONCE (one
+    N-row shuffle on bkt) and the c x c similarity matrix is ~2M FLOPs
+    of BLAS per bucket. Memory is c^2 floats for the bucket matrix —
+    bounded by max_cluster_size^2 (the cap is load-bearing here, not
+    just a skew nicety). ids sorted so id_a < id_b deterministically."""
+    import numpy as np
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        V = np.array(pdf["__vn"].tolist(), dtype=np.float64)[order]
+        S = V @ V.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        s = S[iu, ju]
+        m = s >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu[m]], "id_b": ids[ju[m]], "sim": s[m]}
+        )
+
+    return f
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -1216,6 +1330,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     max_cluster_size: int | None = None,
     init: str = "farthest",
+    train_sample_mod: int = 1,
 ) -> DataFrame:
     """(id_a, id_b, sim) pairs with cosine >= threshold, candidates
     bounded by trained k-means clusters — the SemDeDup shape (Abbas et
@@ -1236,52 +1351,67 @@ def semantic_dedup(
     hot-bucket governor as every other dedup modality: over-full
     clusters (template blobs) drop out of the quadratic join and route
     to exact dedup. Misses are only pairs split across a cluster
-    boundary — the epsilon-ball-at-the-border case the paper accepts;
-    recall on planted near-dups is pytest-pinned
-    (tests/test_semantic_dedup.py).
+    boundary — the epsilon-ball-at-the-border case the paper accepts.
+    Operating constraint: target cluster size must EXCEED the expected
+    dup-group size, or Lloyd splits dup groups across clusters and
+    recall collapses (k is a resolution knob, not free — size k ~ N/c
+    with c comfortably above the largest dup family you care about).
+    Recall on planted near-dups and the split-at-small-c behavior are
+    pytest-pinned (tests/test_semantic_dedup.py).
 
-    Scale shape: k-means via kmeans_fit (broadcast centroids, shuffle-
-    free assignment); ONE equi-self-join on cluster id; exact cosine
-    over candidates in Arrow batches. Iterative training => rows-only
-    declaration, like every trained-model operator here."""
+    Scale shape (r7 sf10 decomposition: train 26.1 s / assign 2.6 s /
+    join+verify 107.1 s at 500k docs, k=2000 — verify dominates, train
+    is the emerging quadratic term): k-means TRAINS on a deterministic
+    hash-sample (``train_sample_mod`` > 1 keeps rows with
+    xxhash64(id) % mod == 0 — the faiss train-on-sample practice; Lloyd
+    cost becomes O(sample x k) independent of the corpus) and then ONE
+    full Arrow-matmul assignment pass covers every vector; vectors are
+    L2-normalized in that same pass so the per-pair verify is a bare
+    dot product (per-pair norms would redo each vector's sqrt
+    ~cluster-size times); ONE equi-self-join on cluster id bounds the
+    candidates. Iterative training => rows-only declaration, like every
+    trained-model operator here."""
     base = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
     ).localCheckpoint(eager=False)
+    train = (
+        base.filter(F.pmod(F.xxhash64("id"), F.lit(train_sample_mod)) == 0)
+        if train_sample_mod > 1
+        else base
+    )
     cents = kmeans_fit(
-        base, n_clusters, iters, vec_col="__v", id_col="id", init=init
+        train, n_clusters, iters, vec_col="__v", id_col="id", init=init
     )
-    cent_row = cents.agg(
-        F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
-    )
-    assigned = (
-        base.join(F.broadcast(cent_row))
-        .withColumn("bkt", _nearest(F.col("__v"), F.col("__cents"))["cid"])
-        .select("id", "bkt", "__v")
-        .localCheckpoint(eager=False)  # cap-count + both join sides
-    )
+    if n_clusters > _ARROW_ASSIGN_MIN_K:
+        assign = _assign_arrow(cents.collect())
+        assigned = base.withColumn("bkt", assign(F.col("__v")))
+    else:
+        cent_row = cents.agg(
+            F.collect_list(F.struct("cluster_id", "centroid")).alias(
+                "__cents"
+            )
+        )
+        assigned = base.join(F.broadcast(cent_row)).withColumn(
+            "bkt", _nearest(F.col("__v"), F.col("__cents"))["cid"]
+        )
+    # unit vectors once per row => verify is dot-only
+    unit = _normalize_arrow()
+    assigned = assigned.select(
+        "id", "bkt", unit(F.col("__v")).alias("__vn")
+    ).localCheckpoint(eager=False)  # cap-count + both join sides consume
     if max_cluster_size is not None:
         counts = assigned.groupBy("bkt").agg(F.count(F.lit(1)).alias("__n"))
         assigned = assigned.join(
             counts.filter(F.col("__n") <= max_cluster_size).select("bkt"),
             "bkt",
         )
-    left = assigned.select(
-        "bkt", F.col("id").alias("id_a"), F.col("__v").alias("__va")
+    pairs = assigned.groupBy("bkt").applyInPandas(
+        _bucket_pairs_fn(threshold), "id_a long, id_b long, sim double"
     )
-    right = assigned.select(
-        "bkt", F.col("id").alias("id_b"), F.col("__v").alias("__vb")
-    )
-    cos = cosine_pairs_arrow()
-    return (
-        left.join(right, "bkt")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cos(F.col("__va"), F.col("__vb")))
-        .filter(F.col("sim") >= F.lit(threshold))
-        .select(
-            "id_a",
-            "id_b",
-            (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias(
-                "sim"
-            ),
-        )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias(
+            "sim"
+        ),
     )

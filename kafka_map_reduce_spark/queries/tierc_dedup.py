@@ -626,9 +626,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     modality (the synthetic embeddings table is near-dup-free by
     construction — max pairwise cosine 0.51 — so it cannot witness any
     dedup threshold), making the two vector modalities directly
-    comparable: same vectors, different candidate generators, and every
-    pair the 0.95-threshold LSH path finds is a subset of what this
-    0.85 band returns.
+    comparable: same vectors, different candidate generators. Pairs at
+    0.95+ essentially always co-assign (a near-identical pair splits
+    across a cluster boundary only in the epsilon-ball edge case), so
+    the LSH path's finds are in practice a subset of this 0.85 band —
+    an empirical relationship, not an invariant.
 
     Rows-only by declaration (iterative k-means training, like every
     trained-model operator); planted-near-dup recall, the
@@ -643,15 +645,22 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_map_reduce_spark.operators.text import attach_hash_embed
 
     d = load_table(spark, sf_dir, "documents")
-    emb = attach_hash_embed(
-        d, "text", "embedding", dim=32, hasher="md5"
-    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    # materialize the embedding ONCE: count (the k probe), training,
+    # assignment and both verify sides all consume it — without the
+    # eager checkpoint each would re-run the hash-embed fold
+    emb = (
+        attach_hash_embed(d, "text", "embedding", dim=32, hasher="md5")
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
     # k scales with the corpus (target cluster ~250 vectors) so the
     # within-cluster quadratic term stays ~N*250 at ANY data size; the
-    # count is a 1-row dim probe, and spread init keeps the k-means
-    # seeding cost k-independent (farthest-first's k-1 passes would
-    # grow with the corpus here).
-    k = max(8, emb.count() // 250)
+    # count is free on the checkpointed table; spread init keeps
+    # seeding k-independent, and training fits on a ~50-vectors-per-
+    # centroid hash-sample so Lloyd cost is sample-bound, not
+    # corpus-bound (one full Arrow assignment pass then covers all).
+    n = emb.count()
+    k = max(8, n // 250)
     return semantic_dedup(
         emb,
         threshold=0.85,
@@ -659,4 +668,5 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=3,
         max_cluster_size=2000,
         init="spread",
+        train_sample_mod=max(1, n // (50 * k)),
     ).orderBy("id_a", "id_b")

@@ -144,3 +144,97 @@ def test_agrees_with_brute_force_topk_neighbors(spark, planted):
     pairs = _pairs(semantic_dedup(e, threshold=0.85, n_clusters=4, iters=3))
     for nb in neigh:
         assert (0, nb) in pairs
+
+
+def test_arrow_assignment_matches_jvm(spark, planted):
+    """The large-k Arrow matmul assignment must agree with the JVM
+    inline argmin on the same centroids (the bit-parity twin of the r6
+    hyperplane-signature pin) — here on well-separated clusters where
+    no knife-edge float tie exists."""
+    from pyspark.sql import functions as F
+
+    from kafka_map_reduce_spark.operators.similarity import (
+        _as_double,
+        _assign_arrow,
+        _nearest,
+        kmeans_fit,
+    )
+
+    e = planted.select("vec_id", "embedding")
+    cents = kmeans_fit(e, n_clusters=4, iters=3)
+    cent_row = cents.agg(
+        F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
+    )
+    jvm = {
+        r.vec_id: r.cid
+        for r in e.join(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            _nearest(_as_double(F.col("embedding")), F.col("__cents"))[
+                "cid"
+            ].alias("cid"),
+        )
+        .collect()
+    }
+    assign = _assign_arrow(cents.collect())
+    arrow = {
+        r.vec_id: r.cid
+        for r in e.select(
+            "vec_id", assign(_as_double(F.col("embedding"))).alias("cid")
+        ).collect()
+    }
+    assert arrow == jvm
+
+
+def test_large_k_arrow_path_end_to_end(spark, planted):
+    """Force the Arrow assignment path (n_clusters=70 >
+    _ARROW_ASSIGN_MIN_K): precision stays exact (every pair same-center
+    — cross-center cosine is far below threshold regardless of how
+    clusters form), the result is deterministic, and some dup pairs
+    survive. Recall is NOT asserted here: k=70 over 120 points makes
+    clusters SMALLER than the planted 30-member dup groups, so splits
+    legitimately lose pairs — the documented SemDeDup operating
+    constraint (cluster size must exceed dup-group size; the registered
+    query targets ~250-vector clusters for exactly this reason). The
+    k<=natural-centers recall contract is test_recall_on_planted_
+    clusters; the assignment-stage parity is
+    test_arrow_assignment_matches_jvm."""
+    e = planted.select("vec_id", "embedding")
+    got = semantic_dedup(
+        e, threshold=0.85, n_clusters=70, iters=3, init="spread"
+    )
+    pairs = _pairs(got)
+    centers = {r.vec_id: r.center for r in planted.collect()}
+    want = {
+        (a, b)
+        for a in centers
+        for b in centers
+        if a < b and centers[a] == centers[b]
+    }
+    assert pairs and pairs <= want  # exact precision through Arrow path
+    again = _pairs(
+        semantic_dedup(
+            e, threshold=0.85, n_clusters=70, iters=3, init="spread"
+        )
+    )
+    assert pairs == again
+
+
+def test_sample_trained_model_keeps_recall(spark, planted):
+    """Training on a half-corpus hash-sample (train_sample_mod=2) must
+    still recover every planted pair: Lloyd centroids fitted on a
+    representative sample land in the same 4 centers, and the FULL
+    corpus is assigned and verified regardless of the training set."""
+    e = planted.select("vec_id", "embedding")
+    got = semantic_dedup(
+        e, threshold=0.85, n_clusters=4, iters=3, train_sample_mod=2
+    )
+    pairs = _pairs(got)
+    centers = {r.vec_id: r.center for r in planted.collect()}
+    want = {
+        (a, b)
+        for a in centers
+        for b in centers
+        if a < b and centers[a] == centers[b]
+    }
+    assert pairs == want

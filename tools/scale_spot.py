@@ -45,6 +45,9 @@ QUERIES = [
     # full-scan-but-compressed contract, each with a candidate audit
     "q_sim_ivfpq",
     "q_sim_sq8",
+    # added r7: the SemDeDup modality (k scales with the corpus to hold
+    # cluster size ~250, so the within-cluster quadratic term is ~N*250)
+    "q_dedup_semantic",
 ]
 
 
