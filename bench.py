@@ -658,6 +658,7 @@ def main() -> None:
             "q_text_bigram_logprob",
             "q_scan_text",
             "q_dedup_semantic",
+            "q_dedup_semantic_ingest",
         )
         if n in specs
     ]

@@ -1415,3 +1415,118 @@ def semantic_dedup(
             "sim"
         ),
     )
+
+
+def _bucket_pairs_vs_new_fn(threshold: float):
+    """applyInPandas kernel for INCREMENTAL semantic dedup: one cluster's
+    over-threshold pairs that involve at least one NEW row, via a
+    rectangular B_new @ U_all.T matmul (cheaper than the full square —
+    the batch side is small). Output pairs are (min_id, max_id) with
+    new-new duplicates dropped, so appending a batch emits exactly the
+    pairs a full rebuild would add."""
+    import numpy as np
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+        )
+        new = pdf[pdf["is_new"]]
+        if len(new) == 0 or len(pdf) < 2:
+            return empty
+        Vn = np.array(new["__vn"].tolist(), dtype=np.float64)
+        Va = np.array(pdf["__vn"].tolist(), dtype=np.float64)
+        S = Vn @ Va.T
+        ids_n = new["id"].to_numpy()
+        ids_a = pdf["id"].to_numpy()
+        ii, jj = np.where(S >= threshold)
+        if len(ii) == 0:
+            return empty
+        a = ids_n[ii]
+        b = ids_a[jj]
+        keep = a != b
+        a, b, s = a[keep], b[keep], S[ii, jj][keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "sim": s})
+        # a new-new pair appears twice (once from each side's row in Vn)
+        return out.drop_duplicates(subset=["id_a", "id_b"])
+
+    return f
+
+
+def semantic_dedup_ingest(
+    batch: DataFrame,
+    centroids: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental ingest for the SemDeDup modality — the symmetry
+    partner of the LSH band index / digest index / IVFADC append paths:
+    dedup state persists as (centroids, assigned unit-vector index) and
+    each batch probes it at batch-tracking cost, never a corpus rescan.
+
+    Returns ``(pairs, new_index_rows)``: pairs are every over-threshold
+    pair involving >= 1 batch member (exactly what a full rebuild under
+    the same frozen centroids would ADD — append-vs-rebuild parity is
+    pytest-pinned), and new_index_rows are the batch's (id, bkt, __vn)
+    rows to append to the persisted index (encoding is per-row
+    deterministic under a frozen model, the ivfpq_index incremental
+    contract).
+
+    Scale shape: the batch assigns against the frozen centroids (Arrow
+    matmul above _ARROW_ASSIGN_MIN_K, JVM argmin below); the index is
+    SEMI-JOINED down to the clusters the batch actually touched before
+    the per-cluster rectangular matmul (B_new @ U_all.T — the all side
+    is cluster-sized, the new side batch-sized), so cost tracks
+    batch x cluster, not the corpus. ``max_cluster_size`` counts the
+    UNION (index + batch) per touched cluster — a cluster the corpus
+    already showed to be a template blob stays routed to exact dedup
+    even mid-ingest."""
+    n_cents = centroids.count()
+    base = batch.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    if n_cents > _ARROW_ASSIGN_MIN_K:
+        assign = _assign_arrow(centroids.collect())
+        assigned = base.withColumn("bkt", assign(F.col("__v")))
+    else:
+        cent_row = centroids.agg(
+            F.collect_list(F.struct("cluster_id", "centroid")).alias(
+                "__cents"
+            )
+        )
+        assigned = base.join(F.broadcast(cent_row)).withColumn(
+            "bkt", _nearest(F.col("__v"), F.col("__cents"))["cid"]
+        )
+    unit = _normalize_arrow()
+    new_rows = assigned.select(
+        "id", "bkt", unit(F.col("__v")).alias("__vn")
+    ).localCheckpoint(eager=False)
+    touched = new_rows.select("bkt").distinct()
+    old_rows = index.join(F.broadcast(touched), "bkt").select(
+        "id", "bkt", "__vn"
+    )
+    union = new_rows.withColumn("is_new", F.lit(True)).unionByName(
+        old_rows.withColumn("is_new", F.lit(False))
+    )
+    if max_cluster_size is not None:
+        counts = union.groupBy("bkt").agg(F.count(F.lit(1)).alias("__n"))
+        union = union.join(
+            counts.filter(F.col("__n") <= max_cluster_size).select("bkt"),
+            "bkt",
+        )
+    pairs = union.groupBy("bkt").applyInPandas(
+        _bucket_pairs_vs_new_fn(threshold),
+        "id_a long, id_b long, sim double",
+    )
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias(
+            "sim"
+        ),
+    )
+    return out, new_rows

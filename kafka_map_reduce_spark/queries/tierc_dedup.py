@@ -670,3 +670,58 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         init="spread",
         train_sample_mod=max(1, n // (50 * k)),
     ).orderBy("id_a", "id_b")
+
+
+@query("q_dedup_semantic_ingest", oracle=None, tags=("approx", "incremental"))
+def q_dedup_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest for the SemDeDup modality (operators/
+    similarity.py:semantic_dedup_ingest) — the symmetry partner of
+    q_dedup_incremental (LSH band index), q_dedup_exact_incremental
+    (digest index) and the IVFADC append path: dedup state persists as
+    (frozen k-means centroids, assigned unit-vector index); each batch
+    assigns against the frozen model, semi-joins the index down to the
+    clusters it touches, and emits exactly the pairs a full rebuild
+    would ADD (append-vs-rebuild parity pytest-pinned). Cost tracks
+    batch x cluster, never the corpus. Every 10th doc plays the
+    arriving batch; the rest are the standing corpus whose index the
+    build step materializes with the same frozen model (ingest against
+    an empty index IS the build — one code path, no drift)."""
+    from kafka_map_reduce_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup_ingest,
+    )
+    from kafka_map_reduce_spark.operators.text import attach_hash_embed
+
+    emb = (
+        attach_hash_embed(
+            load_table(spark, sf_dir, "documents"),
+            "text",
+            "embedding",
+            dim=32,
+            hasher="md5",
+        )
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    n = old.count()
+    k = max(8, n // 250)
+    from pyspark.sql import functions as _F
+
+    train = old.filter(
+        _F.pmod(_F.xxhash64("vec_id"), _F.lit(max(1, n // (50 * k)))) == 0
+    )
+    cents = kmeans_fit(
+        train, k, iters=3, vec_col="embedding", id_col="vec_id",
+        init="spread",
+    ).localCheckpoint(eager=True)
+    empty = spark.createDataFrame([], "id long, bkt int, __vn array<double>")
+    _, index = semantic_dedup_ingest(
+        old, cents, empty, threshold=0.85, max_cluster_size=2000
+    )
+    index = index.localCheckpoint(eager=True)
+    pairs, _ = semantic_dedup_ingest(
+        new, cents, index, threshold=0.85, max_cluster_size=2000
+    )
+    return pairs.orderBy("id_a", "id_b")

@@ -55,7 +55,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # session, and placing them last means a wedge cannot shadow any other
 # in-window check (pytest-enforced, test_registry_contract.py).
 #
-# Window allocation policy (from r6 judge feedback): with 148 registered
+# Window allocation policy (from r6 judge feedback): with 149 registered
 # queries on a 50-row window, the allocation each round is (1) EVERY
 # never-driver-checked registration — enforced by
 # test_registry_contract.py::test_never_checked_outranks_stale, which
@@ -72,10 +72,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (live) at the window edge. The monitor's full-outer rogue-domain fix
 # and the driver-local BPE trainer landed BEFORE these first rows.
 #
-# Round-8 queue — first the three r4-stale rows displaced by the r7
+# Round-8 queue — first the five r4-stale rows displaced by the r7
 # registrations (q_except, q_intersect, q_stream_session,
-# q_stream_sliding), then
-# r5-stale oldest-first:
+# q_stream_sliding, q_stream_tumbling), then r5-stale oldest-first:
 # q_agg_argmax, q_agg_group,
 # q_corpus_mix, q_dedup_keep_best, q_dedup_near_capped, q_doc_ids,
 # q_domain_cap, q_funnel, q_join_anti, q_join_asof, q_join_multiway,
@@ -117,13 +116,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_udf_scalar",
     "q_udaf_grouped",
     "q_udtf_explode",
-    # (a) never driver-checked r7 registrations (4; displaced q_except,
-    # q_intersect, q_stream_session + q_stream_sliding to the r8 queue —
-    # never-checked outranks stale)
+    # (a) never driver-checked r7 registrations (5; displaced q_except,
+    # q_intersect + the three batch-face stream refreshes to the r8
+    # queue — never-checked outranks stale)
     "q_sample_weighted",
     "q_text_bigram_logprob",
     "q_scan_text",
     "q_dedup_semantic",
+    "q_dedup_semantic_ingest",
     # (b) r4-stale — windows (4)
     "q_window_rank",
     "q_window_running",
@@ -150,9 +150,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_ivf_kmeans",
     # (c) one r5 rows-only ANN entry (scale-spot family this round)
     "q_sim_ivf",
-    # (b) r4-stale — pipeline e2e + batch-face streams (4)
+    # (b) r4-stale — pipeline e2e (1)
     "q_pipeline_e2e",
-    "q_stream_tumbling",
     # (d) live stream, last in the window (1): first-ever driver row,
     # with the rogue-domain full-outer fix already in
     "q_stream_mix_monitor",

@@ -238,3 +238,63 @@ def test_sample_trained_model_keeps_recall(spark, planted):
         if a < b and centers[a] == centers[b]
     }
     assert pairs == want
+
+
+def test_ingest_append_vs_rebuild_parity(spark, planted):
+    """The incremental contract: under the SAME frozen centroids, the
+    pairs emitted when a batch arrives must equal exactly the pairs a
+    full rebuild adds (full-union pairs that touch >= 1 batch id). One
+    code path builds and ingests (ingest against an empty index IS the
+    build), so there is no drift surface."""
+    from kafka_map_reduce_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup_ingest,
+    )
+
+    e = planted.select("vec_id", "embedding")
+    old = e.filter(F.col("vec_id") % 7 != 0)
+    new = e.filter(F.col("vec_id") % 7 == 0)
+    cents = kmeans_fit(old, n_clusters=4, iters=3).localCheckpoint(
+        eager=True
+    )
+    empty = spark.createDataFrame([], "id long, bkt int, __vn array<double>")
+
+    # full rebuild over the union with the frozen model
+    full_pairs, _ = semantic_dedup_ingest(e, cents, empty, threshold=0.85)
+    full = _pairs(full_pairs)
+
+    # incremental: build index from old, ingest new
+    _, index = semantic_dedup_ingest(old, cents, empty, threshold=0.85)
+    index = index.localCheckpoint(eager=True)
+    inc_pairs, new_rows = semantic_dedup_ingest(
+        new, cents, index, threshold=0.85
+    )
+    inc = _pairs(inc_pairs)
+
+    new_ids = {r.vec_id for r in new.collect()}
+    want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert inc == want
+    # and the appended rows cover exactly the batch
+    assert {r.id for r in new_rows.collect()} == new_ids
+
+
+def test_ingest_touches_only_batch_clusters(spark, planted):
+    """Cost tracks the batch: a batch that lands entirely in one
+    cluster must emit pairs only within that cluster — docs of other
+    clusters never enter the kernel (their ids appear in no pair)."""
+    from kafka_map_reduce_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup_ingest,
+    )
+
+    e = planted.select("vec_id", "embedding")
+    old = e.filter(F.col("vec_id") >= 30)  # centers 1..3 + none of 0
+    batch = e.filter(F.col("vec_id") < 30)  # all of planted center 0
+    cents = kmeans_fit(e, n_clusters=4, iters=3).localCheckpoint(eager=True)
+    empty = spark.createDataFrame([], "id long, bkt int, __vn array<double>")
+    _, index = semantic_dedup_ingest(old, cents, empty, threshold=0.85)
+    pairs, _ = semantic_dedup_ingest(
+        batch, cents, index.localCheckpoint(eager=True), threshold=0.85
+    )
+    ids = {i for p in _pairs(pairs) for i in p}
+    assert ids and ids <= set(range(30))  # center-0 docs only
