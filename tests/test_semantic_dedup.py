@@ -32,7 +32,6 @@ def planted(spark):
     """Four well-separated centers (axis blocks), 30 vectors each with
     tiny perturbations: every same-center pair is a semantic near-dup
     (cosine >> 0.85), every cross-center pair is far below."""
-    import itertools
 
     centers = []
     for b in range(4):
