@@ -222,6 +222,7 @@ def bigram_logprob(
     id_col: str = "doc_id",
     lm_bigrams: DataFrame | None = None,
     k_smooth: float = 0.5,
+    vocab_size: float | None = None,
 ) -> DataFrame:
     """Per-document mean bigram log-probability with add-k smoothing —
     the order-2 upgrade of :func:`unigram_logprob`'s perplexity gate.
@@ -230,27 +231,37 @@ def bigram_logprob(
     bigram conditional ln((c(w1,w2)+k) / (c(w1·)+k·V)) does, which is
     why CCNet-style quality bucketing uses an n-gram LM, not a bag of
     words. c(w1·) is the bigram-context count (= occurrences of w1 in
-    non-final position) and V the corpus vocabulary size, so rows sum
+    non-final position) and V the model vocabulary size, so rows sum
     to a proper conditional distribution per context.
 
     ``lm_bigrams`` (a (w1, w2, cnt12) table persisted from a reference
     corpus) scores against a FIXED model — the production setup;
-    default trains on ``df`` itself. Documents with fewer than two
-    tokens have no bigrams and are absent from the output (both
-    engines agree by construction).
+    default trains on ``df`` itself. In fixed-LM mode the model alone
+    determines the score: V is ``vocab_size`` if given, else the
+    distinct-token count of the LM's own (w1 ∪ w2) vocabulary — never
+    the scored batch, so the same document gets the same mean_logprob
+    regardless of which other documents ride along (reproducibility
+    contract for a fixed gate threshold). A bigram absent from the LM
+    scores with cnt12 = cnt1 = 0 (fully-OOV transition); in the
+    self-trained default every scored bigram is in the LM, so the
+    convention is only reachable in fixed-LM mode. Documents with
+    fewer than two tokens have no bigrams and are absent from the
+    output (both engines agree by construction).
 
     Scale shape: bigrams come from a zip_with over the per-doc token
     array (no positional self-join); the LM is one (w1,w2)-keyed hash
-    aggregate with map-side combine absorbing the Zipf head; scoring
-    joins exploded doc bigrams to the LM on the pair key and
-    re-aggregates per doc. V is a broadcast 1-row aggregate. The LM
-    never touches the driver — same contract as the unigram gate."""
+    aggregate with map-side combine absorbing the Zipf head; the
+    context count cnt1 is folded INTO the LM at train time (a window
+    sum over the model-sized table) so scoring joins the exploded doc
+    bigrams exactly ONCE, on the pair key — the r7 form's second join
+    of the exploded table on bare w1 re-shuffled every doc bigram on a
+    Zipf-skewed key ("the", "of" concentrate); the pair key spreads
+    the head across w2. V is a broadcast 1-row aggregate. The LM never
+    touches the driver — same contract as the unigram gate."""
+    from pyspark.sql import Window
+
     base = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__ts")
-    )
-    vocab_row = (
-        base.select(F.explode("__ts").alias("tok"))
-        .agg(F.countDistinct("tok").cast("double").alias("__v"))
     )
     bi = (
         base.filter(F.size("__ts") >= 2)
@@ -270,10 +281,30 @@ def bigram_logprob(
         lm_bigrams = bi.groupBy("w1", "w2").agg(
             F.count(F.lit(1)).alias("cnt12")
         )
-    lm_uni = lm_bigrams.groupBy("w1").agg(F.sum("cnt12").alias("cnt1"))
+        # Self-trained: V is the corpus vocabulary (includes tokens of
+        # 1-token docs, which form no bigram but do occupy probability
+        # mass in the smoothing denominator).
+        vocab_row = (
+            base.select(F.explode("__ts").alias("tok"))
+            .agg(F.countDistinct("tok").cast("double").alias("__v"))
+        )
+    elif vocab_size is not None:
+        vocab_row = df.sparkSession.range(1).select(
+            F.lit(float(vocab_size)).alias("__v")
+        )
+    else:
+        vocab_row = (
+            lm_bigrams.select(F.col("w1").alias("tok"))
+            .union(lm_bigrams.select(F.col("w2").alias("tok")))
+            .agg(F.countDistinct("tok").cast("double").alias("__v"))
+        )
+    # Train-time fold: cnt1 rides the model table, one window sum over
+    # the model-sized LM (not the exploded corpus).
+    lm = lm_bigrams.withColumn(
+        "cnt1", F.sum("cnt12").over(Window.partitionBy("w1"))
+    )
     scored = (
-        bi.join(lm_bigrams, ["w1", "w2"], "left")
-        .join(lm_uni, ["w1"], "left")
+        bi.join(lm, ["w1", "w2"], "left")
         .join(F.broadcast(vocab_row))
         .withColumn(
             "__lp",

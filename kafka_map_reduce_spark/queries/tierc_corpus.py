@@ -383,16 +383,16 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
       WHERE len(ts) >= 2
     ),
-    lm12 AS (
-      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cnt12
+    lm AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cnt12,
+             CAST(sum(count(*)) OVER (PARTITION BY w1) AS DOUBLE) AS cnt1
       FROM bi GROUP BY 1, 2
-    ),
-    lm1 AS (SELECT w1, sum(cnt12) AS cnt1 FROM lm12 GROUP BY 1)
+    )
     SELECT b.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            floor(avg(ln((cnt12 + 0.5) / (cnt1 + 0.5 * vsz))) * 10000 + 0.5)
                / 10000 AS mean_logprob
-    FROM bi b JOIN lm12 USING (w1, w2) JOIN lm1 USING (w1), v
+    FROM bi b JOIN lm USING (w1, w2), v
     GROUP BY b.doc_id
     """,
 )
@@ -407,8 +407,11 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: bigrams via zip_with over the per-doc token array (never a
     positional self-join); LM = one (w1,w2)-keyed hash aggregate with
-    map-side combine on the Zipf head; scoring re-joins on the pair
-    key; V is a broadcast 1-row aggregate. Docs with < 2 tokens have
+    map-side combine on the Zipf head, with the context count cnt1
+    folded in at train time (window sum over the model-sized table) so
+    scoring joins the exploded bigrams exactly ONCE on the pair key —
+    no second shuffle of the exploded table on the Zipf-skewed bare
+    w1; V is a broadcast 1-row aggregate. Docs with < 2 tokens have
     no bigrams and are absent on both sides by construction."""
     from kafka_map_reduce_spark.operators.text import bigram_logprob
 

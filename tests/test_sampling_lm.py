@@ -141,9 +141,9 @@ def test_bigram_short_docs_absent(spark):
     assert got == {2}
 
 
-def test_bigram_fixed_lm_scores_new_batch(spark):
-    """Production shape: train the LM once, score a new batch against
-    it — unseen transitions get the k/(c+kV) floor, not -inf."""
+def _train_lm12(spark):
+    """(w1, w2, cnt12) LM table for 'a b a b' + 'a c': (a,b)x2, (b,a)x1,
+    (a,c)x1; LM vocab = {a, b, c}, V = 3."""
     train = spark.createDataFrame(
         [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
     )
@@ -159,13 +159,55 @@ def test_bigram_fixed_lm_scores_new_batch(spark):
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    lm12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt12"))
+    return bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt12"))
+
+
+def test_bigram_fixed_lm_scores_new_batch(spark):
+    """Production shape: train the LM once, score a new batch against
+    it. The model alone defines the score: V is the LM vocabulary
+    ({a,b,c} = 3, NOT the batch's), and a transition absent from the
+    LM scores fully-OOV (cnt12 = cnt1 = 0) — the k/(kV) floor, never
+    -inf. A seen pair gets the model's folded context count."""
+    lm12 = _train_lm12(spark)
     batch = spark.createDataFrame(
-        [(7, "b z")], "doc_id long, text string"
+        [(7, "b z"), (8, "a b")], "doc_id long, text string"
     )
-    got = bigram_logprob(batch, lm_bigrams=lm12).collect()
-    assert len(got) == 1 and got[0].n_bigrams == 1
-    # (b,z) unseen, context b has cnt1=1, V of the BATCH vocab (b,z)=2
-    assert got[0].mean_logprob == pytest.approx(
-        math.log(0.5 / (1 + 0.5 * 2)), abs=1e-9
+    got = {r.doc_id: r for r in bigram_logprob(batch, lm_bigrams=lm12).collect()}
+    assert got[7].n_bigrams == 1 and got[8].n_bigrams == 1
+    # (b,z) not in the LM: fully-OOV floor log(k / (k*V)), V=3 from LM
+    assert got[7].mean_logprob == pytest.approx(
+        math.log(0.5 / (0.5 * 3)), abs=1e-9
+    )
+    # (a,b) seen: cnt12=2, folded cnt1 = c(a.) = 3
+    assert got[8].mean_logprob == pytest.approx(
+        math.log((2 + 0.5) / (3 + 0.5 * 3)), abs=1e-9
+    )
+
+
+def test_bigram_fixed_lm_batch_independent(spark):
+    """Reproducibility contract (r7 ADVICE): under a fixed LM the same
+    document scores identically whether it rides alone or with other
+    documents in the batch — V comes from the model, not the batch."""
+    lm12 = _train_lm12(spark)
+    solo = spark.createDataFrame([(7, "b z")], "doc_id long, text string")
+    crowd = spark.createDataFrame(
+        [(7, "b z"), (9, "p q r s t u v w x y zz")],
+        "doc_id long, text string",
+    )
+    s1 = bigram_logprob(solo, lm_bigrams=lm12).collect()[0].mean_logprob
+    s2 = {
+        r.doc_id: r.mean_logprob
+        for r in bigram_logprob(crowd, lm_bigrams=lm12).collect()
+    }[7]
+    assert s1 == pytest.approx(s2, abs=1e-12)
+
+
+def test_bigram_fixed_lm_explicit_vocab_size(spark):
+    """vocab_size overrides the LM-derived V (e.g. the persisted model
+    records its training vocabulary, wider than its surviving bigrams)."""
+    lm12 = _train_lm12(spark)
+    batch = spark.createDataFrame([(8, "a b")], "doc_id long, text string")
+    got = bigram_logprob(batch, lm_bigrams=lm12, vocab_size=10.0).collect()[0]
+    assert got.mean_logprob == pytest.approx(
+        math.log((2 + 0.5) / (3 + 0.5 * 10)), abs=1e-9
     )

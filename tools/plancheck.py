@@ -160,6 +160,12 @@ MAX_EXCHANGES = {
     # per-doc rollup (+ AQE reuse) — every row token- or doc-keyed and
     # narrow; more means a corpus-width shuffle crept into the scorer
     "q_text_unigram_logprob": 6,
+    # pair-key LM agg + model-sized w1 window + ONE (w1,w2) scoring join
+    # pair + 1-partition vocab + per-doc rollup. Tightened r8 (9 -> 7):
+    # cnt1 folds into the LM at train time, removing the second shuffle
+    # of the EXPLODED table on the Zipf-skewed bare-w1 key; an 8th
+    # Exchange means that skewed join crept back (operators/text.py)
+    "q_text_bigram_logprob": 7,
     # PQ training included: per-subspace k-means mean updates (posexplode
     # + (cluster, dim) aggregates — KB-sized after map-side combine) plus
     # the re-rank candidate join; the corpus-scale path (encode + code
