@@ -154,17 +154,37 @@ def _nearest(vec: Column, cents: Column) -> Column:
 _ARROW_ASSIGN_MIN_K = 64
 
 
-def _assign_arrow(cents_rows):
+def _assign_arrow(cents_rows, sc=None):
     """pandas_udf factory: nearest-centroid id for array<double> vectors
     via ONE numpy matmul per Arrow batch (||v-c||^2 = |v|^2 - 2 v.C^T +
     |c|^2). ``cents_rows`` is the collected (cluster_id, centroid) list
-    — k x dim doubles, KBs-to-MBs, shipped in the UDF closure like every
-    other broadcast model here (PQ LUTs, BPE ranks). Centroids sorted by
-    cluster_id so argmin's first-minimum tie-break matches the JVM
-    struct-min (lowest cid wins); distances are float64 matmuls, so a
-    knife-edge tie at the last ulp could in principle assign differently
-    than the JVM fold — acceptable for the rows-only trained-model
-    operators that use this path."""
+    — k x dim doubles. With ``sc`` (a SparkContext — every operator call
+    site passes it) the model ships as an EXPLICIT ``sc.broadcast``: the
+    UDF closure carries only the broadcast handle, so the k x dim matrix
+    crosses the wire once per executor (torrent broadcast, cached across
+    every consuming stage and Lloyd iteration) instead of riding the
+    pickled task binary of each stage — by the operators' own sizing
+    rule k grows with the corpus (k≈N/250), so at 100x data with
+    production dims the closure form re-serializes hundreds of MB per
+    iteration x stage. Measured at the registered k=2000/dim=32
+    operating point (full q_dedup_semantic at sf10 = 500k docs,
+    interleaved min-of-2, warm session): closure 29.17 s -> broadcast
+    28.62 s — neutral-to-slightly-better while the model is ~0.5 MB;
+    the hoist is structural insurance for the regime the sizing rule
+    implies (k=2e5 x dim=768 = 1.2 GB model), where per-stage closure
+    reshipping is a hard wall. The returned UDF exposes the handle as
+    ``assign._kmr_broadcast``; loop call sites (kmeans_fit) unpersist it
+    after each iteration's materialization barrier, terminal call sites
+    leave it to the closure-held handle + ContextCleaner (unpersist is
+    re-fetchable in Spark, destroy is not — only unpersist is ever
+    called). ``sc=None`` keeps the closure form — the bit-parity twin
+    pytest pins against (tests/test_semantic_dedup.py).
+
+    Centroids sorted by cluster_id so argmin's first-minimum tie-break
+    matches the JVM struct-min (lowest cid wins); distances are float64
+    matmuls, so a knife-edge tie at the last ulp could in principle
+    assign differently than the JVM fold — acceptable for the rows-only
+    trained-model operators that use this path."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -172,6 +192,26 @@ def _assign_arrow(cents_rows):
     cids = np.array([r["cluster_id"] for r in rows], dtype="int64")
     C = np.array([list(r["centroid"]) for r in rows], dtype="float64")
     cn = (C * C).sum(axis=1)
+
+    if sc is not None:
+        bc = sc.broadcast((cids, C, cn))
+
+        @pandas_udf("int")
+        def assign(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            import numpy as np
+
+            cids_b, C_b, cn_b = bc.value
+            V = np.array([list(x) for x in v], dtype="float64")
+            d2 = (
+                (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C_b.T)
+                + cn_b[None, :]
+            )
+            return pd.Series(cids_b[np.argmin(d2, axis=1)]).astype("int32")
+
+        assign._kmr_broadcast = bc
+        return assign
 
     @pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
@@ -183,6 +223,7 @@ def _assign_arrow(cents_rows):
         d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
         return pd.Series(cids[np.argmin(d2, axis=1)]).astype("int32")
 
+    assign._kmr_broadcast = None
     return assign
 
 
@@ -275,10 +316,16 @@ def kmeans_fit(
             cents = cents.unionByName(far).localCheckpoint(eager=True)
     use_arrow = n_clusters > _ARROW_ASSIGN_MIN_K
     for _ in range(iters):
+        iter_bc = None
         if use_arrow:
             # large k: interpreted HOF argmin is the wall (see
-            # _ARROW_ASSIGN_MIN_K); one numpy matmul per Arrow batch
-            assign = _assign_arrow(cents.collect())
+            # _ARROW_ASSIGN_MIN_K); one numpy matmul per Arrow batch,
+            # model hoisted into an explicit broadcast (ship-once per
+            # iteration, not per consuming stage)
+            assign = _assign_arrow(
+                cents.collect(), sc=corpus.sparkSession.sparkContext
+            )
+            iter_bc = assign._kmr_broadcast
             assigned = vecs.withColumn("__cid", assign(F.col("__v"))).select(
                 "__vid", "__v", "__cid"
             )
@@ -311,6 +358,11 @@ def kmeans_fit(
         # truncate the growing iterative lineage (same pattern as the
         # connected-components loop in operators/dedup.py)
         cents = cents.localCheckpoint(eager=True)
+        if iter_bc is not None:
+            # the eager checkpoint above is this iteration's
+            # materialization barrier — the stale centroid broadcast is
+            # dead weight on the executors from here on
+            iter_bc.unpersist()
     return cents
 
 
@@ -1383,7 +1435,9 @@ def semantic_dedup(
         train, n_clusters, iters, vec_col="__v", id_col="id", init=init
     )
     if n_clusters > _ARROW_ASSIGN_MIN_K:
-        assign = _assign_arrow(cents.collect())
+        assign = _assign_arrow(
+            cents.collect(), sc=corpus.sparkSession.sparkContext
+        )
         assigned = base.withColumn("bkt", assign(F.col("__v")))
     else:
         cent_row = cents.agg(
@@ -1490,7 +1544,9 @@ def semantic_dedup_ingest(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
     )
     if n_cents > _ARROW_ASSIGN_MIN_K:
-        assign = _assign_arrow(centroids.collect())
+        assign = _assign_arrow(
+            centroids.collect(), sc=batch.sparkSession.sparkContext
+        )
         assigned = base.withColumn("bkt", assign(F.col("__v")))
     else:
         cent_row = centroids.agg(

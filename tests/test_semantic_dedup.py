@@ -185,6 +185,44 @@ def test_arrow_assignment_matches_jvm(spark, planted):
     assert arrow == jvm
 
 
+def test_broadcast_assignment_bit_parity_with_closure(spark, planted):
+    """The r8 explicit-sc.broadcast hoist must be bit-identical to the
+    closure-shipped form (same sorted centroids, same float64 matmul,
+    same argmin tie-break) — only the transport of the model changed.
+    Checked on perturbed, NON-separated centroids too (k=7 over 4
+    natural centers forces near-boundary assignments)."""
+    from pyspark.sql import functions as F
+
+    from kafka_map_reduce_spark.operators.similarity import (
+        _as_double,
+        _assign_arrow,
+        kmeans_fit,
+    )
+
+    e = planted.select("vec_id", "embedding")
+    cents_rows = kmeans_fit(e, n_clusters=7, iters=2, init="spread").collect()
+
+    closure = _assign_arrow(cents_rows)
+    assert closure._kmr_broadcast is None
+    hoisted = _assign_arrow(cents_rows, sc=spark.sparkContext)
+    assert hoisted._kmr_broadcast is not None
+
+    def run(udf):
+        return {
+            r.vec_id: r.cid
+            for r in e.select(
+                "vec_id", udf(_as_double(F.col("embedding"))).alias("cid")
+            ).collect()
+        }
+
+    assert run(closure) == run(hoisted)
+    hoisted._kmr_broadcast.unpersist()
+    # unpersist (not destroy) stays re-fetchable: re-running the same
+    # plan after unpersist must still work — the lifecycle kmeans_fit's
+    # per-iteration unpersist relies on
+    assert run(hoisted) == run(closure)
+
+
 def test_large_k_arrow_path_end_to_end(spark, planted):
     """Force the Arrow assignment path (n_clusters=70 >
     _ARROW_ASSIGN_MIN_K): precision stays exact (every pair same-center
