@@ -105,3 +105,110 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     redelivered = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
     return redelivered.dropDuplicates(["event_id"])
+
+
+@query("q_group_rebalance", oracle=None, tags=("protocol", "stateful"))
+def q_group_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-group rebalance, driver-visible (streaming/group.py —
+    the reference's A10 protocol client-half re-created broker-free;
+    assign/revoke
+    semantics of lib.rs:392-462, shared commit log of lib.rs:944-994):
+    36 event records produced across 3 partitions (4 record files
+    each); consumer A owns {p0, p1}, consumer B owns {p2}; after A has
+    POLLED p1's offset-2 batch but NOT committed it, p1 is revoked from
+    A and assigned to B — the uncommitted poll is dropped (at-least-once
+    redelivery seam) so B re-polls offset 2, and the delivered batch is
+    OVERWRITTEN at its (partition, offset) key in the sink (the
+    exactly-once upgrade, ingest_micro_batch's convention). The result
+    is the final delivered set: exactly the 36 produced records, each
+    once, despite the mid-stream move and the double delivery.
+
+    Row count is sf-independent (a bounded 36-record slice of events) —
+    the stable rows-only contract for a protocol simulation whose
+    correctness assertions (no loss, no duplication, resume-from-group-
+    offset) are pytest-pinned in tests/test_group_rebalance.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_map_reduce_spark.streaming.group import (
+        FileTopic,
+        GroupConsumer,
+        GroupCoordinator,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(), "kmr_group", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .limit(36)
+        .withColumn("partition_key", (F.col("event_id") % 3).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    topic = FileTopic(os.path.join(work, "topic"), 3)
+    for p in range(3):
+        part = ev.filter(F.col("partition_key") == p).drop("partition_key")
+        ids = sorted(r.event_id for r in part.select("event_id").collect())
+        for i in range(0, len(ids), 3):  # 4 record files of 3 rows each
+            topic.produce(
+                part.filter(F.col("event_id").isin(ids[i : i + 3])), p
+            )
+
+    coord = GroupCoordinator(os.path.join(work, "group"))
+    a = GroupConsumer(spark, topic, coord)
+    b = GroupConsumer(spark, topic, coord)
+    a.assign({0, 1})
+    b.assign({2})
+
+    sink: dict[tuple[int, int], DataFrame] = {}
+
+    def deliver(df: DataFrame | None) -> None:
+        if df is None:
+            return
+        df = df.localCheckpoint(eager=True)
+        for key in df.select("partition", "offset").distinct().collect():
+            sink[(key.partition, key.offset)] = df.filter(
+                (F.col("partition") == key.partition)
+                & (F.col("offset") == key.offset)
+            )
+
+    # round 1: both consumers poll 2 files per partition and commit
+    deliver(a.poll(max_files_per_partition=2))
+    a.commit()
+    deliver(b.poll(max_files_per_partition=2))
+    b.commit()
+    # round 2: A polls offset-2 batches, records them, then p1 is
+    # revoked BEFORE commit — its poll progress is dropped, so p1's
+    # group offset stays 2 and B must redeliver that batch
+    deliver(a.poll(max_files_per_partition=1))
+    a.revoke({1})
+    a.commit()  # advances only p0
+    b.assign({1})
+    # drain both: B resumes p1 from the GROUP offset (2 — the previous
+    # owner's commit), re-delivering offset 2 into the same sink key
+    while True:
+        df = b.poll(max_files_per_partition=2)
+        if df is None:
+            break
+        deliver(df)
+        b.commit()
+    while True:
+        df = a.poll(max_files_per_partition=2)
+        if df is None:
+            break
+        deliver(df)
+        a.commit()
+
+    from functools import reduce
+
+    out = reduce(DataFrame.unionByName, sink.values())
+    return out.select("partition", "offset", "event_id", "event_type").orderBy(
+        "partition", "offset", "event_id"
+    )

@@ -70,19 +70,35 @@ class FileTopic:
 
     def produce(self, df: DataFrame, partition: int) -> int:
         """Append one record file to a partition; returns its offset.
-        The replay analogue of a produced record batch."""
-        offset = self.end_offset(partition)
+        The replay analogue of a produced record batch.
+
+        The offset is claimed with an exclusive ``os.link`` (never
+        ``os.replace``): two producers racing to the same partition
+        both compute the same next offset, and a clobbering rename
+        would silently drop one batch — a no-loss violation. The loser
+        hits EEXIST and retries the next offset, so every produced
+        batch lands exactly once, in SOME order (the broker's own
+        contract for concurrent producers without keys)."""
         tmp = os.path.join(
             self.path, f".produce-{uuid.uuid4().hex[:8]}"
         )
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part_file = next(
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        part_file = os.path.join(
+            tmp,
+            next(f for f in os.listdir(tmp) if f.endswith(".parquet")),
         )
-        os.replace(
-            os.path.join(tmp, part_file),
-            os.path.join(self._pdir(partition), f"{offset:06d}.parquet"),
-        )
+        offset = self.end_offset(partition)
+        while True:
+            try:
+                os.link(
+                    part_file,
+                    os.path.join(
+                        self._pdir(partition), f"{offset:06d}.parquet"
+                    ),
+                )
+                break
+            except FileExistsError:
+                offset += 1
         shutil.rmtree(tmp, ignore_errors=True)
         return offset
 
@@ -101,10 +117,16 @@ class GroupCoordinator:
         return os.path.join(self.path, f"p{partition:03d}.json")
 
     def committed(self, partition: int) -> int:
+        """Only a MISSING commit file means offset 0 (no commit yet).
+        A present-but-unreadable or corrupt file raises: silently
+        returning 0 would rewind the whole partition (mass redelivery)
+        with no signal, and the atomic temp+rename write contract means
+        a well-behaved crash can never produce a torn file — corruption
+        here is an operational fault, not a protocol state."""
         try:
             with open(self._f(partition)) as fh:
                 return int(json.load(fh)["offset"])
-        except (OSError, ValueError, KeyError):
+        except FileNotFoundError:
             return 0
 
     def commit(self, partition: int, offset: int) -> None:

@@ -168,3 +168,59 @@ def test_commit_rewind_is_rejected(spark, topic, tmp_path):
     with pytest.raises(ValueError, match="rewind"):
         coord.commit(0, 1)
     assert coord.committed(0) == 3
+
+
+def test_corrupt_commit_file_raises_not_rewinds(spark, tmp_path):
+    """A present-but-corrupt commit file must RAISE, not silently
+    return 0 — returning 0 would rewind the whole partition (mass
+    redelivery) with no operational signal. Only a missing file means
+    'no commit yet'."""
+    coord = GroupCoordinator(str(tmp_path / "group"))
+    assert coord.committed(0) == 0  # missing file: legitimate zero
+    coord.commit(0, 5)
+    assert coord.committed(0) == 5
+    with open(coord._f(0), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError):
+        coord.committed(0)
+
+
+def test_concurrent_producers_never_clobber(spark, tmp_path):
+    """Two producers racing to the same partition must both land their
+    batch (exclusive-create + EEXIST retry), never silently overwrite —
+    simulated by pre-claiming the offset the producer will compute."""
+    t = FileTopic(str(tmp_path / "topic"), 1)
+    t.produce(spark.range(0, 3).select(F.col("id").alias("event_id")), 0)
+    # rival claims offset 1 between end_offset() and the link
+    rival = t.files(0)[0]
+    import shutil as _sh
+
+    _sh.copy(rival, t._pdir(0) + "/000001.parquet")
+    off = t.produce(
+        spark.range(10, 13).select(F.col("id").alias("event_id")), 0
+    )
+    assert off == 2  # retried past the claimed slot
+    assert t.end_offset(0) == 3
+    got = {
+        r.event_id for r in spark.read.parquet(*t.files(0)).collect()
+    }
+    assert got == {0, 1, 2, 10, 11, 12}  # rival's copy AND ours both live
+
+
+def test_registered_rebalance_query_delivers_each_record_once(spark):
+    """The driver-facing q_group_rebalance row: the delivered set is
+    exactly the 36 produced records — one row per (partition, offset,
+    event_id), no loss from the revoke, no duplicate from the
+    redelivery (keyed overwrite collapsed it)."""
+    from kafka_map_reduce_spark.registry import all_queries
+
+    out = all_queries()["q_group_rebalance"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 36
+    assert len({r.event_id for r in out}) == 36  # exactly-once per record
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r.partition, set()).add(r.offset)
+    assert set(by_part) == {0, 1, 2}
+    assert all(offs == {0, 1, 2, 3} for offs in by_part.values())
