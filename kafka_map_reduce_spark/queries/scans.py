@@ -130,7 +130,10 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source round-trip: write a header CSV, read it back with a
     locked schema — the text-format face of the source surface (schema
     inference is deliberately NOT used: at 100 TB an inference pass is a
-    second full scan)."""
+    second full scan). The ``coalesce(1)`` below is scratch-FIXTURE-side
+    only (one tidy file for the deterministic round-trip at sf0.01); the
+    READ path is the splittable CSV source and parallelizes over however
+    many files/splits a real dataset has."""
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -160,7 +163,9 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a typed split (the classic raw-log -> columns extraction).
     Like q_scan_csv, no inference pass: the projection is the schema.
     The text source is splittable and whole-stage-codegen'd the same as
-    CSV; at 100 TB it is the format most crawl/log dumps arrive in."""
+    CSV; at 100 TB it is the format most crawl/log dumps arrive in.
+    The ``coalesce(1)`` is scratch-fixture-side only — the read path
+    splits across files and byte ranges like any text scan."""
     d = load_table(spark, sf_dir, "documents").select(
         F.concat_ws(
             "\t",

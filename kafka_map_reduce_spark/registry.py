@@ -65,96 +65,83 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # therefore revisits on a ~3-round cycle while new Tier C work always
 # gets driver rows in its own round.
 #
-# Round-7 window: the 8 r6 registrations that have never had a driver
-# row (first — the r6 verdict's top item), then all 41 rows whose
-# latest driver record is r4, then q_sim_ivf (r5 rows-only; the ANN
-# family gets its sf10 scale spot this round), with q_stream_mix_monitor
-# (live) at the window edge. The monitor's full-outer rogue-domain fix
-# and the driver-local BPE trainer landed BEFORE these first rows.
+# Round-8 window (the r7 verdict's top item — executing the documented
+# queue): (1) the round's never-driver-checked registrations
+# (q_group_rebalance and q_dedup_semantic_keep_best, both registered
+# this round); (2) the four queries whose
+# CODE changed this round — q_text_bigram_logprob (cnt1 folded into the
+# LM at train time, oracle algebra updated to match),
+# q_dedup_semantic / q_dedup_semantic_ingest / q_sim_ivf_kmeans
+# (centroid matrix hoisted into an explicit sc.broadcast; bit-parity
+# pytest-pinned, but the driver row should still reflect the shipped
+# code); (3) the five r4-stale rows displaced by the r7 registrations;
+# (4) 33 of the 38 non-live r5-stale rows; (5) the six live
+# streaming_live r5-stale rows contiguous at the edge. Five non-live
+# r5 rows spill to the r9 queue head: q_scan_binary, q_scan_csv,
+# q_scan_orc, q_multimodal_meta, q_multimodal_resize (fixture-backed
+# scans/stubs with no code drift since r5 — lowest re-check value in
+# the set).
 #
-# Round-8 queue — first the five r4-stale rows displaced by the r7
-# registrations (q_except, q_intersect, q_stream_session,
-# q_stream_sliding, q_stream_tumbling), then r5-stale oldest-first:
-# q_agg_argmax, q_agg_group,
-# q_corpus_mix, q_dedup_keep_best, q_dedup_near_capped, q_doc_ids,
-# q_domain_cap, q_funnel, q_join_anti, q_join_asof, q_join_multiway,
-# q_multimodal_meta, q_multimodal_resize, q_pack_sequences,
-# q_quality_classifier, q_sample_stratified, q_sample_temperature,
-# q_scan_binary, q_scan_csv, q_scan_orc, q_sink_jsonl, q_split_assign,
-# q_subquery_correlated, q_subquery_in, q_subquery_scalar,
-# q_text_boilerplate, q_text_decontaminate, q_text_fingerprint,
-# q_text_hash_embed, q_text_langid, q_text_quality,
-# q_text_repeated_spans, q_text_repetition, q_text_tfidf,
-# q_text_unigram_logprob, q_timeseries_gapfill, q_token_count,
-# q_window_dist, q_window_value_funcs + live streams at the edge:
-# q_stream_dedup_ingest, q_stream_dlq, q_stream_enrich, q_stream_join,
-# q_stream_stateful — plus any r7 registrations (never-checked-first
-# rule, contract-test-enforced).
+# Round-9 queue — the five spilled r5 rows above first, then the 50
+# r6-stale rows oldest-first (aggregates, joins, windows families from
+# the r6 refresh), plus any r9 registrations (never-checked-first rule,
+# contract-test-enforced).
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked r6 registrations, first rows due now (7;
-    # the 8th, q_stream_mix_monitor, is live and sits at the edge)
-    "q_corpus_report",
-    "q_sim_sq8",
-    "q_text_decontaminate_spans",
-    "q_text_bpe",
-    "q_dedup_embedding_lsh_capped",
-    "q_epoch_order",
-    "q_text_compressibility",
-    # (b) r4-stale — scans & projections (8)
-    "q_scan_parquet",
-    "q_scan_json_lines",
-    "q_scan_partitioned",
-    "q_projection",
-    "q_filter",
-    "q_distinct",
-    "q_cast",
-    "q_conditional",
-    # (b) r4-stale — scalar funcs & UDFs (6)
-    "q_date_funcs",
-    "q_string_funcs",
-    "q_json_funcs",
-    "q_udf_scalar",
-    "q_udaf_grouped",
-    "q_udtf_explode",
-    # (a) never driver-checked r7 registrations (5; displaced q_except,
-    # q_intersect + the three batch-face stream refreshes to the r8
-    # queue — never-checked outranks stale)
-    "q_sample_weighted",
+    # (1) never driver-checked r8 registrations
+    "q_group_rebalance",
+    "q_dedup_semantic_keep_best",
+    # (2) code changed this round
     "q_text_bigram_logprob",
-    "q_scan_text",
     "q_dedup_semantic",
     "q_dedup_semantic_ingest",
-    # (b) r4-stale — windows (4)
-    "q_window_rank",
-    "q_window_running",
-    "q_window_frame",
-    "q_window_lead_lag",
-    # (b) r4-stale — dedup family (9)
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_dedup_simhash_capped",
-    "q_dedup_clusters",
-    "q_dedup_clusters_star",
-    "q_dedup_editdist",
-    "q_dedup_exact_incremental",
-    "q_dedup_incremental",
-    # (b) r4-stale — text & multimodal & similarity (8)
-    "q_text_tokens",
-    "q_text_stats",
-    "q_text_chunks",
-    "q_text_redact",
-    "q_heavy_hitters",
-    "q_multimodal_frames",
-    "q_embed_quantize",
     "q_sim_ivf_kmeans",
-    # (c) one r5 rows-only ANN entry (scale-spot family this round)
-    "q_sim_ivf",
-    # (b) r4-stale — pipeline e2e (1)
-    "q_pipeline_e2e",
-    # (d) live stream, last in the window (1): first-ever driver row,
-    # with the rogue-domain full-outer fix already in
-    "q_stream_mix_monitor",
+    # (3) r4-stale (5)
+    "q_except",
+    "q_intersect",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    # (4) r5-stale, non-live (33 of 38)
+    "q_agg_argmax",
+    "q_agg_group",
+    "q_corpus_mix",
+    "q_dedup_keep_best",
+    "q_dedup_near_capped",
+    "q_doc_ids",
+    "q_domain_cap",
+    "q_funnel",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_multiway",
+    "q_pack_sequences",
+    "q_quality_classifier",
+    "q_sample_stratified",
+    "q_sample_temperature",
+    "q_split_assign",
+    "q_subquery_correlated",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_text_boilerplate",
+    "q_text_decontaminate",
+    "q_text_fingerprint",
+    "q_text_hash_embed",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_repeated_spans",
+    "q_text_repetition",
+    "q_text_tfidf",
+    "q_text_unigram_logprob",
+    "q_timeseries_gapfill",
+    "q_token_count",
+    "q_window_dist",
+    "q_window_value_funcs",
+    # (5) live streams, contiguous at the window edge (6)
+    "q_stream_stateful",
+    "q_stream_dlq",
+    "q_sink_jsonl",
+    "q_stream_enrich",
+    "q_stream_join",
+    "q_stream_dedup_ingest",
 )
 
 
