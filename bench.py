@@ -665,6 +665,20 @@ def main() -> None:
     if r7_added:
         detail["r7_additions"] = bench_set(r7_added, sf_dir, n_runs)
 
+    # Round-8 additions (first-timed this round).
+    r8_added = [
+        n
+        for n in (
+            "q_group_rebalance",
+            "q_dedup_semantic_keep_best",
+            "q_join_bucketed",
+            "q_upsert_merge",
+        )
+        if n in specs
+    ]
+    if r8_added:
+        detail["r8_additions"] = bench_set(r8_added, sf_dir, n_runs)
+
     # Tier-A pipeline throughput (added r5): rows/sec through the full
     # source -> transform -> batch-sink path, JVM and Arrow faces.
     detail["pipeline"] = bench_pipeline_throughput(spark, sf_dir, n_runs)
