@@ -88,7 +88,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Round-9 queue — the seven spilled r5 rows above first, then the 50
 # r6-stale rows oldest-first (aggregates, joins, windows families from
 # the r6 refresh), plus any r9 registrations (never-checked-first rule,
-# contract-test-enforced).
+# contract-test-enforced). The r9 queue is already over-full (57), so
+# the five remaining pytest-only operators (compaction/sort-clustering,
+# Z-order rewrite, data-skipping index, training-shard writer,
+# incremental line index) should be promoted to driver rows in r10,
+# when the refresh backlog has drained — r8 promoted the first two
+# (q_join_bucketed, q_upsert_merge).
 _PRIORITY: tuple[str, ...] = (
     # (1) never driver-checked r8 registrations
     "q_group_rebalance",
