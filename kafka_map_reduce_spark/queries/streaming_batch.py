@@ -126,7 +126,13 @@ def q_group_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row count is sf-independent (a bounded 36-record slice of events) —
     the stable rows-only contract for a protocol simulation whose
     correctness assertions (no loss, no duplication, resume-from-group-
-    offset) are pytest-pinned in tests/test_group_rebalance.py."""
+    offset) are pytest-pinned in tests/test_group_rebalance.py. Wall
+    time is JOB-COUNT-bound, not data-bound (12 produce writes + ~10
+    polls of tiny files — fixed local-job overhead dominates), and
+    sf-independent by construction; the sink's keyed overwrite is
+    bookkept on collected rows (each delivered batch is a handful of
+    records BY PROTOCOL — max_files_per_partition caps it — so driver
+    bookkeeping is the honest shape, not a scale hazard)."""
     import os
     import shutil
     import tempfile
@@ -167,17 +173,17 @@ def q_group_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     a.assign({0, 1})
     b.assign({2})
 
-    sink: dict[tuple[int, int], DataFrame] = {}
+    sink: dict[tuple[int, int], list] = {}
 
     def deliver(df: DataFrame | None) -> None:
         if df is None:
             return
-        df = df.localCheckpoint(eager=True)
-        for key in df.select("partition", "offset").distinct().collect():
-            sink[(key.partition, key.offset)] = df.filter(
-                (F.col("partition") == key.partition)
-                & (F.col("offset") == key.offset)
-            )
+        batch: dict[tuple[int, int], list] = {}
+        for r in df.select(
+            "partition", "offset", "event_id", "event_type"
+        ).collect():
+            batch.setdefault((r.partition, r.offset), []).append(r)
+        sink.update(batch)  # keyed OVERWRITE at (partition, offset)
 
     # round 1: both consumers poll 2 files per partition and commit
     deliver(a.poll(max_files_per_partition=2))
@@ -206,9 +212,8 @@ def q_group_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         deliver(df)
         a.commit()
 
-    from functools import reduce
-
-    out = reduce(DataFrame.unionByName, sink.values())
-    return out.select("partition", "offset", "event_id", "event_type").orderBy(
-        "partition", "offset", "event_id"
+    rows = [r for batch in sink.values() for r in batch]
+    out = spark.createDataFrame(
+        rows, "partition int, offset bigint, event_id bigint, event_type string"
     )
+    return out.orderBy("partition", "offset", "event_id")
