@@ -217,7 +217,7 @@ def semantic_ingest_audit(spark, data_dir: str, n_runs: int) -> dict:
     build_s = time.time() - t0
 
     best = None
-    n_pairs = touched = None
+    n_pairs = None
     for _ in range(n_runs):
         t0 = time.time()
         pairs, new_rows = semantic_dedup_ingest(
@@ -228,7 +228,6 @@ def semantic_ingest_audit(spark, data_dir: str, n_runs: int) -> dict:
         best = dt if best is None else min(best, dt)
         if n_pairs is None:
             n_pairs = pairs.count()
-            touched = new_rows.select("bkt").distinct()
 
     # cluster-locality + candidate audit: how much of the index does the
     # batch actually pull into the per-cluster rectangular matmul?
