@@ -202,6 +202,28 @@ MAX_EXCHANGES = {
     # itself (broadcast anti join + union + swap) runs eagerly inside
     # the query fn and is budget-checked by its own plan assert in tests
     "q_upsert_merge": 0,
+    # Efraimidis-Spirakis selection is TakeOrderedAndProject over a JVM
+    # key at scan speed — any Exchange means a global sort crept in
+    "q_sample_weighted": 0,
+    # text round-trip: fixture write is eager; the checked read path is
+    # a narrow split/cast projection at scan speed
+    "q_scan_text": 0,
+    # semantic dedup tail (train/assign are eager checkpointed jobs):
+    # ONE bkt shuffle feeding the per-cluster matmul + presentation
+    # sort + pairs distinct — a 4th Exchange means the cluster join
+    # stopped reusing the assignment partitioning
+    "q_dedup_semantic": 3,
+    # ingest tail: batch assign + touched-cluster semi-join + bkt
+    # grouping + presentation sort, all batch/candidate-sized; growth
+    # means a corpus-scale shuffle entered the ingest path
+    "q_dedup_semantic_ingest": 5,
+    # retention tail over the checkpoint-backed components: quality
+    # join rides a broadcast at the fixture bound, ONE cluster_id
+    # window exchange remains
+    "q_dedup_semantic_keep_best": 1,
+    # protocol sim: result is 36 collected rows; the single Exchange is
+    # the presentation sort
+    "q_group_rebalance": 1,
 }
 
 # Per-round Exchange budgets for the large-star/small-star contraction
