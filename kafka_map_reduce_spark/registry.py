@@ -55,7 +55,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # session, and placing them last means a wedge cannot shadow any other
 # in-window check (pytest-enforced, test_registry_contract.py).
 #
-# Window allocation policy (from r6 judge feedback): with 151 registered
+# Window allocation policy (from r6 judge feedback): with 153 registered
 # queries on a 50-row window, the allocation each round is (1) EVERY
 # never-driver-checked registration — enforced by
 # test_registry_contract.py::test_never_checked_outranks_stale, which
