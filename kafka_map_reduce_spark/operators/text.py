@@ -242,9 +242,18 @@ def bigram_logprob(
     the scored batch, so the same document gets the same mean_logprob
     regardless of which other documents ride along (reproducibility
     contract for a fixed gate threshold). A bigram absent from the LM
-    scores with cnt12 = cnt1 = 0 (fully-OOV transition); in the
-    self-trained default every scored bigram is in the LM, so the
-    convention is only reachable in fixed-LM mode. Documents with
+    scores cnt12 = 0 but KEEPS its context count when w1 is in the
+    model — c(w1·) is recovered via a broadcast left join on the
+    model-sized distinct-w1 table, so an unseen transition out of a
+    frequent context scores ln(k/(c(w1·)+kV)), lower than one out of
+    a rare context (r8 ADVICE: coalescing cnt1 to 0 scored every
+    unseen transition at the ln(1/V) floor regardless of context
+    frequency, and the per-context mass no longer summed to 1). Only
+    a context absent from the model entirely has c(w1·) = 0, where
+    the smoothed conditional is exactly uniform (k/(kV) = 1/V per
+    continuation — still a proper distribution). In the self-trained
+    default every scored bigram is in the LM, so neither branch is
+    reachable and no recovery join is planned. Documents with
     fewer than two tokens have no bigrams and are absent from the
     output (both engines agree by construction).
 
@@ -260,6 +269,7 @@ def bigram_logprob(
     touches the driver — same contract as the unigram gate."""
     from pyspark.sql import Window
 
+    fixed_lm = lm_bigrams is not None
     base = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__ts")
     )
@@ -303,18 +313,30 @@ def bigram_logprob(
     lm = lm_bigrams.withColumn(
         "cnt1", F.sum("cnt12").over(Window.partitionBy("w1"))
     )
-    scored = (
-        bi.join(lm, ["w1", "w2"], "left")
-        .join(F.broadcast(vocab_row))
-        .withColumn(
-            "__lp",
-            F.log(
-                (F.coalesce(F.col("cnt12").cast("double"), F.lit(0.0))
-                 + F.lit(k_smooth))
-                / (F.coalesce(F.col("cnt1").cast("double"), F.lit(0.0))
-                   + F.lit(k_smooth) * F.col("__v"))
-            ),
+    scored = bi.join(lm, ["w1", "w2"], "left")
+    if fixed_lm:
+        # LM-missing pairs must keep their context count: recover
+        # c(w1·) from the model's distinct-w1 table via a BROADCAST
+        # left join (model-vocab-sized by construction), preserving
+        # the exploded table's single pair-key shuffle.
+        ctx = lm.select("w1", F.col("cnt1").alias("__cnt1_ctx")).dropDuplicates(
+            ["w1"]
         )
+        scored = scored.join(F.broadcast(ctx), "w1", "left")
+        cnt1_expr = F.coalesce(
+            F.col("cnt1").cast("double"),
+            F.col("__cnt1_ctx").cast("double"),
+            F.lit(0.0),
+        )
+    else:
+        cnt1_expr = F.coalesce(F.col("cnt1").cast("double"), F.lit(0.0))
+    scored = scored.join(F.broadcast(vocab_row)).withColumn(
+        "__lp",
+        F.log(
+            (F.coalesce(F.col("cnt12").cast("double"), F.lit(0.0))
+             + F.lit(k_smooth))
+            / (cnt1_expr + F.lit(k_smooth) * F.col("__v"))
+        ),
     )
     return scored.groupBy(F.col("id").alias(id_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),

@@ -58,12 +58,32 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes by keying its Kafka topics (lib.rs partition assignment = the
     streaming face of co-partitioning). The bucketed write here is
     fixture-side (driver tables are tiny); the read/join path is exactly
-    the registered operator."""
-    tag = f"{_sftag(sf_dir)}_pid{os.getpid()}"
+    the registered operator.
+
+    Table names are DETERMINISTIC per sf (no pid tag, r8 ADVICE): the
+    mode='overwrite' bucketed write replaces the previous run's copy,
+    so at most one cust_/ord_ pair per sf ever persists in the
+    warehouse instead of accumulating across bench/parity processes.
+    A fresh process has an empty in-memory catalog but inherits the
+    previous process's warehouse DIRECTORY, which saveAsTable rejects
+    as LOCATION_ALREADY_EXISTS — so the stale table is dropped AND its
+    orphan location cleared before each write. (Runs are serialized by
+    workflow convention — concurrent Spark sessions against one
+    warehouse are out of contract repo-wide.)"""
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = _sftag(sf_dir)
     db = "kmr_layout"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     cust_t = f"{db}.cust_{tag}"
     ord_t = f"{db}.ord_{tag}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for full, short in ((cust_t, f"cust_{tag}"), (ord_t, f"ord_{tag}")):
+        spark.sql(f"DROP TABLE IF EXISTS {full}")
+        shutil.rmtree(
+            os.path.join(wh, f"{db}.db", short), ignore_errors=True
+        )
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nationkey")
     )

@@ -65,91 +65,92 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # therefore revisits on a ~3-round cycle while new Tier C work always
 # gets driver rows in its own round.
 #
-# Round-8 window (the r7 verdict's top item — executing the documented
-# queue): (1) the round's never-driver-checked registrations
-# (q_group_rebalance, q_dedup_semantic_keep_best, q_join_bucketed,
-# q_upsert_merge — the last two promote the bucketed-join and keyed-
-# upsert operators out of the pytest-only category); (2) the four
-# queries whose
-# CODE changed this round — q_text_bigram_logprob (cnt1 folded into the
-# LM at train time, oracle algebra updated to match),
-# q_dedup_semantic / q_dedup_semantic_ingest / q_sim_ivf_kmeans
-# (centroid matrix hoisted into an explicit sc.broadcast; bit-parity
-# pytest-pinned, but the driver row should still reflect the shipped
-# code); (3) the five r4-stale rows displaced by the r7 registrations;
-# (4) 31 of the 38 non-live r5-stale rows; (5) the six live
-# streaming_live r5-stale rows contiguous at the edge. Seven non-live
-# r5 rows spill to the r9 queue head: q_scan_binary, q_scan_csv,
-# q_scan_orc, q_multimodal_meta, q_multimodal_resize (fixture-backed
-# scans/stubs with no code drift since r5), q_subquery_scalar and
-# q_window_dist (each family keeps an in-window representative:
-# q_subquery_in/q_subquery_correlated, q_window_value_funcs).
+# Round-9 window (executing the r8 verdict's top item — the documented
+# refresh queue; no new registrations this round, so every slot is a
+# refresh): (1) the three queries whose CODE changed this round —
+# q_group_rebalance (sink ported off the driver dict to the keyed-
+# overwrite parquet idiom + FileTopic.produce hard-link fallback),
+# q_join_bucketed (deterministic per-sf table names, mode=overwrite —
+# the r8 table-leak ADVICE), q_text_bigram_logprob (fixed-LM mode now
+# recovers c(w1·) for LM-missing pairs via a broadcast distinct-w1
+# join — the r8 ADVICE medium; the registered self-trained path is
+# plan-identical but the operator file changed, so the row re-enters);
+# (2) the seven r5-stale spills from the r8 window, as documented
+# there; (3) 38 of the 48 non-live r6-stale rows; (4) the two live
+# streaming_live r6-stale rows contiguous at the edge. Ten non-live
+# r6 rows spill to the r10 queue head — each leaves an in-window (or
+# fresher) family representative: q_join_right (q_join_left/inner/
+# full in-window), q_join_semi (q_join_anti r8-fresh; theta/cross/
+# null_safe in-window), q_rollup + q_grouping_sets (q_cube in-window),
+# q_union_distinct (q_union_all in-window), q_agg_countif
+# (q_agg_global/having/distinct in-window), q_sim_pq (q_sim_ivfpq —
+# which composes PQ — in-window), q_unpivot (q_pivot in-window),
+# q_audit_double_write (q_audit_delivery in-window),
+# q_multimodal_decode (q_multimodal_meta/resize in-window).
 #
-# Round-9 queue — the seven spilled r5 rows above first, then the 50
-# r6-stale rows oldest-first (aggregates, joins, windows families from
-# the r6 refresh), plus any r9 registrations (never-checked-first rule,
-# contract-test-enforced). The r9 queue is already over-full (57), so
-# the five remaining pytest-only operators (compaction/sort-clustering,
-# Z-order rewrite, data-skipping index, training-shard writer,
-# incremental line index) should be promoted to driver rows in r10,
-# when the refresh backlog has drained — r8 promoted the first two
-# (q_join_bucketed, q_upsert_merge).
+# Round-10 queue — the ten spilled r6 rows above first, then the 46
+# r7-stale rows oldest-first, PLUS the five pytest-only-operator
+# promotions prepared this round (queries/promotions_r10.py:
+# compaction/sort-clustering, Z-order rewrite, data-skipping index,
+# training-shard writer, incremental line index — registering them
+# in r9 would have displaced five refresh slots via the never-checked-
+# first contract test, so they register in r10 where they take the
+# queue head as never-checked rows).
 _PRIORITY: tuple[str, ...] = (
-    # (1) never driver-checked r8 registrations
+    # (1) code changed this round (3)
     "q_group_rebalance",
-    "q_dedup_semantic_keep_best",
     "q_join_bucketed",
-    "q_upsert_merge",
-    # (2) code changed this round
     "q_text_bigram_logprob",
-    "q_dedup_semantic",
-    "q_dedup_semantic_ingest",
-    "q_sim_ivf_kmeans",
-    # (3) r4-stale (5)
-    "q_except",
-    "q_intersect",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    # (4) r5-stale, non-live (31 of 38)
-    "q_agg_argmax",
-    "q_agg_group",
-    "q_corpus_mix",
-    "q_dedup_keep_best",
-    "q_dedup_near_capped",
-    "q_doc_ids",
-    "q_domain_cap",
-    "q_funnel",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_multiway",
-    "q_pack_sequences",
-    "q_quality_classifier",
-    "q_sample_stratified",
-    "q_sample_temperature",
-    "q_split_assign",
-    "q_subquery_correlated",
-    "q_subquery_in",
-    "q_text_boilerplate",
-    "q_text_decontaminate",
-    "q_text_fingerprint",
-    "q_text_hash_embed",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_repeated_spans",
-    "q_text_repetition",
-    "q_text_tfidf",
-    "q_text_unigram_logprob",
-    "q_timeseries_gapfill",
-    "q_token_count",
-    "q_window_value_funcs",
-    # (5) live streams, contiguous at the window edge (6)
-    "q_stream_stateful",
-    "q_stream_dlq",
-    "q_sink_jsonl",
-    "q_stream_enrich",
-    "q_stream_join",
-    "q_stream_dedup_ingest",
+    # (2) the seven r5-stale spills from r8 (7)
+    "q_scan_binary",
+    "q_scan_csv",
+    "q_scan_orc",
+    "q_multimodal_meta",
+    "q_multimodal_resize",
+    "q_subquery_scalar",
+    "q_window_dist",
+    # (3) r6-stale, non-live (38 of 48)
+    "q_agg_approx_distinct",
+    "q_agg_collect",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_having",
+    "q_agg_percentile",
+    "q_agg_stats",
+    "q_array_funcs",
+    "q_audit_delivery",
+    "q_classifier_fit",
+    "q_cube",
+    "q_dedup_embedding",
+    "q_dedup_embedding_lsh",
+    "q_dedup_near",
+    "q_histogram",
+    "q_hll_sketches",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_null_safe",
+    "q_join_range_bucket",
+    "q_join_theta",
+    "q_math_funcs",
+    "q_orderby",
+    "q_pivot",
+    "q_sample_hash",
+    "q_sim_cosine",
+    "q_sim_ivfpq",
+    "q_sim_text_topk",
+    "q_sim_topk",
+    "q_sketch_quantile",
+    "q_sql_interface",
+    "q_stream_dedup",
+    "q_string_agg",
+    "q_topk",
+    "q_union_all",
+    "q_window_time_range",
+    # (4) live streams, contiguous at the window edge (2)
+    "q_stream_watermark",
+    "q_stream_gated_ingest",
 )
 
 

@@ -78,7 +78,16 @@ class FileTopic:
         would silently drop one batch — a no-loss violation. The loser
         hits EEXIST and retries the next offset, so every produced
         batch lands exactly once, in SOME order (the broker's own
-        contract for concurrent producers without keys)."""
+        contract for concurrent producers without keys).
+
+        Filesystems without hard-link support (some FUSE/network
+        mounts raise EPERM/ENOTSUP) fall back to an exclusive-create
+        copy (``open(dst, 'xb')`` = O_CREAT|O_EXCL), which keeps the
+        no-clobber offset claim exactly; what it gives up is tear-
+        freedom — a crash mid-copy can leave a truncated claimed file,
+        which the atomic link path cannot. That is a crash-durability
+        caveat of the degraded-portability path only, not a protocol
+        change: both paths never lose a batch to a concurrent racer."""
         tmp = os.path.join(
             self.path, f".produce-{uuid.uuid4().hex[:8]}"
         )
@@ -89,16 +98,23 @@ class FileTopic:
         )
         offset = self.end_offset(partition)
         while True:
+            dst = os.path.join(
+                self._pdir(partition), f"{offset:06d}.parquet"
+            )
             try:
-                os.link(
-                    part_file,
-                    os.path.join(
-                        self._pdir(partition), f"{offset:06d}.parquet"
-                    ),
-                )
+                os.link(part_file, dst)
                 break
             except FileExistsError:
                 offset += 1
+            except OSError:
+                # no hard-link support here: exclusive-create copy
+                # keeps the offset claim (loser still gets EEXIST)
+                try:
+                    with open(part_file, "rb") as src, open(dst, "xb") as out:
+                        shutil.copyfileobj(src, out)
+                    break
+                except FileExistsError:
+                    offset += 1
         shutil.rmtree(tmp, ignore_errors=True)
         return offset
 

@@ -207,6 +207,39 @@ def test_concurrent_producers_never_clobber(spark, tmp_path):
     assert got == {0, 1, 2, 10, 11, 12}  # rival's copy AND ours both live
 
 
+def test_produce_falls_back_when_hard_links_unsupported(
+    spark, tmp_path, monkeypatch
+):
+    """Filesystems without hard-link support (EPERM from some
+    FUSE/network mounts) must not abort produce: the exclusive-create
+    copy fallback lands the batch AND keeps the no-clobber offset
+    claim (a pre-claimed slot still forces a retry, never an
+    overwrite)."""
+    import errno
+    import os as _os
+
+    def no_links(src, dst, *a, **k):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    monkeypatch.setattr(_os, "link", no_links)
+    t = FileTopic(str(tmp_path / "topic"), 1)
+    off0 = t.produce(
+        spark.range(0, 3).select(F.col("id").alias("event_id")), 0
+    )
+    assert off0 == 0
+    # rival pre-claims offset 1: the fallback's O_CREAT|O_EXCL must
+    # EEXIST past it, same as the link path
+    import shutil as _sh
+
+    _sh.copy(t.files(0)[0], t._pdir(0) + "/000001.parquet")
+    off = t.produce(
+        spark.range(10, 13).select(F.col("id").alias("event_id")), 0
+    )
+    assert off == 2
+    got = {r.event_id for r in spark.read.parquet(*t.files(0)).collect()}
+    assert got == {0, 1, 2, 10, 11, 12}
+
+
 def test_registered_rebalance_query_delivers_each_record_once(spark):
     """The driver-facing q_group_rebalance row: the delivered set is
     exactly the 36 produced records — one row per (partition, offset,

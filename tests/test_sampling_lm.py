@@ -165,23 +165,70 @@ def _train_lm12(spark):
 def test_bigram_fixed_lm_scores_new_batch(spark):
     """Production shape: train the LM once, score a new batch against
     it. The model alone defines the score: V is the LM vocabulary
-    ({a,b,c} = 3, NOT the batch's), and a transition absent from the
-    LM scores fully-OOV (cnt12 = cnt1 = 0) — the k/(kV) floor, never
-    -inf. A seen pair gets the model's folded context count."""
+    ({a,b,c} = 3, NOT the batch's). A pair absent from the LM keeps
+    its CONTEXT count when w1 is in the model (r8 ADVICE fix): (b,z)
+    scores cnt12=0 against c(b·)=1 — ln(k/(c(b·)+kV)) — not the
+    context-blind ln(1/V) floor. A seen pair gets the model's folded
+    context count."""
     lm12 = _train_lm12(spark)
     batch = spark.createDataFrame(
         [(7, "b z"), (8, "a b")], "doc_id long, text string"
     )
     got = {r.doc_id: r for r in bigram_logprob(batch, lm_bigrams=lm12).collect()}
     assert got[7].n_bigrams == 1 and got[8].n_bigrams == 1
-    # (b,z) not in the LM: fully-OOV floor log(k / (k*V)), V=3 from LM
+    # (b,z) unseen pair, seen context: cnt12=0, recovered c(b.)=1
     assert got[7].mean_logprob == pytest.approx(
-        math.log(0.5 / (0.5 * 3)), abs=1e-9
+        math.log(0.5 / (1 + 0.5 * 3)), abs=1e-9
     )
     # (a,b) seen: cnt12=2, folded cnt1 = c(a.) = 3
     assert got[8].mean_logprob == pytest.approx(
         math.log((2 + 0.5) / (3 + 0.5 * 3)), abs=1e-9
     )
+
+
+def test_bigram_fixed_lm_unseen_context_is_uniform_floor(spark):
+    """A context absent from the model ENTIRELY (w1='z') has
+    c(z·)=0: the smoothed conditional is the uniform k/(kV) = 1/V —
+    the only case that floor is correct for, and now the only case
+    that reaches it."""
+    lm12 = _train_lm12(spark)
+    batch = spark.createDataFrame([(7, "z q")], "doc_id long, text string")
+    got = bigram_logprob(batch, lm_bigrams=lm12).collect()[0]
+    assert got.mean_logprob == pytest.approx(math.log(1.0 / 3.0), abs=1e-9)
+
+
+def test_bigram_fixed_lm_frequent_context_scores_below_rare(spark):
+    """The ranking property the r8 ADVICE flagged: an unseen
+    transition out of a FREQUENT context (c(a·)=3) must score lower
+    than one out of a rare context (c(b·)=1) — before the fix both
+    collapsed to ln(1/V) and the gate could not tell them apart."""
+    lm12 = _train_lm12(spark)
+    batch = spark.createDataFrame(
+        [(1, "a z"), (2, "b z")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.mean_logprob
+        for r in bigram_logprob(batch, lm_bigrams=lm12).collect()
+    }
+    assert got[1] == pytest.approx(math.log(0.5 / (3 + 1.5)), abs=1e-9)
+    assert got[2] == pytest.approx(math.log(0.5 / (1 + 1.5)), abs=1e-9)
+    assert got[1] < got[2]
+
+
+def test_bigram_fixed_lm_context_mass_sums_to_one(spark):
+    """Proper-conditional-distribution claim, verified numerically:
+    for a context in the model (w1='a', c(a·)=3, V=3), the smoothed
+    probabilities of ALL V continuations sum to 1 — seen (b: 2, c: 1)
+    and unseen (a: 0) alike."""
+    lm12 = _train_lm12(spark)
+    batch = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a a")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: math.exp(r.mean_logprob)
+        for r in bigram_logprob(batch, lm_bigrams=lm12).collect()
+    }
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
 def test_bigram_fixed_lm_batch_independent(spark):
