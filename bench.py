@@ -480,6 +480,42 @@ def bench_pipeline_throughput(spark, sf_dir: str, n_runs: int) -> dict:
     return out
 
 
+def host_calibration(spark, sf_dir: str, n_runs: int) -> dict:
+    """Fixed-work host probe (r8 verdict: two rounds of headline movement
+    were attributed to hypervisor drift by INFERENCE from its uniformity
+    across code-untouched queries; this makes it a measurement).
+
+    Two probes, both constant-work across rounds so their timings move
+    only when the HOST does:
+    - ``cpu_sec``: a single-thread pure-Python LCG loop (8M steps) — no
+      Spark, no IO, no allocation growth; the direct witness of per-core
+      CPU time stolen by the hypervisor.
+    - ``scan_sec``: one fixed parquet scan+aggregate over the events
+      table at the bench sf (JVM-side, whole-stage codegen) — the IO+JVM
+      face of the same question.
+    min-of-n like every other timing. ``shared_vs_prev`` normalizes by
+    the CPU probe (the purer signal — the scan probe is recorded for
+    diagnosis, not used as the divisor)."""
+    from pyspark.sql import functions as F
+
+    best_cpu = float("inf")
+    for _ in range(n_runs):
+        t0 = time.time()
+        x = 1
+        for _i in range(8_000_000):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        best_cpu = min(best_cpu, time.time() - t0)
+    ev = os.path.join(sf_dir, "events.parquet")
+    best_scan = float("inf")
+    for _ in range(n_runs):
+        t0 = time.time()
+        spark.read.parquet(ev).agg(
+            F.count(F.lit(1)), F.sum("value"), F.min("ts"), F.max("ts")
+        ).write.mode("overwrite").format("noop").save()
+        best_scan = min(best_scan, time.time() - t0)
+    return {"cpu_sec": round(best_cpu, 3), "scan_sec": round(best_scan, 3)}
+
+
 def current_round() -> int:
     """The round this run belongs to: $SPARK_GRAFT_ROUND if set, else
     1 + the highest round recorded in BENCH_r*.json (the driver writes
@@ -498,7 +534,12 @@ def current_round() -> int:
     return max(rounds) + 1
 
 
-def shared_vs_prev(per_query: dict, round_no: int, sf: float | None) -> dict | None:
+def shared_vs_prev(
+    per_query: dict,
+    round_no: int,
+    sf: float | None,
+    calibration: dict | None = None,
+) -> dict | None:
     """Cross-round comparability ratio, computed HERE so the recorded
     artifact carries its own baseline: sum of this run's timings over
     the queries shared with the most recent PRIOR round's BENCH_r*.json,
@@ -508,7 +549,13 @@ def shared_vs_prev(per_query: dict, round_no: int, sf: float | None) -> dict | N
     whose ``parsed`` is null (round 5's) is skipped in favor of the next
     older one, and any artifact from THIS round or later is excluded so
     a re-run after the driver writes BENCH_r<N>.json never compares the
-    run against its own output (self-referential ~1.0 ratio)."""
+    run against its own output (self-referential ~1.0 ratio).
+
+    When BOTH this run and the prior artifact carry a calibration
+    probe, ``ratio_calibrated`` = ratio / (cpu_now / cpu_prev) — the
+    headline movement with the measured host drift divided out. Prior
+    artifacts without a probe (r8 and earlier) get
+    ``ratio_calibrated: null``; the raw ratio is always kept."""
     candidates = []
     for f in os.listdir(REPO):
         if f.startswith("BENCH_r") and f.endswith(".json"):
@@ -531,13 +578,20 @@ def shared_vs_prev(per_query: dict, round_no: int, sf: float | None) -> dict | N
             shared = sorted(set(per_query) & set(prev_queries))
             prev_sum = sum(prev_queries[q] for q in shared)
             if shared and prev_sum > 0:
-                return {
+                out = {
                     "prev_file": fname,
                     "n_shared": len(shared),
                     "ratio": round(
                         sum(per_query[q] for q in shared) / prev_sum, 3
                     ),
+                    "ratio_calibrated": None,
                 }
+                prev_cal = parsed.get("calibration") or {}
+                if calibration and prev_cal.get("cpu_sec"):
+                    drift = calibration["cpu_sec"] / prev_cal["cpu_sec"]
+                    out["host_cpu_drift"] = round(drift, 3)
+                    out["ratio_calibrated"] = round(out["ratio"] / drift, 3)
+                return out
         except (json.JSONDecodeError, OSError, TypeError):
             continue  # a malformed prior artifact must not fail the bench
     return None
@@ -566,6 +620,11 @@ def main() -> None:
     # masqueraded as >20% "regressions" between rounds. The min of n>=3
     # is the standard low-variance estimator for a cold-cache-free plan.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+
+    # Host-calibration probe (r8 verdict #3): fixed work, timed before
+    # the headline set, recorded in the compact line so shared_vs_prev
+    # can divide measured host drift out of the cross-round ratio.
+    calibration = host_calibration(spark, sf_dir, n_runs)
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -604,9 +663,10 @@ def main() -> None:
         "runs_per_query": n_runs,
         "estimator": "min",
         "sf": float(sf) if sf else None,
+        "calibration": calibration,
         "detail_file": detail_name,
     }
-    svp = shared_vs_prev(per_query, round_no, result["sf"])
+    svp = shared_vs_prev(per_query, round_no, result["sf"], calibration)
     if svp:
         result["shared_vs_prev"] = svp
 
