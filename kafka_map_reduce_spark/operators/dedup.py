@@ -638,7 +638,10 @@ def hamming_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, nodes: DataFrame, max_iter: int = 20
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster duplicate-pair output into components: every node gets the
     minimum reachable id as ``cluster_id`` (the canonical document).
@@ -653,6 +656,10 @@ def connected_components(
 
     ``pairs``: columns (id_a, id_b); ``nodes``: one id column (singletons
     become their own cluster); returns (id, cluster_id).
+
+    ``stats`` (optional dict) records ``rounds`` = label-propagation
+    rounds to convergence — the measured witness of the O(diameter)
+    claim (same convention as ``connected_components_star``).
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -662,6 +669,8 @@ def connected_components(
     labels = (
         nodes.select(F.col(id_col).alias("id")).distinct().withColumn("label", F.col("id"))
     )
+    if stats is not None:
+        stats["rounds"] = 0
     for _ in range(max_iter):
         nmin = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -682,6 +691,8 @@ def connected_components(
         ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.drop("old_label")
+        if stats is not None:
+            stats["rounds"] += 1
         if changed == 0:
             break
     else:

@@ -337,8 +337,167 @@ def semantic_k_sweep(spark, data_dir: str, cluster_targets=(100, 500)) -> dict:
     return out
 
 
+def keep_best_tail_audit(spark, data_dir: str, n_runs: int) -> dict:
+    """The r8 verdict's #6: q_dedup_semantic_keep_best's PAIR stage is
+    measured (4.29x at 10x data) but its retention TAIL — connected
+    components + the per-cluster keep-best window — was not. This
+    isolates the tail: pairs are generated once by the production
+    semantic path (threshold 0.85, k = N/250, same knobs as
+    q_dedup_semantic) and checkpointed; the timed region is ONLY
+    components (min-label propagation, rounds recorded — the
+    O(diameter) witness) + quality join + the cluster_id window +
+    keep-best filter. Cluster-size caps bound the window key, so the
+    tail should track the pair/node count, not super-linearly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kafka_map_reduce_spark.operators import dedup as D
+    from kafka_map_reduce_spark.operators.similarity import semantic_dedup
+    from kafka_map_reduce_spark.operators.text import (
+        attach_hash_embed,
+        quality_score,
+    )
+    from kafka_map_reduce_spark.sources import load_table
+
+    d = load_table(spark, data_dir, "documents").localCheckpoint(eager=True)
+    emb = (
+        attach_hash_embed(d, "text", "embedding", dim=32, hasher="md5")
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    n = emb.count()
+    k = max(8, n // 250)
+    t0 = time.time()
+    pairs = (
+        semantic_dedup(
+            emb,
+            threshold=0.85,
+            n_clusters=k,
+            iters=3,
+            max_cluster_size=2000,
+            init="spread",
+            train_sample_mod=max(1, n // (50 * k)),
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_pairs = pairs.count()
+    pair_s = time.time() - t0
+
+    nodes = d.select("doc_id")
+    q = d.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    ).localCheckpoint(eager=True)
+    best = float("inf")
+    stats: dict = {}
+    comp = None
+    for _ in range(n_runs):
+        t0 = time.time()
+        stats = {}
+        comp = D.connected_components(pairs, nodes, stats=stats)
+        w = Window.partitionBy("cluster_id")
+        keep = (
+            comp.select(F.col("id").alias("doc_id"), "cluster_id")
+            .join(q, "doc_id")
+            .withColumn("n_members", F.count(F.lit(1)).over(w))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    w.orderBy(F.desc("quality"), F.col("doc_id"))
+                ),
+            )
+            .filter(F.col("rk") == 1)
+        )
+        keep.write.mode("overwrite").format("noop").save()
+        best = min(best, time.time() - t0)
+    hist = (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.max("cn").alias("max_cluster"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_docs": n,
+        "n_pairs": n_pairs,
+        "pair_stage_sec": round(pair_s, 3),
+        "tail_sec": round(best, 3),
+        "label_prop_rounds": stats.get("rounds"),
+        "n_clusters": int(hist["n_clusters"]),
+        "max_cluster": int(hist["max_cluster"]),
+    }
+
+
+def bpe_encode_audit(spark, sf1_dir: str, data_dir: str, n_runs: int) -> dict:
+    """The r8 verdict's #7: q_text_bpe's TRAINER is scale-correct since
+    r7 (one corpus read + driver-local merge loop over the Zipf-bounded
+    word table), but the Arrow greedy ENCODER had no sf10 row. The
+    merge table is trained ONCE on sf1 and frozen (the production
+    setup — the tokenizer must not drift with the batch), then the
+    encode pass runs over ``data_dir``'s documents, forced end-to-end
+    by a total-token aggregate. Shuffle-free by construction (one
+    mapInPandas projection + a final 1-row agg), so the 10x ratio
+    should be ~linear in corpus bytes."""
+    from pyspark.sql import functions as F
+
+    from kafka_map_reduce_spark.operators.bpe import bpe_encode, bpe_train
+    from kafka_map_reduce_spark.sources import load_table
+
+    train_docs = load_table(spark, sf1_dir, "documents")
+    merges = bpe_train(train_docs, "text", n_merges=30).localCheckpoint(
+        eager=True
+    )
+    d = load_table(spark, data_dir, "documents")
+    n_docs = d.count()
+    best = float("inf")
+    total_tokens = None
+    for _ in range(n_runs):
+        t0 = time.time()
+        row = (
+            bpe_encode(d, merges, "text", "bpe_tokens")
+            .agg(F.sum(F.size("bpe_tokens")).alias("t"))
+            .collect()[0]
+        )
+        best = min(best, time.time() - t0)
+        total_tokens = int(row["t"])
+    return {
+        "n_docs": n_docs,
+        "n_merges": 30,
+        "total_bpe_tokens": total_tokens,
+        "encode_sec": round(best, 3),
+        "tokens_per_sec": int(total_tokens / best) if best > 0 else None,
+    }
+
+
+ALL_SECTIONS = (
+    "queries",
+    "ann",
+    "semantic_ingest",
+    "k_sweep",
+    "keep_best_tail",
+    "bpe_encode",
+)
+
+
 def main() -> int:
-    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    """Usage: python tools/scale_spot.py [n_runs] [--sections=a,b,...]
+
+    --sections limits the battery (names in ALL_SECTIONS) so a round
+    that only needs its NEW rows (r9: keep_best_tail, bpe_encode) does
+    not re-pay the full ~30 min sweep; default runs everything."""
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = [a for a in sys.argv[1:] if a.startswith("--")]
+    n_runs = int(args[0]) if args else 2
+    sections = set(ALL_SECTIONS)
+    for o in opts:
+        if o.startswith("--sections="):
+            sections = set(o.split("=", 1)[1].split(","))
+            unknown = sections - set(ALL_SECTIONS)
+            if unknown:
+                print(f"unknown sections: {sorted(unknown)}", file=sys.stderr)
+                return 1
 
     from kafka_map_reduce_spark import get_session
     from kafka_map_reduce_spark.registry import all_queries
@@ -373,8 +532,6 @@ def main() -> int:
             times[name] = round(best, 3)
         return times
 
-    sf1_times = run_set(sf1_dir)
-    sf10_times = run_set(sf10_dir)
     result = {
         "metric": "sf10_scale_spot",
         "replicas_of_sf1": REPLICAS,
@@ -382,33 +539,62 @@ def main() -> int:
         "runs_per_query": n_runs,
         "estimator": "min",
         "table_build_sec": build_s,
-        "sf1": sf1_times,
-        "sf10": sf10_times,
-        "scaleup_ratio_10x_data": {
+        "sections": sorted(sections),
+    }
+    if "queries" in sections:
+        sf1_times = run_set(sf1_dir)
+        sf10_times = run_set(sf10_dir)
+        result["sf1"] = sf1_times
+        result["sf10"] = sf10_times
+        result["scaleup_ratio_10x_data"] = {
             q: round(sf10_times[q] / sf1_times[q], 2)
             for q in QUERIES
             if sf1_times[q] > 0
-        },
-        "ann_candidate_audit": {
+        }
+    if "ann" in sections:
+        result["ann_candidate_audit"] = {
             "sf1": ann_candidate_audit(spark, sf1_dir),
             "sf10": ann_candidate_audit(spark, sf10_dir),
-        },
-        # r8: the semantic-ingest flatness rows (fixed batch vs 11x
-        # standing index) and the k-sizing sweep for sigma c_i^2 ~ N*c
-        "semantic_ingest": {
+        }
+    # r8: the semantic-ingest flatness rows (fixed batch vs 11x
+    # standing index) and the k-sizing sweep for sigma c_i^2 ~ N*c
+    if "semantic_ingest" in sections:
+        result["semantic_ingest"] = {
             "sf1": semantic_ingest_audit(spark, sf1_dir, n_runs),
             "sf10": semantic_ingest_audit(spark, sf10_dir, n_runs),
-        },
-        "semantic_k_sweep": {
+        }
+        result["semantic_ingest"]["ingest_sec_ratio_sf10_vs_sf1"] = round(
+            result["semantic_ingest"]["sf10"]["ingest_sec"]
+            / result["semantic_ingest"]["sf1"]["ingest_sec"],
+            2,
+        )
+    if "k_sweep" in sections:
+        result["semantic_k_sweep"] = {
             "sf1": semantic_k_sweep(spark, sf1_dir),
             "sf10": semantic_k_sweep(spark, sf10_dir),
-        },
-    }
-    result["semantic_ingest"]["ingest_sec_ratio_sf10_vs_sf1"] = round(
-        result["semantic_ingest"]["sf10"]["ingest_sec"]
-        / result["semantic_ingest"]["sf1"]["ingest_sec"],
-        2,
-    )
+        }
+    # r9: the keep-best retention tail (components + window, rounds
+    # recorded) and the frozen-merge-table BPE encode pass
+    if "keep_best_tail" in sections:
+        kb = {
+            "sf1": keep_best_tail_audit(spark, sf1_dir, n_runs),
+            "sf10": keep_best_tail_audit(spark, sf10_dir, n_runs),
+        }
+        if kb["sf1"]["tail_sec"] > 0:
+            kb["tail_sec_ratio_sf10_vs_sf1"] = round(
+                kb["sf10"]["tail_sec"] / kb["sf1"]["tail_sec"], 2
+            )
+        result["keep_best_tail"] = kb
+    if "bpe_encode" in sections:
+        be = {
+            "sf1": bpe_encode_audit(spark, sf1_dir, sf1_dir, n_runs),
+            "sf10": bpe_encode_audit(spark, sf1_dir, sf10_dir, n_runs),
+        }
+        if be["sf1"]["encode_sec"] > 0:
+            be["encode_sec_ratio_sf10_vs_sf1"] = round(
+                be["sf10"]["encode_sec"] / be["sf1"]["encode_sec"], 2
+            )
+        result["bpe_encode"] = be
     print(json.dumps(result))
     return 0
 
