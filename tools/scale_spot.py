@@ -471,6 +471,203 @@ def bpe_encode_audit(spark, sf1_dir: str, data_dir: str, n_runs: int) -> dict:
     }
 
 
+def maintenance_audit(spark, data_dir: str) -> dict:
+    """r9 pre-promotion scale rows for the five r10 maintenance/layout
+    operators (queries/promotions_r10.py registers them r10; this is
+    their 100x witness, gathered BEFORE the driver rows exist so the
+    registration lands with scale evidence, not just correctness).
+
+    Each operator is timed on its core with the scattered-input setup
+    write reported separately; the scatter keeps ROWS-PER-FILE constant
+    across scales (the micro-batch-sink pathology it models — 10x data
+    means 10x files, not 10x-fatter files). Single run per point: the
+    claim is the sf10/sf1 ratio, not the last 10% of timer noise.
+
+    What each row must show at 10x data:
+      - compact / zorder: ~linear (they rewrite the slice; one
+        range-repartition exchange each);
+      - skipping index build: tracks FILE COUNT (footer metadata pass),
+        and pruned_read's files_read fraction stays ~constant (the
+        clustered value range splits across 10x more files). NOTE the
+        absolute pruned-vs-full times invert at this toy scale: the
+        full scan of a few-hundred-MB table is I/O-trivial while the
+        pruned path pays per-file open overhead on 256 KiB files — the
+        scale claim is the constant read FRACTION (what survives to
+        100 TB, where a 0.28x scan is the win), not the absolute time;
+      - zorder trailing-key skip fraction: ~flat (the Morton box claim
+        — file bounding boxes stay small in BOTH dims at any scale);
+      - shards: ~linear (two-phase rank, partitionBy write);
+      - line-index ingest: per-batch cost tracks the batch; compact and
+        score ~linear."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_map_reduce_spark.operators.dedup import (
+        append_line_counts,
+        boilerplate_against,
+        compact_line_index,
+        line_hashes,
+    )
+    from kafka_map_reduce_spark.operators.maintenance import (
+        cluster_parquet,
+        zorder_parquet,
+    )
+    from kafka_map_reduce_spark.operators.shards import write_shards
+    from kafka_map_reduce_spark.operators.skipping import (
+        collect_file_stats,
+        pruned_read,
+    )
+    from kafka_map_reduce_spark.sources import load_table
+
+    scratch_root = os.path.join(REPO, ".scale_scratch")
+
+    def scratch(name: str) -> str:
+        p = os.path.join(scratch_root, name)
+        shutil.rmtree(p, ignore_errors=True)
+        return p
+
+    out: dict = {}
+    docs = load_table(spark, data_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    n_docs = docs.count()
+    ev = load_table(spark, data_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    n_ev = ev.count()
+
+    # -- compaction / sort-clustering: 64 files per 50k docs (the sf1
+    # promotion-query layout), held proportional so files scale with data
+    path = scratch("m_compact")
+    n_files = max(8, round(n_docs / 781))
+    t0 = time.time()
+    docs.repartition(n_files).write.mode("overwrite").parquet(path)
+    scatter_s = time.time() - t0
+    t0 = time.time()
+    stats = cluster_parquet(spark, path, ["doc_id"],
+                            target_file_bytes=4 * 1024 * 1024)
+    out["compact_cluster"] = {
+        "n_rows": n_docs,
+        "files_before": stats["before"]["n_files"],
+        "files_after": stats["after"]["n_files"],
+        "scatter_sec": round(scatter_s, 3),
+        "rewrite_sec": round(time.time() - t0, 3),
+    }
+
+    # -- Z-order rewrite + the trailing-key skip fraction at scale
+    path = scratch("m_zorder")
+    n_files = max(8, round(n_ev / 31250))
+    t0 = time.time()
+    ev.repartition(n_files).write.mode("overwrite").parquet(path)
+    scatter_s = time.time() - t0
+    t0 = time.time()
+    zorder_parquet(spark, path, ["event_id", "user_id"],
+                   target_file_bytes=1024 * 1024, bits=12)
+    rewrite_s = time.time() - t0
+    zstats = collect_file_stats(
+        spark, path, ["event_id", "user_id"]
+    ).localCheckpoint(eager=True)
+    uid = zstats.filter(F.col("column") == "user_id")
+    lo, hi = 0.0, 9.0  # the registered q_zorder_rewrite trailing window
+    n_total = uid.count()
+    n_overlap = uid.filter(
+        (F.col("min_val") <= hi) & (F.col("max_val") >= lo)
+    ).count()
+    out["zorder_rewrite"] = {
+        "n_rows": n_ev,
+        "files_after": n_total,
+        "scatter_sec": round(scatter_s, 3),
+        "rewrite_sec": round(rewrite_s, 3),
+        "trailing_key_files_overlapping": n_overlap,
+        "trailing_key_skip_fraction": round(1 - n_overlap / n_total, 4)
+        if n_total
+        else None,
+    }
+
+    # -- data-skipping index: build cost (footer pass — must track file
+    # count) and pruned vs full read over the value-clustered layout
+    path = scratch("m_skip")
+    ev.repartition(16).write.mode("overwrite").parquet(path)
+    cluster_parquet(spark, path, ["value"], target_file_bytes=256 * 1024)
+    t0 = time.time()
+    sstats = collect_file_stats(spark, path, ["value"]).localCheckpoint(
+        eager=True
+    )
+    index_s = time.time() - t0
+    files_total = sstats.count()
+    t0 = time.time()
+    n_pruned = pruned_read(
+        spark, path, "value", 50.0, 120.0, stats=sstats
+    ).count()
+    pruned_s = time.time() - t0
+    t0 = time.time()
+    n_full = (
+        spark.read.parquet(path)
+        .filter(F.col("value").between(50.0, 120.0))
+        .count()
+    )
+    full_s = time.time() - t0
+    files_read = sstats.filter(
+        (F.col("min_val") <= 120.0) & (F.col("max_val") >= 50.0)
+    ).count()
+    if n_pruned != n_full:
+        raise AssertionError(f"pruned {n_pruned} != full {n_full}")
+    out["skipping_index"] = {
+        "n_rows": n_ev,
+        "files_total": files_total,
+        "files_read": files_read,
+        "read_fraction": round(files_read / files_total, 4),
+        "index_build_sec": round(index_s, 3),
+        "pruned_read_sec": round(pruned_s, 3),
+        "full_scan_sec": round(full_s, 3),
+    }
+
+    # -- training-shard writer: 128-row shards in doc_id order
+    path = scratch("m_shards")
+    t0 = time.time()
+    manifest = write_shards(
+        docs.select("doc_id", "source"), path, ["doc_id"],
+        rows_per_shard=128, id_col="sample_id",
+    )
+    n_shards = manifest.count()
+    out["shard_writer"] = {
+        "n_rows": n_docs,
+        "n_shards": n_shards,
+        "write_sec": round(time.time() - t0, 3),
+    }
+
+    # -- incremental line index: 3-batch ingest, compaction, full score
+    path = scratch("m_lineidx")
+    d_full = load_table(spark, data_dir, "documents")
+    lines = line_hashes(d_full, "text", "doc_id", line_tokens=20).localCheckpoint(
+        eager=True
+    )
+    t0 = time.time()
+    for b in range(3):
+        append_line_counts(
+            lines.filter(F.col("id") % 3 == b), path, batch_id=b
+        )
+    append_s = time.time() - t0
+    t0 = time.time()
+    compact_line_index(spark, path)
+    compact_s = time.time() - t0
+    t0 = time.time()
+    boilerplate_against(lines, spark, path).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    score_s = time.time() - t0
+    out["line_index"] = {
+        "n_docs": n_docs,
+        "append_3_batches_sec": round(append_s, 3),
+        "compact_sec": round(compact_s, 3),
+        "score_sec": round(score_s, 3),
+    }
+
+    shutil.rmtree(scratch_root, ignore_errors=True)
+    return out
+
+
 ALL_SECTIONS = (
     "queries",
     "ann",
@@ -478,6 +675,7 @@ ALL_SECTIONS = (
     "k_sweep",
     "keep_best_tail",
     "bpe_encode",
+    "maintenance",
 )
 
 
@@ -595,6 +793,13 @@ def main() -> int:
                 be["sf10"]["encode_sec"] / be["sf1"]["encode_sec"], 2
             )
         result["bpe_encode"] = be
+    # r9: pre-promotion scale rows for the five r10 maintenance/layout
+    # operators (single run per point; ratios are the claim)
+    if "maintenance" in sections:
+        result["maintenance"] = {
+            "sf1": maintenance_audit(spark, sf1_dir),
+            "sf10": maintenance_audit(spark, sf10_dir),
+        }
     print(json.dumps(result))
     return 0
 
