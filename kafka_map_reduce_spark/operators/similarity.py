@@ -918,6 +918,7 @@ def ivfpq_index(
     corpus: DataFrame, n_clusters: int = 8, m: int = 4, n_codes: int = 16,
     iters: int = 3, vec_col: str = "embedding", id_col: str = "vec_id",
     centroids: DataFrame | None = None, codebooks: DataFrame | None = None,
+    train_sample_n: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the IVFADC layout: returns (coarse_centroids, codebooks,
     encoded) where encoded = (id, bkt, codes) — the persistable triple
@@ -942,11 +943,37 @@ def ivfpq_index(
     cost 6 recall points (recall@10 0.39 vs 0.45) — coarse-centroid
     quality decides WHICH buckets a probe scans, so seeding quality is
     the recall budget here, unlike the residual codebooks where the
-    re-rank tail absorbs spread init's marginal loss."""
+    re-rank tail absorbs spread init's marginal loss.
+
+    ``train_sample_n`` bounds what TRAINING scans (faiss's
+    train-on-sample practice, and the same caller-side idiom
+    :func:`semantic_dedup` uses via ``train_sample_mod``): both
+    quantizers fit on a deterministic hash-sample of ~that many vectors
+    (mod = corpus_count // train_sample_n, keep xxhash64(id) % mod ==
+    0), eagerly checkpointed so the (k-1) farthest-first passes + Lloyd
+    iterations x 2 trainings re-scan a bounded MB-sized table instead
+    of the corpus — without it, training an 8-centroid quantizer costs
+    ~13 full-corpus scans, the one corpus-dependent training term left
+    in this family. Assignment, residuals, and encoding stay
+    full-corpus single passes, so the returned triple covers every
+    vector regardless. mod rounds DOWN to 1 whenever the corpus is
+    within ~2x of the target (every correctness-gated test SF), where
+    this parameter is numerically a no-op (pytest-pinned)."""
+    mod = 1
+    if train_sample_n and (centroids is None or codebooks is None):
+        mod = max(1, corpus.count() // train_sample_n)
+
+    def _train_slice(df: DataFrame) -> DataFrame:
+        if mod <= 1:
+            return df
+        return df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        ).localCheckpoint(eager=True)
+
     cents = (
         centroids
         if centroids is not None
-        else kmeans_fit(corpus, n_clusters, iters, vec_col, id_col)
+        else kmeans_fit(_train_slice(corpus), n_clusters, iters, vec_col, id_col)
     )
     cent_row = cents.agg(
         F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
@@ -979,7 +1006,7 @@ def ivfpq_index(
     books = (
         codebooks
         if codebooks is not None
-        else pq_fit(resid, m=m, n_codes=n_codes, iters=iters,
+        else pq_fit(_train_slice(resid), m=m, n_codes=n_codes, iters=iters,
                     vec_col="__resid", id_col=id_col)
     )
     encoded = pq_encode(resid, books, m=m, vec_col="__resid", id_col=id_col).join(

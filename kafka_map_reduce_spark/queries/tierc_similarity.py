@@ -208,15 +208,22 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     declaration.
 
     Scale shape (operators/similarity.py:ivfpq_index/ivfpq_topk): both
-    quantizers train/assign via broadcast argmin (no shuffle), the probe
-    joins the code table on bkt so candidates are bucket-bounded, and
-    the persisted triple (coarse KBs, codebooks KBs, codes m
-    bytes/vector) is what a 100 TB corpus actually stores."""
+    quantizers TRAIN on a ~2048-vector deterministic hash-sample
+    (train_sample_n — the faiss train-on-sample practice; init + Lloyd
+    passes re-scan a bounded checkpointed table, so training cost is
+    corpus-size-independent), assign via broadcast argmin (no shuffle),
+    the probe joins the code table on bkt so candidates are
+    bucket-bounded, and the persisted triple (coarse KBs, codebooks
+    KBs, codes m bytes/vector) is what a 100 TB corpus actually stores.
+    At every correctness-gated SF the corpus is <= 2k vectors, so the
+    sample mod rounds to 1 and this query's output is unchanged
+    (no-op parity pinned, tests/test_pq.py); the sampled regime has its
+    own recall floor pinned there."""
     e = load_table(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") >= 20)
     probes = e.filter(F.col("vec_id") < 20)
     coarse, books, encoded = S.ivfpq_index(
-        corpus, n_clusters=8, m=8, n_codes=16, iters=3
+        corpus, n_clusters=8, m=8, n_codes=16, iters=3, train_sample_n=2048
     )
     coarse = coarse.localCheckpoint(eager=True)
     books = books.localCheckpoint(eager=True)

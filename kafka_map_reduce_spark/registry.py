@@ -75,6 +75,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # recovers c(w1·) for LM-missing pairs via a broadcast distinct-w1
 # join — the r8 ADVICE medium; the registered self-trained path is
 # plan-identical but the operator file changed, so the row re-enters);
+# late-r9 addition: q_sim_ivfpq's code also changed (ivfpq_index gained
+# train_sample_n=2048 — a numeric no-op at every gated SF, pinned by
+# tests/test_pq.py::test_ivfpq_train_sample_noop_when_corpus_small) —
+# it was already in-window below as an r6-stale refresh, so the
+# code-changed-in-window rule is satisfied without reshuffling; the
+# other similarity.py queries (q_sim_pq/q_sim_sq8/semantic family) call
+# only untouched functions;
 # (2) the seven r5-stale spills from the r8 window, as documented
 # there; (3) 38 of the 48 non-live r6-stale rows; (4) the two live
 # streaming_live r6-stale rows contiguous at the edge. Ten non-live

@@ -136,7 +136,7 @@ def ann_candidate_audit(spark, data_dir: str) -> dict:
     corpus = e.filter(F.col("vec_id") >= 20)
     probes = e.filter(F.col("vec_id") < 20)
     coarse, _books, encoded = S.ivfpq_index(
-        corpus, n_clusters=8, m=8, n_codes=16, iters=3
+        corpus, n_clusters=8, m=8, n_codes=16, iters=3, train_sample_n=2048
     )
     sizes = {r["bkt"]: r["n"] for r in
              encoded.groupBy("bkt").agg(F.count(F.lit(1)).alias("n")).collect()}
