@@ -680,7 +680,24 @@ ALL_SECTIONS = (
     "bpe_encode",
     "maintenance",
     "maintenance100",
+    "queries100",
 )
+
+# The 100x query subset (r9): the CAPPED dedup variants — each family's
+# declared scale configuration — plus the cheap pipeline staples. The
+# uncapped variants are excluded deliberately: their sf10 rows already
+# carry diagnosed fixture-density stories (SURVEY §6) and their scale
+# answer IS the cap.
+QUERIES_100X = [
+    "q_dedup_near_capped",
+    "q_dedup_simhash_capped",
+    "q_dedup_embedding_lsh_capped",
+    "q_text_boilerplate",
+    "q_pack_sequences",
+    "q_corpus_report",
+    "q_doc_ids",
+    "q_pipeline_e2e",
+]
 
 
 def main() -> int:
@@ -720,9 +737,9 @@ def main() -> int:
 
     specs = all_queries()
 
-    def run_set(data_dir: str) -> dict:
+    def run_set(data_dir: str, names=QUERIES) -> dict:
         times = {}
-        for name in QUERIES:
+        for name in names:
             best = None
             for _ in range(n_runs):
                 t = time.time()
@@ -817,6 +834,15 @@ def main() -> int:
             "replicas_of_sf1": 100,
             "build_sec": build100_s,
             "sf100": maintenance_audit(spark, sf100_dir),
+        }
+    # r9: the capped dedup family + pipeline staples at 100x (see
+    # QUERIES_100X for the selection rationale)
+    if "queries100" in sections:
+        sf100_dir = os.path.join(REPO, ".bench_sf100")
+        ensure_sf10(spark, sf1_dir, sf100_dir, replicas=100)
+        result["queries100"] = {
+            "replicas_of_sf1": 100,
+            "sf100": run_set(sf100_dir, names=QUERIES_100X),
         }
     print(json.dumps(result))
     return 0
