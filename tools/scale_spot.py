@@ -681,6 +681,7 @@ ALL_SECTIONS = (
     "maintenance",
     "maintenance100",
     "queries100",
+    "text100",
 )
 
 # The 100x query subset (r9): the CAPPED dedup variants — each family's
@@ -697,6 +698,20 @@ QUERIES_100X = [
     "q_corpus_report",
     "q_doc_ids",
     "q_pipeline_e2e",
+]
+
+# The text-analysis tier's 100x subset (r9): the operators whose scale
+# claims name a specific shuffle/driver shape — bigram's single
+# pair-key shuffle over a Zipf-skewed exploded table, unigram's
+# broadcast-model score, decontamination's span join, repetition's
+# per-doc self-similarity (narrow, shuffle-free), and BPE's
+# collect-bounded trainer + shuffle-free Arrow encoder.
+TEXT_100X = [
+    "q_text_bigram_logprob",
+    "q_text_unigram_logprob",
+    "q_text_decontaminate",
+    "q_text_repetition",
+    "q_text_bpe",
 ]
 
 
@@ -843,6 +858,18 @@ def main() -> int:
         result["queries100"] = {
             "replicas_of_sf1": 100,
             "sf100": run_set(sf100_dir, names=QUERIES_100X),
+        }
+    # r9: text-analysis tier at all three scales in one session (the
+    # within-session decade ratios are the comparable numbers — sf1
+    # carries JIT warmup, see the semantic100 methodology note)
+    if "text100" in sections:
+        sf100_dir = os.path.join(REPO, ".bench_sf100")
+        ensure_sf10(spark, sf1_dir, sf100_dir, replicas=100)
+        result["text100"] = {
+            "replicas_of_sf1": 100,
+            "sf1": run_set(sf1_dir, names=TEXT_100X),
+            "sf10": run_set(sf10_dir, names=TEXT_100X),
+            "sf100": run_set(sf100_dir, names=TEXT_100X),
         }
     print(json.dumps(result))
     return 0
