@@ -682,6 +682,7 @@ ALL_SECTIONS = (
     "maintenance100",
     "queries100",
     "text100",
+    "relational100",
 )
 
 # The 100x query subset (r9): the CAPPED dedup variants — each family's
@@ -713,6 +714,54 @@ TEXT_100X = [
     "q_text_repetition",
     "q_text_bpe",
 ]
+
+# The relational tier's scale subset (r9): the flagship agg, the
+# fact-fact shuffle join with broadcast dims, the two-stage window
+# rank, the percentile agg, and the global sort.
+RELATIONAL_100X = [
+    "q_agg_group",
+    "q_join_multiway",
+    "q_window_rank",
+    "q_agg_percentile",
+    "q_orderby",
+]
+
+
+def ensure_relational(spark, out_dir: str, replicas: int) -> None:
+    """Add the TPC-H-ish relational tables to a .bench_* dir, scaled
+    ``replicas``x from the sf0.1 source: FACTS (lineitem, orders) are
+    replicated with orderkey decade offsets via ONE crossJoin against
+    a replica-index range (no N-branch union plan); DIMS (customer,
+    part, supplier, nation, region) are copied VERBATIM and o_custkey /
+    l_partkey / l_suppkey keep their base values, so every replica's
+    facts reference the single dim set. That is the realistic shape —
+    order volume grows, the catalog doesn't — and it keeps
+    q_join_multiway's broadcast-dim plan honest at every scale instead
+    of silently growing the broadcast side 100x."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(out_dir, f"_RELATIONAL_{replicas}_OK")
+    if os.path.exists(marker):
+        return
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for name in ("customer", "part", "supplier", "nation", "region"):
+        spark.read.parquet(os.path.join(src, f"{name}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{name}.parquet"))
+    reps = F.broadcast(
+        spark.range(replicas).select(F.col("id").alias("__rep"))
+    )
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        base = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+        (
+            base.crossJoin(reps)
+            .withColumn(key, F.col(key) + F.col("__rep") * _ID_OFFSET)
+            .drop("__rep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"{name}.parquet"))
+        )
+    with open(marker, "w") as f:
+        f.write("ok\n")
 
 
 def main() -> int:
@@ -871,6 +920,21 @@ def main() -> int:
             "sf10": run_set(sf10_dir, names=TEXT_100X),
             "sf100": run_set(sf100_dir, names=TEXT_100X),
         }
+    # r9: relational tier at 10/100/1000 replicas of sf0.1 (6M/60M/600M
+    # lineitem rows) — facts replicated, dims verbatim (see
+    # ensure_relational); same warm-session methodology as the others
+    if "relational100" in sections:
+        sf100_dir = os.path.join(REPO, ".bench_sf100")
+        ensure_sf10(spark, sf1_dir, sf100_dir, replicas=100)
+        rel = {"replicas_of_sf01": {"sf1": 10, "sf10": 100, "sf100": 1000}}
+        for label, d, reps in (
+            ("sf1", sf1_dir, 10),
+            ("sf10", sf10_dir, 100),
+            ("sf100", sf100_dir, 1000),
+        ):
+            ensure_relational(spark, d, reps)
+            rel[label] = run_set(d, names=RELATIONAL_100X)
+        result["relational100"] = rel
     print(json.dumps(result))
     return 0
 
