@@ -683,6 +683,7 @@ ALL_SECTIONS = (
     "queries100",
     "text100",
     "relational100",
+    "events100",
 )
 
 # The 100x query subset (r9): the CAPPED dedup variants — each family's
@@ -724,6 +725,18 @@ RELATIONAL_100X = [
     "q_window_rank",
     "q_agg_percentile",
     "q_orderby",
+]
+
+# Event/stream analytics at 100x (r9): windowed aggregation, dedup,
+# time-range window, the one-scan/one-shuffle funnel, and the
+# heavy-hitters sketch — the event-volume operators (100M events at
+# the top; q_heavy_hitters runs on documents, its own claim).
+EVENTS_100X = [
+    "q_stream_tumbling",
+    "q_stream_dedup",
+    "q_window_time_range",
+    "q_funnel",
+    "q_heavy_hitters",
 ]
 
 
@@ -935,6 +948,16 @@ def main() -> int:
             ensure_relational(spark, d, reps)
             rel[label] = run_set(d, names=RELATIONAL_100X)
         result["relational100"] = rel
+    # r9: event/stream analytics at 1x/10x/100x (events 1M/10M/100M)
+    if "events100" in sections:
+        sf100_dir = os.path.join(REPO, ".bench_sf100")
+        ensure_sf10(spark, sf1_dir, sf100_dir, replicas=100)
+        result["events100"] = {
+            "replicas_of_sf1": 100,
+            "sf1": run_set(sf1_dir, names=EVENTS_100X),
+            "sf10": run_set(sf10_dir, names=EVENTS_100X),
+            "sf100": run_set(sf100_dir, names=EVENTS_100X),
+        }
     print(json.dumps(result))
     return 0
 
