@@ -671,7 +671,12 @@ def maintenance_audit(spark, data_dir: str) -> dict:
     return out
 
 
-ALL_SECTIONS = (
+# The recurring sf1/sf10 battery — what a bare `python tools/
+# scale_spot.py` runs (~30 min). The *100 sections below are the r9
+# one-off 100x-of-sf1 witnesses (SCALE_SPOT_r09.json): they build a
+# 7.5 GB .bench_sf100 and add ~1h combined, so they run only when
+# named via --sections (or --sections=all).
+DEFAULT_SECTIONS = (
     "queries",
     "ann",
     "semantic_ingest",
@@ -679,6 +684,9 @@ ALL_SECTIONS = (
     "keep_best_tail",
     "bpe_encode",
     "maintenance",
+)
+
+ALL_SECTIONS = DEFAULT_SECTIONS + (
     "maintenance100",
     "queries100",
     "text100",
@@ -780,16 +788,21 @@ def ensure_relational(spark, out_dir: str, replicas: int) -> None:
 def main() -> int:
     """Usage: python tools/scale_spot.py [n_runs] [--sections=a,b,...]
 
-    --sections limits the battery (names in ALL_SECTIONS) so a round
-    that only needs its NEW rows (r9: keep_best_tail, bpe_encode) does
-    not re-pay the full ~30 min sweep; default runs everything."""
+    --sections picks from ALL_SECTIONS; the bare default runs
+    DEFAULT_SECTIONS (the recurring ~30 min sf1/sf10 battery). The
+    heavy one-off *100 witnesses run only when named, or via
+    --sections=all."""
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     opts = [a for a in sys.argv[1:] if a.startswith("--")]
     n_runs = int(args[0]) if args else 2
-    sections = set(ALL_SECTIONS)
+    sections = set(DEFAULT_SECTIONS)
     for o in opts:
         if o.startswith("--sections="):
-            sections = set(o.split("=", 1)[1].split(","))
+            raw = o.split("=", 1)[1]
+            if raw == "all":
+                sections = set(ALL_SECTIONS)
+                continue
+            sections = set(raw.split(","))
             unknown = sections - set(ALL_SECTIONS)
             if unknown:
                 print(f"unknown sections: {sorted(unknown)}", file=sys.stderr)
