@@ -30,6 +30,7 @@ from kafka_map_reduce_spark.queries import (  # noqa: F401
     sorts_setops,
     streaming_batch,
     streaming_live,
+    promotions_r10,
 )
 
 from kafka_map_reduce_spark.registry import REGISTRY  # noqa: F401

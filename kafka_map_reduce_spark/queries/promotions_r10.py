@@ -1,24 +1,19 @@
-"""Round-10 promotion registrations, prepared in round 9.
+"""Round-10 promotion registrations (prepared in round 9, registered in
+round 10).
 
 The five remaining pytest-only operators of SURVEY §2.2 (compaction /
 sort-clustering, Z-order rewrite, data-skipping index, training-shard
-writer, incremental line index) get their driver-checkable query
-functions HERE, fully oracled and differentially tested — but NOT yet
-``@query``-registered: test_registry_contract.py rightly forces every
+writer, incremental line index) register HERE as driver-checkable
+queries, fully oracled. They were written and differentially
+pre-verified in r9 (tests/test_promotions_r10.py executes each at
+sf0.001 AND hash-compares it against its DuckDB oracle with the
+driver's own canonicalizer, tools/parity.py) but deliberately NOT
+``@query``-registered then: test_registry_contract.py forces every
 never-driver-checked registration into the 50-row priority window, and
-the r9 window is the r8 verdict's documented refresh queue (already
-over-full at 57 candidates). Registering these five in r9 would have
-displaced five refresh slots — exactly what the verdict's item 5 said
-not to do ("never displacing the refresh queue").
-
-Promoting them in r10 is a three-line move per query: wrap the function
-in ``@query(name, oracle=ORACLE_<NAME>)`` (the constants below), import
-this module from ``queries/__init__``, and put the five names at the
-head of the r10 ``_PRIORITY`` (never-checked-first). Until then the
-functions run under tests/test_promotions_r10.py, which executes each
-one at sf0.001 AND hash-compares it against its DuckDB oracle with the
-driver's own canonicalizer (tools/parity.py) — so the r10 registration
-lands pre-verified, not speculative.
+the r9 window was the r8 verdict's documented refresh queue (already
+over-full at 57 candidates). In r10 the five names head ``_PRIORITY``
+as never-checked rows, exactly as registry.py's round-10 queue note
+promised.
 
 All five follow the q_upsert_merge scratch-table template
 (queries/layout.py:89): the driver's read-only table is copied to a
@@ -36,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_map_reduce_spark.queries.scans import _scratch
+from kafka_map_reduce_spark.registry import query
 from kafka_map_reduce_spark.sources import load_table
 
 # Line length (tokens) must match q_text_boilerplate's so the two
@@ -48,6 +44,7 @@ ORACLE_COMPACT_CLUSTER = """
 """
 
 
+@query("q_compact_cluster", oracle=ORACLE_COMPACT_CLUSTER)
 def q_compact_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction + sort-clustering
     (operators/maintenance.py:cluster_parquet) as a driver row: the
@@ -92,6 +89,7 @@ ORACLE_ZORDER_REWRITE = """
 """
 
 
+@query("q_zorder_rewrite", oracle=ORACLE_ZORDER_REWRITE)
 def q_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) rewrite
     (operators/maintenance.py:zorder_parquet) as a driver row: events
@@ -148,6 +146,7 @@ ORACLE_SKIPPING_PRUNE = """
 """
 
 
+@query("q_skipping_prune", oracle=ORACLE_SKIPPING_PRUNE)
 def q_skipping_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-level data skipping (operators/skipping.py) as a driver
     row: events are value-clustered to scratch, a footer-stats index
@@ -202,6 +201,7 @@ ORACLE_SHARD_MANIFEST = """
 """
 
 
+@query("q_shard_manifest", oracle=ORACLE_SHARD_MANIFEST)
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard writer (operators/shards.py:write_shards) as a
     driver row: the documents table is materialized as 128-row shards
@@ -259,6 +259,7 @@ ORACLE_LINE_INDEX_INCREMENTAL = f"""
 """
 
 
+@query("q_line_index_incremental", oracle=ORACLE_LINE_INDEX_INCREMENTAL)
 def q_line_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental line index (operators/dedup.py:append_line_counts /
     compact_line_index / boilerplate_against) as a driver row: the
@@ -301,9 +302,10 @@ def q_line_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The r10 registration plan, machine-readable: (query name, function,
-# oracle SQL). r10 wraps each in @query and heads _PRIORITY with the
-# five names (never-checked-first, contract-test-enforced).
+# The registration inventory, machine-readable: (query name, function,
+# oracle SQL). tests/test_promotions_r10.py drives both the
+# differential pins and the registered-at-window-head shape check
+# off this list.
 R10_REGISTRATIONS = [
     ("q_compact_cluster", q_compact_cluster, ORACLE_COMPACT_CLUSTER),
     ("q_zorder_rewrite", q_zorder_rewrite, ORACLE_ZORDER_REWRITE),

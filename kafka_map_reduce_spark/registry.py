@@ -65,99 +65,96 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # therefore revisits on a ~3-round cycle while new Tier C work always
 # gets driver rows in its own round.
 #
-# Round-9 window (executing the r8 verdict's top item — the documented
-# refresh queue; no new registrations this round, so every slot is a
-# refresh): (1) the three queries whose CODE changed this round —
-# q_group_rebalance (sink ported off the driver dict to the keyed-
-# overwrite parquet idiom + FileTopic.produce hard-link fallback),
-# q_join_bucketed (deterministic per-sf table names, mode=overwrite —
-# the r8 table-leak ADVICE), q_text_bigram_logprob (fixed-LM mode now
-# recovers c(w1·) for LM-missing pairs via a broadcast distinct-w1
-# join — the r8 ADVICE medium; the registered self-trained path is
-# plan-identical but the operator file changed, so the row re-enters);
-# late-r9 addition: q_sim_ivfpq's code also changed (ivfpq_index gained
-# train_sample_n=2048 — a numeric no-op at every gated SF, pinned by
-# tests/test_pq.py::test_ivfpq_train_sample_noop_when_corpus_small) —
-# it was already in-window below as an r6-stale refresh, so the
-# code-changed-in-window rule is satisfied without reshuffling; the
-# other similarity.py queries (q_sim_pq/q_sim_sq8/semantic family) call
-# only untouched functions;
-# (2) the seven r5-stale spills from the r8 window, as documented
-# there; (3) 38 of the 48 non-live r6-stale rows; (4) the two live
-# streaming_live r6-stale rows contiguous at the edge. Ten non-live
-# r6 rows spill to the r10 queue head — each leaves an in-window (or
-# fresher) family representative: q_join_right (q_join_left/inner/
-# full in-window), q_join_semi (q_join_anti r8-fresh; theta/cross/
-# null_safe in-window), q_rollup + q_grouping_sets (q_cube in-window),
-# q_union_distinct (q_union_all in-window), q_agg_countif
-# (q_agg_global/having/distinct in-window), q_sim_pq (q_sim_ivfpq —
-# which composes PQ — in-window), q_unpivot (q_pivot in-window),
-# q_audit_double_write (q_audit_delivery in-window),
-# q_multimodal_decode (q_multimodal_meta/resize in-window).
+# Round-10 window (executing the r9 verdict's top item): (1) the five
+# never-driver-checked promotions registered this round
+# (queries/promotions_r10.py — prepared and differentially pre-verified
+# in r9, registered now exactly as the r9 queue note promised; the
+# never-checked-first contract test puts them at the head); (2) the
+# queries whose CODE changed this round — q_sim_ivf_kmeans (ivf_kmeans
+# training moved to the train_sample_n idiom, the r9 verdict's finding
+# #2) and the semantic-dedup family q_dedup_semantic /
+# q_dedup_semantic_ingest / q_dedup_semantic_keep_best (the O(N·k)
+# flat assign gained the IVF-routed two-level argmin — verdict item #3;
+# a bit-no-op at gated SFs via the flat-path size threshold, pinned in
+# tests/test_semantic_dedup.py, but the operator code changed so the
+# rows re-enter per the r9 convention). q_sim_pq's code also changed
+# (train_sample_n) but it already sits in the r6-spill block below;
+# (3) the ten r6 rows spilled from the r9 window, as documented there;
+# (4) 30 of the 46 r7-stale rows, oldest-first with family dedup;
+# (5) the one live streaming_live r7-stale row at the window edge.
 #
-# Round-10 queue — the ten spilled r6 rows above first, then the 46
-# r7-stale rows oldest-first, PLUS the five pytest-only-operator
-# promotions prepared this round (queries/promotions_r10.py:
-# compaction/sort-clustering, Z-order rewrite, data-skipping index,
-# training-shard writer, incremental line index — registering them
-# in r9 would have displaced five refresh slots via the never-checked-
-# first contract test, so they register in r10 where they take the
-# queue head as never-checked rows).
+# Fifteen non-live r7 rows spill to the r11 queue head — each leaves an
+# in-window (or fresher) family representative: q_cast + q_conditional
+# (q_string_funcs/q_date_funcs/q_json_funcs in-window),
+# q_dedup_clusters_star (q_dedup_clusters in-window),
+# q_dedup_simhash_capped (q_dedup_simhash in-window),
+# q_dedup_exact_incremental + q_dedup_incremental (q_dedup_exact
+# in-window; q_dedup_near r9-fresh), q_dedup_embedding_lsh_capped
+# (q_dedup_embedding_lsh r9-fresh), q_window_lead_lag +
+# q_window_running (q_window_frame/q_window_rank in-window),
+# q_udtf_explode (q_udf_scalar/q_udaf_grouped in-window), q_scan_text +
+# q_projection (q_scan_parquet/q_filter in-window), q_text_chunks +
+# q_text_compressibility (q_text_stats/q_text_tokens in-window),
+# q_epoch_order (q_corpus_report in-window).
+#
+# Round-11 queue — the fifteen spilled r7 rows above first, then the
+# r8-stale rows oldest-first.
 _PRIORITY: tuple[str, ...] = (
-    # (1) code changed this round (3)
-    "q_group_rebalance",
-    "q_join_bucketed",
-    "q_text_bigram_logprob",
-    # (2) the seven r5-stale spills from r8 (7)
-    "q_scan_binary",
-    "q_scan_csv",
-    "q_scan_orc",
-    "q_multimodal_meta",
-    "q_multimodal_resize",
-    "q_subquery_scalar",
-    "q_window_dist",
-    # (3) r6-stale, non-live (38 of 48)
-    "q_agg_approx_distinct",
-    "q_agg_collect",
-    "q_agg_distinct",
-    "q_agg_global",
-    "q_agg_having",
-    "q_agg_percentile",
-    "q_agg_stats",
-    "q_array_funcs",
-    "q_audit_delivery",
-    "q_classifier_fit",
-    "q_cube",
-    "q_dedup_embedding",
-    "q_dedup_embedding_lsh",
-    "q_dedup_near",
-    "q_histogram",
-    "q_hll_sketches",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_null_safe",
-    "q_join_range_bucket",
-    "q_join_theta",
-    "q_math_funcs",
-    "q_orderby",
-    "q_pivot",
-    "q_sample_hash",
-    "q_sim_cosine",
-    "q_sim_ivfpq",
-    "q_sim_text_topk",
-    "q_sim_topk",
-    "q_sketch_quantile",
-    "q_sql_interface",
-    "q_stream_dedup",
-    "q_string_agg",
-    "q_topk",
-    "q_union_all",
-    "q_window_time_range",
-    # (4) live streams, contiguous at the window edge (2)
-    "q_stream_watermark",
-    "q_stream_gated_ingest",
+    # (1) never driver-checked: the five r10 promotions (5)
+    "q_compact_cluster",
+    "q_zorder_rewrite",
+    "q_skipping_prune",
+    "q_shard_manifest",
+    "q_line_index_incremental",
+    # (2) code changed this round (4)
+    "q_sim_ivf_kmeans",
+    "q_dedup_semantic",
+    "q_dedup_semantic_ingest",
+    "q_dedup_semantic_keep_best",
+    # (3) the ten r6 spills from the r9 window (10)
+    "q_agg_countif",
+    "q_audit_double_write",
+    "q_grouping_sets",
+    "q_join_right",
+    "q_join_semi",
+    "q_multimodal_decode",
+    "q_rollup",
+    "q_sim_pq",
+    "q_union_distinct",
+    "q_unpivot",
+    # (4) r7-stale, non-live (30 of 45)
+    "q_corpus_report",
+    "q_date_funcs",
+    "q_dedup_clusters",
+    "q_dedup_editdist",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_distinct",
+    "q_embed_quantize",
+    "q_filter",
+    "q_heavy_hitters",
+    "q_json_funcs",
+    "q_multimodal_frames",
+    "q_pipeline_e2e",
+    "q_sample_weighted",
+    "q_scan_json_lines",
+    "q_scan_parquet",
+    "q_scan_partitioned",
+    "q_sim_ivf",
+    "q_sim_sq8",
+    "q_string_funcs",
+    "q_text_bpe",
+    "q_text_decontaminate_spans",
+    "q_text_redact",
+    "q_text_stats",
+    "q_text_tokens",
+    "q_udaf_grouped",
+    "q_udf_scalar",
+    "q_window_frame",
+    "q_window_rank",
+    # (5) live streams, contiguous at the window edge (1)
+    "q_stream_mix_monitor",
 )
 
 

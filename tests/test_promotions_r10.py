@@ -1,14 +1,11 @@
-"""Pre-verification for the r10 promotion registrations
-(queries/promotions_r10.py): each prepared query runs at sf0.001 and is
+"""Differential verification for the r10 promotion registrations
+(queries/promotions_r10.py): each query runs at sf0.001 and is
 hash-compared against its DuckDB oracle with the SAME canonicalizer the
-local driver simulation uses (tools/parity.py) — so wrapping them in
-@query in round 10 is a mechanical move over already-differentially-
-tested code, not a new verification risk.
-
-Deliberately NOT imported into the registry: registering a never-
-driver-checked query forces it into the 50-row priority window
-(test_registry_contract.py), and the r9 window is reserved for the
-documented refresh queue."""
+local driver simulation uses (tools/parity.py). Written in r9 as
+pre-verification for the then-unregistered functions; since r10 they
+are @query-registered, so this is now the ordinary per-query
+differential pin plus a registration-shape guard (the five must head
+the priority window as never-checked rows)."""
 
 from __future__ import annotations
 
@@ -34,18 +31,19 @@ def _parity():
     return mod
 
 
-def test_promotions_are_not_registered_yet():
-    """The deferral contract: preparing ≠ registering. If one of the
-    five leaks into REGISTRY before its round, the priority-window
-    contract test starts failing for a confusing reason — fail HERE
-    with the real one instead."""
-    from kafka_map_reduce_spark.registry import REGISTRY
+def test_promotions_are_registered_at_the_window_head():
+    """The r10 registration contract: all five promotions are in
+    REGISTRY with their oracle SQL attached, and they occupy the head
+    of the priority window (never-checked-first, per
+    test_registry_contract.py::test_never_checked_outranks_stale)."""
+    from kafka_map_reduce_spark.registry import _PRIORITY, REGISTRY
 
-    leaked = [n for n, _f, _o in R10_REGISTRATIONS if n in REGISTRY]
-    assert not leaked, (
-        f"r10 promotions registered early: {leaked} — move them into "
-        "_PRIORITY's head instead (never-checked-first)"
-    )
+    names = [n for n, _f, _o in R10_REGISTRATIONS]
+    unregistered = [n for n in names if n not in REGISTRY]
+    assert not unregistered, f"r10 promotions missing: {unregistered}"
+    for n, _f, oracle in R10_REGISTRATIONS:
+        assert REGISTRY[n].oracle == oracle, f"{n}: oracle mismatch"
+    assert list(_PRIORITY[: len(names)]) == names
 
 
 @pytest.mark.parametrize(
