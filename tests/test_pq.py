@@ -448,3 +448,88 @@ def test_pq_dim_mismatch_fails_loudly(spark, emb, books):
     enc = pq_encode(emb, books, m=M)
     with pytest.raises(ValueError, match="dim"):
         pq_topk(emb.limit(2), enc, books, m=M - 1).collect()
+
+
+def test_pq_fit_train_sample_noop_when_corpus_small(spark, emb, books):
+    """pq_fit's train_sample_n >= ~corpus size must be a numeric NO-OP
+    (mod floors to 1, the full corpus trains): pins the registered
+    q_sim_pq contract — at every correctness-gated SF the embeddings
+    table is <= 2k vectors, so adopting train_sample_n=2048 there (r10,
+    closing the r9 verdict's finding #2) changed nothing."""
+    books1 = pq_fit(emb, m=M, n_codes=N_CODES, iters=3, train_sample_n=10_000)
+    assert sorted(
+        (r.subspace, r.cluster_id, tuple(r.centroid)) for r in books1.collect()
+    ) == sorted(
+        (r.subspace, r.cluster_id, tuple(r.centroid)) for r in books.collect()
+    )
+
+
+def test_pq_sampled_training_recall_floor(spark, emb):
+    """Codebooks trained on a ~1-in-3 hash-sample (train_sample_n=128
+    over the 490-vector corpus -> mod 3, 170 training vectors) must
+    still clear the re-ranked recall floor at q_sim_pq's registered
+    configuration (m=8, spread init, shortlist=100): measures 0.76 on
+    this PQ-hostile near-random fixture vs 0.86 fully trained — the
+    re-rank tail absorbs most of what sampling costs. Floor 0.70 (the
+    same floor the fully-trained config pins)."""
+    from pyspark.sql.window import Window
+
+    k = 10
+    probes = emb.filter("vec_id < 10")
+    corpus = emb.filter("vec_id >= 10")
+    books = pq_fit(
+        corpus, m=8, n_codes=N_CODES, iters=3, train_sample_n=128
+    ).localCheckpoint(eager=True)
+
+    # the sample must actually be a sample, or this test pins nothing
+    n_corpus = corpus.count()
+    n_train = corpus.filter(
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_corpus // 128)) == 0
+    ).count()
+    assert n_train < n_corpus / 2, (
+        f"fixture too small to exercise sampling: {n_train}/{n_corpus}"
+    )
+
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("pv"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    exact = (
+        c.join(F.broadcast(p))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("pv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.col("d").asc(), "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= k)
+        .collect()
+    )
+    approx = pq_topk(
+        probes, pq_encode(corpus, books, m=8), books, k=k, m=8,
+        rerank_corpus=corpus, shortlist=100,
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    recall = sum(
+        len(exact_sets[p0] & approx_sets.get(p0, set())) / len(exact_sets[p0])
+        for p0 in exact_sets
+    ) / len(exact_sets)
+    assert recall >= 0.70, f"sampled-training PQ recall {recall:.2f} < 0.70"
