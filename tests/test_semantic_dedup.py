@@ -382,3 +382,139 @@ def test_keep_best_fixture_pair_set_is_exact(spark):
     )
     assert _pairs(sem.select("id_a", "id_b")) == exact
     assert len(exact) > 0  # the fixture must actually witness pairs
+
+
+# ---- IVF-routed two-level assignment (r10, verdict item #3) ---------------
+
+
+def _synth_centroid_rows(k=256, dim=16, spread=3.0):
+    """Deterministic synthetic centroid model (numpy, fixed seed) for
+    kernel-level routed-vs-flat comparisons at k far above anything the
+    planted fixture's kmeans can produce."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    C = rng.randn(k, dim) * spread
+    return [
+        {"cluster_id": i, "centroid": [float(x) for x in C[i]]}
+        for i in range(k)
+    ], C
+
+
+def test_routed_assign_parity_on_separated_data(spark):
+    """On data WITH cluster structure (each vector a small perturbation
+    of some centroid — the regime SemDeDup's own corpora are in), the
+    two-level routed kernel agrees with the flat exact kernel almost
+    everywhere: measured 0.998 at nprobe=2 on this fixture (the <1%
+    disagreements are boundary points between near-equidistant
+    centroids, the epsilon-ball case the paper accepts). Floor 0.99."""
+    import numpy as np
+
+    from kafka_map_reduce_spark.operators.similarity import (
+        _assign_arrow,
+        _assign_arrow_routed,
+    )
+
+    cents_rows, C = _synth_centroid_rows()
+    rng = np.random.RandomState(11)
+    V = C[rng.randint(0, len(C), 4000)] + rng.randn(4000, C.shape[1]) * 0.2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "id long, v array<double>",
+    )
+    flat = _assign_arrow(cents_rows, sc=spark.sparkContext)
+    routed = _assign_arrow_routed(cents_rows, sc=spark.sparkContext, nprobe=2)
+    agree = (
+        df.withColumn("f", flat(F.col("v")))
+        .withColumn("r", routed(F.col("v")))
+        .agg(F.avg((F.col("f") == F.col("r")).cast("double")).alias("a"))
+        .collect()[0]["a"]
+    )
+    assert agree >= 0.99, f"routed-vs-flat agreement {agree:.4f} < 0.99"
+
+
+def test_routed_assign_coassigns_near_dups(spark):
+    """The property semantic dedup actually consumes: a near-dup PAIR
+    (vector + tiny perturbation) must land in the SAME routed cluster —
+    co-location survives routing even where the routed winner differs
+    from the flat winner, because assignment is a deterministic function
+    and near-identical inputs route identically. Checked on UNSTRUCTURED
+    vectors (the kernel's worst case for flat-agreement: near-equidistant
+    centroids everywhere). Floor 0.99."""
+    import numpy as np
+
+    from kafka_map_reduce_spark.operators.similarity import (
+        _assign_arrow_routed,
+    )
+
+    cents_rows, C = _synth_centroid_rows()
+    rng = np.random.RandomState(13)
+    A = rng.randn(2000, C.shape[1]) * 3.0
+    B = A + rng.randn(*A.shape) * 1e-3
+    rows = [
+        (i, [float(x) for x in A[i]], [float(x) for x in B[i]])
+        for i in range(len(A))
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    routed = _assign_arrow_routed(cents_rows, sc=spark.sparkContext, nprobe=2)
+    co = (
+        df.withColumn("ca", routed(F.col("a")))
+        .withColumn("cb", routed(F.col("b")))
+        .agg(F.avg((F.col("ca") == F.col("cb")).cast("double")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert co >= 0.99, f"near-dup co-assignment {co:.4f} < 0.99"
+
+
+def test_assign_model_threshold_dispatch(spark):
+    """_assign_model keeps the flat kernel (3-tuple broadcast model) at
+    k <= _ROUTED_ASSIGN_MIN_K — every correctness-gated and benchmarked
+    k, so hash-pinned rows are bit-unchanged by the r10 routing — and
+    switches to the routed kernel (7-tuple model) above it."""
+    from kafka_map_reduce_spark.operators.similarity import (
+        _ROUTED_ASSIGN_MIN_K,
+        _assign_model,
+    )
+
+    small, _ = _synth_centroid_rows(k=64, dim=4)
+    flat = _assign_model(small, sc=spark.sparkContext)
+    assert len(flat._kmr_broadcast.value) == 3
+
+    big = [
+        {"cluster_id": i, "centroid": [float(i), 0.0, 0.0, 1.0]}
+        for i in range(_ROUTED_ASSIGN_MIN_K + 1)
+    ]
+    routed = _assign_model(big, sc=spark.sparkContext)
+    assert len(routed._kmr_broadcast.value) == 7
+
+
+def test_routed_semantic_dedup_keeps_planted_pairs(spark, planted, monkeypatch):
+    """End-to-end: force the routed path through semantic_dedup (drop
+    _ROUTED_ASSIGN_MIN_K to 8 so the large-k fixture run routes) —
+    precision through the routed assignment stays exact (cross-center
+    cosine is far below threshold no matter how assignment shifts),
+    pairs survive, and the run is deterministic. The recall caveat is
+    the same as the flat large-k test above: k=70 > dup-group size
+    legitimately splits groups."""
+    import kafka_map_reduce_spark.operators.similarity as S
+
+    monkeypatch.setattr(S, "_ROUTED_ASSIGN_MIN_K", 8)
+    e = planted.select("vec_id", "embedding")
+    got = semantic_dedup(
+        e, threshold=0.85, n_clusters=70, iters=3, init="spread"
+    )
+    pairs = _pairs(got)
+    centers = {r.vec_id: r.center for r in planted.collect()}
+    want = {
+        (a, b)
+        for a in centers
+        for b in centers
+        if a < b and centers[a] == centers[b]
+    }
+    assert pairs and pairs <= want
+    again = _pairs(
+        semantic_dedup(
+            e, threshold=0.85, n_clusters=70, iters=3, init="spread"
+        )
+    )
+    assert pairs == again
