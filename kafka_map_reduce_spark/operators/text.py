@@ -448,6 +448,87 @@ def attach_hash_embed(
     ).drop("__he_raw", "__he_norm")
 
 
+def attach_hash_embed_arrow(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "embedding",
+    dim: int = 32,
+) -> DataFrame:
+    """Arrow production face of the md5 hash-embed: BIT-IDENTICAL
+    vectors to ``attach_hash_embed(..., hasher="md5")`` (exact-equality
+    pytest pin, tests/test_operators.py) from ONE vectorized pandas_udf
+    instead of the JVM's O(tokens × dim) interpreted HOF fold.
+
+    Why it exists (r9 verdict item #6, the embed wall): at 5M docs the
+    fold — not the hash — is the semantic family's linear ceiling.
+    Measured sf100 embed pass: md5 face 243.4 s, xxhash64 face 210.5 s
+    (swapping hashers buys 14%, killing the "xxhash64 is ~10× faster"
+    remedy); this face attacks the fold itself — per-batch the tokens
+    FACTORIZE (Zipf vocab: millions of occurrences, thousands of
+    distincts), md5 runs once per distinct token through an
+    executor-lifetime cache, and the signed counts land in one
+    ``np.add.at`` scatter. SCALE_SPOT_r10 carries the measured win.
+
+    Bit parity is exact, not approximate: the ±1 bucket sums are
+    integer-valued (exactly representable, so JVM left-fold order vs
+    numpy pairwise summation cannot differ), Python ``int(hex, 16)``
+    equals ``conv(hex, 16, 10)``, the tokenizer mirrors
+    :func:`tokens` (lower → ASCII ``\\s+`` split → drop empties, the
+    Java-regex semantics), and norm/divide are the same IEEE doubles.
+    The DuckDB oracle twins replay the SAME md5 nibbles either way —
+    the md5 face STAYS the oracled face; this just makes it fast."""
+    from pyspark.sql.functions import pandas_udf
+
+    _cache: dict = {}
+
+    @pandas_udf("array<double>")
+    def embed(texts: pd.Series) -> pd.Series:
+        import hashlib
+        import re
+
+        import numpy as np
+
+        ws = re.compile(r"\s+", re.ASCII)
+        n = len(texts)
+        V = np.zeros((n, dim), dtype="float64")
+        null = np.zeros(n, dtype=bool)
+        all_toks: list = []
+        doc_idx: list = []
+        for i, t in enumerate(texts):
+            if t is None:
+                null[i] = True
+                continue
+            for tok in ws.split(t.lower()):
+                if tok:
+                    all_toks.append(tok)
+                    doc_idx.append(i)
+        if all_toks:
+            codes, uniques = pd.factorize(pd.array(all_toks))
+            bucket = np.empty(len(uniques), dtype="int64")
+            sign = np.empty(len(uniques), dtype="float64")
+            for j, u in enumerate(uniques):
+                c = _cache.get(u)
+                if c is None:
+                    h = hashlib.md5(u.encode("utf-8")).hexdigest()
+                    c = (
+                        int(h[:4], 16) % dim,
+                        1.0 if int(h[4], 16) % 2 == 0 else -1.0,
+                    )
+                    if len(_cache) < 4_000_000:  # bounded executor cache
+                        _cache[u] = c
+                bucket[j], sign[j] = c
+            np.add.at(
+                V, (np.asarray(doc_idx), bucket[codes]), sign[codes]
+            )
+        norms = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-12)
+        V = V / norms[:, None]
+        out = pd.Series([row.tolist() for row in V])
+        out[null] = None
+        return out
+
+    return df.withColumn(out_col, embed(F.col(text_col)))
+
+
 def remove_contaminated_spans(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -1586,3 +1586,32 @@ def test_compression_ratio_orders_junk_prose_noise(spark):
         assert got[i].n_compressed == len(zlib.compress(t.encode(), 6))
         assert got[i].n_bytes == len(t.encode())
     assert got[4].ratio is None  # null text -> null signal, not a crash
+
+
+def test_hash_embed_arrow_face_bit_parity(spark):
+    """attach_hash_embed_arrow must equal attach_hash_embed(hasher="md5")
+    BIT-FOR-BIT (r10, the embed-wall production face — r9 verdict item
+    #6): same tokenizer, same md5 nibbles, integer ±1 sums (exactly
+    representable, so summation order is immaterial), same IEEE
+    norm/divide. Checked on the real documents table at sf0.001 plus
+    null/empty/whitespace edge rows."""
+    from kafka_map_reduce_spark.operators.text import (
+        attach_hash_embed,
+        attach_hash_embed_arrow,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [(10_000_001, None), (10_000_002, ""), (10_000_003, "  \t \n ")],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(edge)
+    jvm = attach_hash_embed(d, "text", "embedding", dim=32, hasher="md5")
+    arrow = attach_hash_embed_arrow(d, "text", "embedding", dim=32)
+    j = {r.doc_id: r.embedding for r in jvm.collect()}
+    a = {r.doc_id: r.embedding for r in arrow.collect()}
+    assert set(j) == set(a)
+    diff = [k for k in j if j[k] != a[k]]
+    assert not diff, f"faces differ on {len(diff)} docs, e.g. {diff[:3]}"
