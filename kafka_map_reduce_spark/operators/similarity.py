@@ -332,12 +332,18 @@ def _assign_arrow_routed(cents_rows, sc, nprobe=2):
     return assign
 
 
-def _assign_model(cents_rows, sc, route_nprobe=2):
+def _assign_model(cents_rows, sc, route_nprobe=3):
     """Pick the assignment kernel for a collected centroid model: the
     flat one-matmul Arrow kernel up to _ROUTED_ASSIGN_MIN_K centroids
     (bit-exact, covers every correctness-gated k), the IVF-routed
     two-level kernel above it (the 100 TB regime where O(N*k) is the
-    family's quadratic wall — r9 verdict item #3)."""
+    family's quadratic wall — r9 verdict item #3). nprobe defaults to
+    3: the sf100 skew table (SCALE_SPOT_r10) measured nprobe=3 at the
+    same assign cost as 2 with materially less cluster-size skew
+    (sum c_i^2 4.76e9 vs 4.82e9, max cluster 4.9k vs 6.4k) and higher
+    flat-agreement (0.9996 vs 0.9977 on separated data) — strictly
+    dominant, because the verify stage downstream is quadratic in
+    cluster size."""
     if sc is not None and len(cents_rows) > _ROUTED_ASSIGN_MIN_K:
         return _assign_arrow_routed(cents_rows, sc, nprobe=route_nprobe)
     return _assign_arrow(cents_rows, sc=sc)
