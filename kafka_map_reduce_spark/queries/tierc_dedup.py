@@ -642,14 +642,19 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters drop to exact dedup via max_cluster_size — the same
     governor as every other modality's cap."""
     from kafka_map_reduce_spark.operators.similarity import semantic_dedup
-    from kafka_map_reduce_spark.operators.text import attach_hash_embed
+    from kafka_map_reduce_spark.operators.text import attach_hash_embed_arrow
 
     d = load_table(spark, sf_dir, "documents")
     # materialize the embedding ONCE: count (the k probe), training,
     # assignment and both verify sides all consume it — without the
-    # eager checkpoint each would re-run the hash-embed fold
+    # eager checkpoint each would re-run the hash-embed fold.
+    # attach_hash_embed_arrow IS the md5 face (bit-identical,
+    # tests/test_operators.py) computed without the JVM O(tokens x dim)
+    # HOF fold — the r9-measured 257.9 s linear wall at 5M docs drops
+    # to 27.0 s (SCALE_SPOT_r10), and the DuckDB twins replay the same
+    # md5 nibbles unchanged.
     emb = (
-        attach_hash_embed(d, "text", "embedding", dim=32, hasher="md5")
+        attach_hash_embed_arrow(d, "text", "embedding", dim=32)
         .select(F.col("doc_id").alias("vec_id"), "embedding")
         .localCheckpoint(eager=True)
     )
@@ -690,15 +695,14 @@ def q_dedup_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_fit,
         semantic_dedup_ingest,
     )
-    from kafka_map_reduce_spark.operators.text import attach_hash_embed
+    from kafka_map_reduce_spark.operators.text import attach_hash_embed_arrow
 
     emb = (
-        attach_hash_embed(
+        attach_hash_embed_arrow(
             load_table(spark, sf_dir, "documents"),
             "text",
             "embedding",
             dim=32,
-            hasher="md5",
         )
         .select(F.col("doc_id").alias("vec_id"), "embedding")
         .localCheckpoint(eager=True)
@@ -833,14 +837,20 @@ def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row_number window on cluster_id, and semantic clusters are
     bounded by max_cluster_size so the window key cannot concentrate."""
     from kafka_map_reduce_spark.operators.similarity import semantic_dedup
-    from kafka_map_reduce_spark.operators.text import attach_hash_embed, quality_score
+    from kafka_map_reduce_spark.operators.text import (
+        attach_hash_embed_arrow,
+        quality_score,
+    )
     from pyspark.sql.window import Window
 
     docs = _bounded_subset(
         load_table(spark, sf_dir, "documents"), "doc_id", bound=200, cap=1000
     )
+    # the Arrow md5 face: bit-identical to the JVM md5 fold the DuckDB
+    # oracle below replays (pinned, tests/test_operators.py), so the
+    # hash row cannot move
     emb = (
-        attach_hash_embed(docs, "text", "embedding", dim=32, hasher="md5")
+        attach_hash_embed_arrow(docs, "text", "embedding", dim=32)
         .select(F.col("doc_id").alias("vec_id"), "embedding")
         .localCheckpoint(eager=True)
     )
