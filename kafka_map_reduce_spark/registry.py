@@ -98,7 +98,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # q_epoch_order (q_corpus_report in-window).
 #
 # Round-11 queue — the fifteen spilled r7 rows above first, then the
-# r8-stale rows oldest-first.
+# r8-stale rows oldest-first. Also queued for r11: move the remaining
+# md5-embed-face callers (q_dedup_embedding, q_dedup_embedding_lsh,
+# q_dedup_embedding_lsh_capped, q_sim_text_topk, q_text_hash_embed)
+# onto attach_hash_embed_arrow when their rows refresh — bit-identical
+# output (tests/test_operators.py pins the faces equal), so the swap is
+# a pure plan change, but the code-changed-re-enters convention says
+# do it in the round their rows re-enter anyway.
 _PRIORITY: tuple[str, ...] = (
     # (1) never driver-checked: the five r10 promotions (5)
     "q_compact_cluster",
