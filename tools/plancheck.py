@@ -57,7 +57,17 @@ CROSS_OK = {
 # pipeline replays that forward whole records).
 FULL_SCAN_OK = {"q_scan_json_lines"}
 
-PUSHDOWN_REQUIRED = {"q_scan_parquet", "q_filter", "q_join_inner", "q_subquery_in"}
+PUSHDOWN_REQUIRED = {
+    "q_scan_parquet",
+    "q_filter",
+    "q_join_inner",
+    "q_subquery_in",
+    # the r10 maintenance promotions: the post-rewrite read-back MUST
+    # push its range predicates into the rewritten scratch table — a
+    # rewrite whose reader can't push down defeats its own purpose
+    "q_zorder_rewrite",
+    "q_skipping_prune",
+}
 
 # Queries whose filter must prune PARTITIONS (directory-level skip), not
 # merely push into the row-group reader.
@@ -67,6 +77,18 @@ PARTITION_PRUNE_REQUIRED = {"q_scan_partitioned"}
 # to have (docstring claims, enforced). A refactor that sneaks in an extra
 # shuffle — the dominant cost at 100 TB — fails here, not in production.
 MAX_EXCHANGES = {
+    # r10 maintenance promotions — the budget covers the RETURNED plan
+    # (the post-rewrite read-back; the rewrite stages' physical claims
+    # are pytest-pinned in tests/test_maintenance.py etc.): the whole
+    # point of compact/zorder/skip is that the subsequent read is a
+    # bare pruned scan, so any Exchange appearing there is a regression
+    "q_compact_cluster": 0,
+    "q_zorder_rewrite": 0,
+    "q_skipping_prune": 0,
+    "q_shard_manifest": 0,  # manifest is pre-aggregated by the writer
+    # 3-delta ingest + compaction feed a (doc x line-hash) join + per-doc
+    # agg: one shuffle each
+    "q_line_index_incremental": 2,
     "q_pipeline_e2e": 1,  # the dedup window; later stages narrow
     "q_agg_group": 2,  # partial+final hash aggregate + presentation sort
     "q_histogram": 1,  # single hash aggregate on bin key
