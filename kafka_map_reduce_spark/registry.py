@@ -78,7 +78,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # a bit-no-op at gated SFs via the flat-path size threshold, pinned in
 # tests/test_semantic_dedup.py, but the operator code changed so the
 # rows re-enter per the r9 convention). q_sim_pq's code also changed
-# (train_sample_n) but it already sits in the r6-spill block below;
+# (train_sample_n) but it already sits in the r6-spill block below.
+# q_sim_ivfpq is also touched (ivfpq_index refactored onto the shared
+# _hash_mod_filter helper and pq_fit grew an optional param on its call
+# path — bit-no-op pinned by tests/test_pq.py incl. the train-sample
+# no-op and append-parity suites); its row is r9-fresh, so it yields
+# its slot to r7-stale rows this round and re-enters r11 with the
+# refresh queue;
 # (3) the ten r6 rows spilled from the r9 window, as documented there;
 # (4) 30 of the 46 r7-stale rows, oldest-first with family dedup;
 # (5) the one live streaming_live r7-stale row at the window edge.
