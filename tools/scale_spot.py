@@ -172,11 +172,14 @@ def _hash_embed_split(spark, data_dir: str):
     must track the fixed batch, not the growing index."""
     from pyspark.sql import functions as F
 
-    from kafka_map_reduce_spark.operators.text import attach_hash_embed
+    from kafka_map_reduce_spark.operators.text import attach_hash_embed_arrow
     from kafka_map_reduce_spark.sources import load_table
 
     d = load_table(spark, data_dir, "documents")
-    emb = attach_hash_embed(d, "text", "embedding", dim=32, hasher="md5").select(
+    # r10: the Arrow md5 face — BIT-IDENTICAL vectors (pytest-pinned),
+    # so every prior round's ingest numbers stay comparable while the
+    # embed setup stops dominating the audit at the 100x scale
+    emb = attach_hash_embed_arrow(d, "text", "embedding", dim=32).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
     is_batch = (F.col("vec_id") < _ID_OFFSET) & (F.col("vec_id") % 10 == 0)
