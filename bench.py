@@ -495,16 +495,21 @@ def host_calibration(spark, sf_dir: str, n_runs: int) -> dict:
       face of the same question.
     min-of-n like every other timing. ``shared_vs_prev`` normalizes by
     the CPU probe (the purer signal — the scan probe is recorded for
-    diagnosis, not used as the divisor)."""
+    diagnosis, not used as the divisor).
+
+    r10 lesson (VERDICT r10 what's-wrong #1): two same-round runs of
+    this probe produced drift estimates of opposite sign (+2% / −5%),
+    flipping the calibrated conclusion on code-untouched queries. A
+    point estimate without a recorded spread cannot adjudicate that, so
+    since r11 the CPU probe takes ``CAL_CPU_SAMPLES`` (≥ n_runs)
+    samples and records them all plus the relative spread
+    ((max−min)/min); ``cpu_sec`` stays the MIN so the number remains
+    protocol-compatible with the r9/r10 artifacts it is divided by.
+    ``cpu_probe()`` is exposed separately so main() can re-probe AFTER
+    the headline set and witness within-run host drift too."""
     from pyspark.sql import functions as F
 
-    best_cpu = float("inf")
-    for _ in range(n_runs):
-        t0 = time.time()
-        x = 1
-        for _i in range(8_000_000):
-            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
-        best_cpu = min(best_cpu, time.time() - t0)
+    samples = cpu_probe(max(CAL_CPU_SAMPLES, n_runs))
     ev = os.path.join(sf_dir, "events.parquet")
     best_scan = float("inf")
     for _ in range(n_runs):
@@ -513,7 +518,27 @@ def host_calibration(spark, sf_dir: str, n_runs: int) -> dict:
             F.count(F.lit(1)), F.sum("value"), F.min("ts"), F.max("ts")
         ).write.mode("overwrite").format("noop").save()
         best_scan = min(best_scan, time.time() - t0)
-    return {"cpu_sec": round(best_cpu, 3), "scan_sec": round(best_scan, 3)}
+    return {
+        "cpu_sec": round(min(samples), 3),
+        "cpu_samples": [round(s, 3) for s in samples],
+        "cpu_rel_spread": round((max(samples) - min(samples)) / min(samples), 4),
+        "scan_sec": round(best_scan, 3),
+    }
+
+
+CAL_CPU_SAMPLES = 7  # ~0.8 s each; 7 bounds the min estimator's noise
+
+
+def cpu_probe(n: int) -> list:
+    """n timings of the fixed single-thread LCG loop (8M steps)."""
+    samples = []
+    for _ in range(n):
+        t0 = time.time()
+        x = 1
+        for _i in range(8_000_000):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        samples.append(time.time() - t0)
+    return samples
 
 
 def current_round() -> int:
@@ -591,6 +616,21 @@ def shared_vs_prev(
                     drift = calibration["cpu_sec"] / prev_cal["cpu_sec"]
                     out["host_cpu_drift"] = round(drift, 3)
                     out["ratio_calibrated"] = round(out["ratio"] / drift, 3)
+                    # Uncertainty band (r10 what's-wrong #1): the drift
+                    # divisor is a ratio of two min-estimators, each
+                    # uncertain by its run's recorded relative spread
+                    # (prior rounds without one contribute 0 — the band
+                    # is then one-sided-honest, not complete). If the
+                    # band straddles 1.0 the calibrated ratio is NOT
+                    # evidence of an engine change.
+                    spread_now = calibration.get("cpu_rel_spread")
+                    if spread_now is not None:
+                        band = spread_now + (prev_cal.get("cpu_rel_spread") or 0.0)
+                        out["calibration_rel_spread"] = round(band, 4)
+                        out["ratio_calibrated_band"] = [
+                            round(out["ratio"] / (drift * (1.0 + band)), 3),
+                            round(out["ratio"] * (1.0 + band) / drift, 3),
+                        ]
                 return out
         except (json.JSONDecodeError, OSError, TypeError):
             continue  # a malformed prior artifact must not fail the bench
@@ -636,6 +676,19 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    # Post-headline CPU re-probe (r11): the same fixed loop AFTER ~20
+    # minutes of bench work. If the host sped up / slowed down DURING
+    # the run, pre-vs-post shows it; the pooled spread goes into the
+    # calibration record so the calibrated ratio carries its own error
+    # bar. cpu_sec itself stays the PRE-headline min (protocol match
+    # with the r9/r10 artifacts it is compared against).
+    post_samples = cpu_probe(CAL_CPU_SAMPLES)
+    pooled = calibration["cpu_samples"] + [round(s, 3) for s in post_samples]
+    calibration["cpu_sec_post"] = round(min(post_samples), 3)
+    calibration["cpu_rel_spread"] = round(
+        (max(pooled) - min(pooled)) / min(pooled), 4
+    )
 
     def bench_set(names, data_dir, runs):
         out = {}
