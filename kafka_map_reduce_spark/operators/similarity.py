@@ -260,6 +260,12 @@ def _route_structure(C, n_iters=5):
             m = a == j
             if m.any():
                 G[j] = C[m].mean(axis=0)
+    # Re-fit the assignment against the FINAL G (ADVICE r10): the loop
+    # updates G after computing `a`, so without this the routed kernel
+    # would probe final super-centroids against one-iteration-stale
+    # memberships, degrading routed-vs-flat agreement at the margins.
+    d2 = cn[:, None] - 2.0 * (C @ G.T) + (G * G).sum(axis=1)[None, :]
+    a = np.argmin(d2, axis=1)
     members = [np.where(a == j)[0] for j in range(g)]
     keep = [j for j in range(g) if len(members[j])]
     return G[keep], [members[j] for j in keep]
@@ -347,6 +353,49 @@ def _assign_model(cents_rows, sc, route_nprobe=3):
     if sc is not None and len(cents_rows) > _ROUTED_ASSIGN_MIN_K:
         return _assign_arrow_routed(cents_rows, sc, nprobe=route_nprobe)
     return _assign_arrow(cents_rows, sc=sc)
+
+
+_SEMANTIC_K_CAP = 32768
+
+
+def semantic_model_params(
+    n: int,
+    target_cluster: int = 250,
+    k_cap: int = _SEMANTIC_K_CAP,
+    sample_per_centroid: int = 50,
+    cap_ratio: int = 8,
+) -> tuple:
+    """Sizing policy for the SemDeDup family, in ONE place (r10 verdict
+    item #4): returns (n_clusters, train_sample_mod, max_cluster_size)
+    for a corpus of ``n`` vectors.
+
+    k tracks the corpus (k = n / target_cluster) only up to ``k_cap``
+    (default 2^15), then FREEZES — the SemDeDup paper's own LAION-scale
+    practice (fixed cluster count, cluster size grows with the corpus).
+    Why: the trainer samples ~sample_per_centroid vectors per centroid,
+    so with k ∝ N Lloyd cost is O(N²/(target·sample⁻¹)) — the family's
+    last quadratic term (SCALE_SPOT_r10 diagnosis: ~40-59 s at 5M docs,
+    ~1 h at 50M). With k capped, the training sample is 50·k_cap
+    regardless of corpus size: training cost becomes CONSTANT in N, and
+    the one full assignment pass stays linear (IVF-routed above
+    _ROUTED_ASSIGN_MIN_K, so it is O(N·√k), not O(N·k)).
+
+    What the cap costs: above n = k_cap·target_cluster (~8.2M docs at
+    the defaults) the expected cluster size grows as n/k_cap, so the
+    within-cluster verify term is O(n²/k_cap) — quadratic again but
+    with a 2^15 divisor, and the per-cluster work is one BLAS matmul
+    (at 100M docs: avg cluster ~3k, ~9e6 dot products per cluster —
+    milliseconds each). The hot-cluster governor must grow WITH the
+    expected size or it would start dropping ordinary clusters to the
+    exact-dedup path: max_cluster_size = cap_ratio × expected size,
+    floored at 2000 — below the cap regime expected size is
+    target_cluster, making the floor the historical 8×250 = 2000
+    exactly, so every gated scale (and the 5M-doc witness) is
+    bit-unchanged by this function existing."""
+    k = max(8, min(n // target_cluster, k_cap))
+    mod = max(1, n // (sample_per_centroid * k))
+    max_cluster = max(2000, cap_ratio * max(1, n // k))
+    return k, mod, max_cluster
 
 
 def _hash_mod_filter(df: DataFrame, id_col: str, mod: int) -> DataFrame:
@@ -476,8 +525,15 @@ def kmeans_fit(
             # large k: interpreted HOF argmin is the wall (see
             # _ARROW_ASSIGN_MIN_K); one numpy matmul per Arrow batch,
             # model hoisted into an explicit broadcast (ship-once per
-            # iteration, not per consuming stage)
-            assign = _assign_arrow(
+            # iteration, not per consuming stage). _assign_model keeps
+            # the flat bit-exact kernel up to _ROUTED_ASSIGN_MIN_K and
+            # engages the IVF-routed two-level kernel above it (r10
+            # verdict item #4: routing the TRAINER's own assigns drops
+            # each Lloyd pass from O(sample·k·dim) to O(sample·√k·dim)
+            # — at k=20k that is ~35× fewer flops per iteration, the
+            # other half of the training-quadratic fix alongside the
+            # semantic_model_params k-cap).
+            assign = _assign_model(
                 cents.collect(), sc=corpus.sparkSession.sparkContext
             )
             iter_bc = assign._kmr_broadcast
@@ -1533,7 +1589,7 @@ def _normalize_arrow():
     return norm
 
 
-def _bucket_pairs_fn(threshold: float):
+def _bucket_pairs_fn(threshold: float, max_pairs: int | None = None):
     """applyInPandas kernel: ALL over-threshold pairs of one cluster via
     a single U @ U.T BLAS call on the bucket's unit vectors. The reason
     this exists instead of a bucket self-join + per-pair scorer: a
@@ -1545,7 +1601,24 @@ def _bucket_pairs_fn(threshold: float):
     N-row shuffle on bkt) and the c x c similarity matrix is ~2M FLOPs
     of BLAS per bucket. Memory is c^2 floats for the bucket matrix —
     bounded by max_cluster_size^2 (the cap is load-bearing here, not
-    just a skew nicety). ids sorted so id_a < id_b deterministically."""
+    just a skew nicety). ids sorted so id_a < id_b deterministically.
+
+    ``max_pairs`` is the PAIR-STREAM governor (r10 verdict item #5: at
+    sf100 the fixture's near-dup density put 129M over-threshold pairs
+    through materialize+round+sort — the dominant term of the decade
+    ratio, and almost all of it from the handful of size-capped hot
+    clusters whose c²/2 ≈ 2M pairs each). When one cluster's
+    over-threshold pair count exceeds the cap, the kernel emits a
+    deterministic dedup-sufficient subset instead of the full clique:
+    every node keeps its best witness edge (highest sim, ties to the
+    smaller pair), so any doc with an over-threshold neighbor still has
+    ≥1 edge and downstream connected-components / keep-best still marks
+    it a duplicate, then the remaining budget fills with the globally
+    top-sim pairs. Degradation under the cap is component FRAGMENTATION
+    only (a weak bridge edge between two dense sub-cliques can drop) —
+    the same accepted trade as the LSH families' hot-bucket caps, and
+    it only engages on clusters denser than max_pairs (the planted
+    fixtures and every gated SF emit orders of magnitude fewer)."""
     import numpy as np
 
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1560,9 +1633,30 @@ def _bucket_pairs_fn(threshold: float):
         iu, ju = np.triu_indices(len(ids), k=1)
         s = S[iu, ju]
         m = s >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[iu[m]], "id_b": ids[ju[m]], "sim": s[m]}
-        )
+        ia, jb, sv = iu[m], ju[m], s[m]
+        if max_pairs is not None and len(sv) > max_pairs:
+            # witness-first selection: order edges best-sim-first
+            # (deterministic tie-break on the id pair), keep the first
+            # edge that touches each not-yet-witnessed node, then fill
+            # with the best remaining edges up to the cap.
+            rank = np.lexsort((ids[jb], ids[ia], -sv))
+            ia, jb, sv = ia[rank], jb[rank], sv[rank]
+            # each node's best edge = its first occurrence (as either
+            # endpoint) in best-first order — all vectorized, no
+            # per-edge Python on the up-to-c²/2 hot-cluster stream
+            first = np.full(len(ids), len(sv), dtype=np.int64)
+            ua, fa = np.unique(ia, return_index=True)
+            first[ua] = fa
+            ub, fb = np.unique(jb, return_index=True)
+            first[ub] = np.minimum(first[ub], fb)
+            witness = np.unique(first[first < len(sv)])
+            is_w = np.zeros(len(sv), dtype=bool)
+            is_w[witness] = True
+            budget = max(0, max_pairs - len(witness))
+            filler = np.where(~is_w)[0][:budget]
+            keep = np.sort(np.concatenate([witness, filler]))
+            ia, jb, sv = ia[keep], jb[keep], sv[keep]
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[jb], "sim": sv})
 
     return f
 
@@ -1577,6 +1671,7 @@ def semantic_dedup(
     max_cluster_size: int | None = None,
     init: str = "farthest",
     train_sample_mod: int = 1,
+    max_pairs_per_cluster: int | None | str = "auto",
 ) -> DataFrame:
     """(id_a, id_b, sim) pairs with cosine >= threshold, candidates
     bounded by trained k-means clusters — the SemDeDup shape (Abbas et
@@ -1653,8 +1748,24 @@ def semantic_dedup(
             counts.filter(F.col("__n") <= max_cluster_size).select("bkt"),
             "bkt",
         )
+    # Pair-stream governor (r10 verdict #5): "auto" sizes the per-
+    # cluster emitted-pair cap at 4× the size governor — a size-capped
+    # hot cluster's full clique is max_cluster_size²/2 pairs (2M at the
+    # 2000 default, and ~60 such template-blob clusters produced
+    # essentially all of sf100's 129M-pair stream); under the cap it
+    # emits ≤8k witness-first pairs instead. Ordinary clusters near the
+    # TARGET size emit c·dup_density pairs, far below the cap. The
+    # append-vs-rebuild parity with semantic_dedup_ingest is stated at
+    # the uncapped regime (the ingest face never sees a standing
+    # cluster's full clique, only batch-vs-cluster rectangles, so its
+    # stream is batch-bounded by construction).
+    if max_pairs_per_cluster == "auto":
+        max_pairs_per_cluster = (
+            4 * max_cluster_size if max_cluster_size else None
+        )
     pairs = assigned.groupBy("bkt").applyInPandas(
-        _bucket_pairs_fn(threshold), "id_a long, id_b long, sim double"
+        _bucket_pairs_fn(threshold, max_pairs=max_pairs_per_cluster),
+        "id_a long, id_b long, sim double",
     )
     return pairs.select(
         "id_a",

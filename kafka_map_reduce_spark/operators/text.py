@@ -514,7 +514,17 @@ def attach_hash_embed_arrow(
                         int(h[:4], 16) % dim,
                         1.0 if int(h[4], 16) % 2 == 0 else -1.0,
                     )
-                    if len(_cache) < 4_000_000:  # bounded executor cache
+                    # Bounded per-worker cache, sized from vocabulary
+                    # shape rather than generosity (ADVICE r10): token
+                    # frequencies are Zipfian, so the top 2^18 distinct
+                    # tokens cover the overwhelming share of token
+                    # OCCURRENCES while costing ~250 B/entry ≈ 64 MB
+                    # per Python worker — times ~32 workers/executor
+                    # that is a named ~2 GB/executor ceiling, vs the
+                    # hundreds of MB PER WORKER the old 4M bound
+                    # allowed. Tail tokens just recompute one md5 —
+                    # the cache is a speedup, not a correctness state.
+                    if len(_cache) < 262_144:
                         _cache[u] = c
                 bucket[j], sign[j] = c
             np.add.at(

@@ -658,22 +658,28 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("vec_id"), "embedding")
         .localCheckpoint(eager=True)
     )
-    # k scales with the corpus (target cluster ~250 vectors) so the
-    # within-cluster quadratic term stays ~N*250 at ANY data size; the
+    # Sizing via semantic_model_params (r10 verdict #4): k tracks the
+    # corpus at ~250 vectors/cluster up to the 2^15 cap, then freezes —
+    # the SemDeDup paper's LAION practice — so the 50-per-centroid
+    # training sample (and with it Lloyd cost) is CONSTANT in N past
+    # ~8.2M docs; the hot-cluster governor scales with the expected
+    # cluster size in the capped regime (identical 2000 below it). The
     # count is free on the checkpointed table; spread init keeps
-    # seeding k-independent, and training fits on a ~50-vectors-per-
-    # centroid hash-sample so Lloyd cost is sample-bound, not
-    # corpus-bound (one full Arrow assignment pass then covers all).
+    # seeding k-independent.
+    from kafka_map_reduce_spark.operators.similarity import (
+        semantic_model_params,
+    )
+
     n = emb.count()
-    k = max(8, n // 250)
+    k, mod, cap = semantic_model_params(n)
     return semantic_dedup(
         emb,
         threshold=0.85,
         n_clusters=k,
         iters=3,
-        max_cluster_size=2000,
+        max_cluster_size=cap,
         init="spread",
-        train_sample_mod=max(1, n // (50 * k)),
+        train_sample_mod=mod,
     ).orderBy("id_a", "id_b")
 
 
@@ -710,23 +716,24 @@ def q_dedup_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = emb.filter(F.col("vec_id") % 10 != 0)
     new = emb.filter(F.col("vec_id") % 10 == 0)
     n = old.count()
-    k = max(8, n // 250)
+    from kafka_map_reduce_spark.operators.similarity import (
+        semantic_model_params,
+    )
     from pyspark.sql import functions as _F
 
-    train = old.filter(
-        _F.pmod(_F.xxhash64("vec_id"), _F.lit(max(1, n // (50 * k)))) == 0
-    )
+    k, mod, cap = semantic_model_params(n)
+    train = old.filter(_F.pmod(_F.xxhash64("vec_id"), _F.lit(mod)) == 0)
     cents = kmeans_fit(
         train, k, iters=3, vec_col="embedding", id_col="vec_id",
         init="spread",
     ).localCheckpoint(eager=True)
     empty = spark.createDataFrame([], "id long, bkt int, __vn array<double>")
     _, index = semantic_dedup_ingest(
-        old, cents, empty, threshold=0.85, max_cluster_size=2000
+        old, cents, empty, threshold=0.85, max_cluster_size=cap
     )
     index = index.localCheckpoint(eager=True)
     pairs, _ = semantic_dedup_ingest(
-        new, cents, index, threshold=0.85, max_cluster_size=2000
+        new, cents, index, threshold=0.85, max_cluster_size=cap
     )
     return pairs.orderBy("id_a", "id_b")
 
@@ -854,16 +861,20 @@ def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("vec_id"), "embedding")
         .localCheckpoint(eager=True)
     )
+    from kafka_map_reduce_spark.operators.similarity import (
+        semantic_model_params,
+    )
+
     n = emb.count()
-    k = max(8, n // 250)
+    k, mod, cap = semantic_model_params(n)
     pairs = semantic_dedup(
         emb,
         threshold=0.95,
         n_clusters=k,
         iters=3,
-        max_cluster_size=2000,
+        max_cluster_size=cap,
         init="spread",
-        train_sample_mod=max(1, n // (50 * k)),
+        train_sample_mod=mod,
     ).select("id_a", "id_b")
     comp = D.connected_components(pairs, docs.select("doc_id")).select(
         F.col("id").alias("doc_id"), "cluster_id"

@@ -200,14 +200,17 @@ def semantic_ingest_audit(spark, data_dir: str, n_runs: int) -> dict:
     from kafka_map_reduce_spark.operators.similarity import (
         kmeans_fit,
         semantic_dedup_ingest,
+        semantic_model_params,
     )
 
     batch, standing = _hash_embed_split(spark, data_dir)
     n = standing.count()
     b = batch.count()
-    k = max(8, n // 250)  # production sizing: cluster ~250 at any scale
+    # production sizing policy (semantic_model_params: ~250/cluster up
+    # to the 2^15 k-cap, governor scales with expected cluster size)
+    k, mod, cap = semantic_model_params(n)
     train = standing.filter(
-        F.pmod(F.xxhash64("vec_id"), F.lit(max(1, n // (50 * k)))) == 0
+        F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
     )
     t0 = time.time()
     cents = kmeans_fit(
@@ -217,7 +220,7 @@ def semantic_ingest_audit(spark, data_dir: str, n_runs: int) -> dict:
     empty = spark.createDataFrame([], "id long, bkt int, __vn array<double>")
     t0 = time.time()
     _, index = semantic_dedup_ingest(
-        standing, cents, empty, threshold=0.85, max_cluster_size=2000
+        standing, cents, empty, threshold=0.85, max_cluster_size=cap
     )
     index = index.localCheckpoint(eager=True)
     build_s = time.time() - t0
@@ -227,7 +230,7 @@ def semantic_ingest_audit(spark, data_dir: str, n_runs: int) -> dict:
     for _ in range(n_runs):
         t0 = time.time()
         pairs, new_rows = semantic_dedup_ingest(
-            batch, cents, index, threshold=0.85, max_cluster_size=2000
+            batch, cents, index, threshold=0.85, max_cluster_size=cap
         )
         pairs.write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
@@ -240,7 +243,7 @@ def semantic_ingest_audit(spark, data_dir: str, n_runs: int) -> dict:
     idx_hist = index.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_idx"))
     bat_hist = (
         semantic_dedup_ingest(
-            batch, cents, empty, threshold=0.85, max_cluster_size=2000
+            batch, cents, empty, threshold=0.85, max_cluster_size=cap
         )[1]
         .groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("n_bat"))
@@ -372,7 +375,11 @@ def keep_best_tail_audit(spark, data_dir: str, n_runs: int) -> dict:
         .localCheckpoint(eager=True)
     )
     n = emb.count()
-    k = max(8, n // 250)
+    from kafka_map_reduce_spark.operators.similarity import (
+        semantic_model_params,
+    )
+
+    k, mod, cap = semantic_model_params(n)
     t0 = time.time()
     pairs = (
         semantic_dedup(
@@ -380,9 +387,9 @@ def keep_best_tail_audit(spark, data_dir: str, n_runs: int) -> dict:
             threshold=0.85,
             n_clusters=k,
             iters=3,
-            max_cluster_size=2000,
+            max_cluster_size=cap,
             init="spread",
-            train_sample_mod=max(1, n // (50 * k)),
+            train_sample_mod=mod,
         )
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
@@ -511,7 +518,11 @@ def watermark_dedup_audit(spark, data_dir: str,
     ev = load_table(spark, data_dir, "events").select("event_id", "ts")
     n_distinct = ev.count()
     redelivered = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
-    n_total = n_distinct + n_distinct // 10
+    # counted, not derived (ADVICE r10): n_distinct + n_distinct // 10
+    # only equals this when event_ids are contiguous from 0 — the
+    # replica-built 10x/100x corpora keep that true today, but the
+    # max_state_rows < n_input_rows bound should not depend on it
+    n_total = redelivered.count()
     n_files = max(2, n_total // rows_per_batch)
     src = os.path.join(wd, "src")
     redelivered.repartitionByRange(n_files, "ts").write.parquet(src)
@@ -542,6 +553,15 @@ def watermark_dedup_audit(spark, data_dir: str,
         ["event_id"]
     )
     out_path = os.path.join(wd, "out")
+    # recentProgress keeps only the newest numRecentProgressUpdates
+    # entries (default 100) — at sf100 the run spans 120+ one-file
+    # micro-batches, so without raising it n_batches_observed
+    # undercounts and an EARLY max_state_rows peak silently drops out
+    # of the max (ADVICE r10). Sized to the known batch count; restored
+    # after the run so the session default isn't mutated for callers.
+    prog_key = "spark.sql.streaming.numRecentProgressUpdates"
+    prog_prev = spark.conf.get(prog_key, "100")
+    spark.conf.set(prog_key, str(n_files + 64))
     t0 = time.time()
     q = (
         deduped.writeStream.outputMode("append")
@@ -557,6 +577,7 @@ def watermark_dedup_audit(spark, data_dir: str,
         n_batches += 1
         for so in (p.get("stateOperators") or []):
             max_state = max(max_state, so.get("numRowsTotal", 0))
+    spark.conf.set(prog_key, prog_prev)
     got = spark.read.parquet(out_path).count()
     return {
         "wall_sec": wall,
