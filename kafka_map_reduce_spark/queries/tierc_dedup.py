@@ -575,10 +575,12 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared hot-bucket cap, one candidate-sized cosine verify — never
     all-pairs."""
     from kafka_map_reduce_spark.operators.similarity import embedding_near_dup
-    from kafka_map_reduce_spark.operators.text import attach_hash_embed
+    from kafka_map_reduce_spark.operators.text import (
+        attach_hash_embed_arrow,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    emb = attach_hash_embed(d, "text", "embedding", dim=32, hasher="md5").select(
+    emb = attach_hash_embed_arrow(d, "text", "embedding", dim=32).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
     return embedding_near_dup(emb, dim=32, threshold=0.95).orderBy(
@@ -599,10 +601,12 @@ def q_dedup_embedding_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy the text-LSH hot-band cap implements (SURVEY §6 r6
     scale-spot analysis)."""
     from kafka_map_reduce_spark.operators.similarity import embedding_near_dup
-    from kafka_map_reduce_spark.operators.text import attach_hash_embed
+    from kafka_map_reduce_spark.operators.text import (
+        attach_hash_embed_arrow,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    emb = attach_hash_embed(d, "text", "embedding", dim=32, hasher="md5").select(
+    emb = attach_hash_embed_arrow(d, "text", "embedding", dim=32).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
     return embedding_near_dup(

@@ -307,12 +307,14 @@ def q_sim_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id < 120 here only to keep the oracle's all-pairs join small —
     the Spark side has no such need."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    from kafka_map_reduce_spark.operators.text import attach_hash_embed
+    from kafka_map_reduce_spark.operators.text import (
+        attach_hash_embed_arrow,
+    )
 
     # staged form: cosine references the embedding many times (dot +
     # norms), which would re-run the whole fold per reference if it were
     # an inline Column expression (see attach_hash_embed)
-    emb = attach_hash_embed(d, "text", "embedding", dim=32, hasher="md5").select(
+    emb = attach_hash_embed_arrow(d, "text", "embedding", dim=32).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
     return S.brute_force_topk(

@@ -802,17 +802,17 @@ def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets the cosine/top-k/IVF/embedding-dedup operators run end-to-end
     from raw text without shipping an external model.
 
-    Thin registration wrapper over operators/text.py:hash_embed (scale
-    analysis there: shuffle-free, whole-stage codegen, O(tokens x dim)
-    per doc); hasher="md5" so the DuckDB oracle replays bucket and sign
-    bit-for-bit, and components are emitted as 1e-4-quantized ints (the
-    q_embed_quantize JSON convention — float FORMATTING differs between
-    engines even when values are bit-equal)."""
+    Thin registration wrapper over the Arrow md5 embed face
+    (operators/text.py:attach_hash_embed_arrow — bit-identical to the
+    JVM md5 fold, pinned in tests/test_operators.py, and 9x faster at
+    5M docs because the interpreted O(tokens x dim) aggregate fold is
+    replaced by one factorize + np.add.at per Arrow batch): the DuckDB
+    oracle replays the same md5 bucket/sign nibbles bit-for-bit, and
+    components are emitted as 1e-4-quantized ints (the q_embed_quantize
+    JSON convention — float FORMATTING differs between engines even
+    when values are bit-equal)."""
     d = load_table(spark, sf_dir, "documents")
-    # attach_hash_embed, NOT the Column form: staged projections keep the
-    # signed-count fold at one evaluation per row (the Column form
-    # inlines it into every output element — measured 26x slower here)
-    emb = X.attach_hash_embed(d, "text", "e", dim=32, hasher="md5")
+    emb = X.attach_hash_embed_arrow(d, "text", "e", dim=32)
     return emb.select(
         "doc_id",
         F.to_json(
