@@ -646,3 +646,91 @@ def q_stream_mix_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tgt_frac", F.lit(1.0) / F.lit(float(n_domains)))
     )
     return mixture_drift_report(spark, stats, targets).orderBy("domain")
+
+
+def _watermark_dedup_run(spark: SparkSession, sf_dir: str):
+    """Shared core of q_stream_dedup_watermark: returns (result_df,
+    audit) where audit carries the state-boundedness evidence
+    (max_state_rows, n_batches) that the registered face can't put in
+    its output schema — tests/test_watermark_dedup.py asserts on it."""
+    from kafka_map_reduce_spark.sources import load_table
+    from kafka_map_reduce_spark.streaming.pipeline import drain_query
+
+    wd = _work_dir(sf_dir, "wm_dedup")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    redelivered = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    src = os.path.join(wd, "src")
+    n_files = 4
+    redelivered.repartitionByRange(n_files, "ts").write.parquet(src)
+    # Pin replay order to event-time order (the SCALE_SPOT_r10 lesson:
+    # FileStreamSource admits files oldest-mtime-first, but parallel
+    # write tasks finish in arbitrary order — unpinned, the watermark
+    # can jump ahead on an out-of-order range and drop whole earlier
+    # ranges as late; 56% loss observed at sf10). part-NNNNN names sort
+    # with the range partitioning, so strictly increasing mtimes in
+    # name order reproduce the in-order delivery a real log source
+    # (Kafka per-partition order) provides by construction.
+    import time as _time
+
+    t_base = _time.time() - 10 * n_files - 60
+    for i, name in enumerate(sorted(os.listdir(src))):
+        if name.startswith("part-"):
+            os.utime(os.path.join(src, name), (t_base + i, t_base + i))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = os.path.join(wd, "out")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .start(out)
+    )
+    drain_query(q, 300.0)
+    max_state = 0
+    n_batches = 0
+    for p in q.recentProgress:
+        n_batches += 1
+        for so in (p.get("stateOperators") or []):
+            max_state = max(max_state, so.get("numRowsTotal", 0))
+    res = spark.read.parquet(out).select("event_id", "user_id", "event_type")
+    return res, {"max_state_rows": max_state, "n_batches": n_batches}
+
+
+@query(
+    "q_stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming", "stateful"),
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATE-BOUNDED production form of q_stream_dedup (r10 verdict
+    item #6): ``dropDuplicatesWithinWatermark`` over a redelivered
+    multi-batch file replay (every 10th record duplicated, duplicates
+    carrying the ORIGINAL event time — the at-least-once redelivery
+    shape of lib.rs:944-994's commit seam, where a redelivered batch
+    replays the same records, not new ones).
+
+    Why this exists alongside q_stream_dedup (plain dropDuplicates on
+    the batch face): unbounded streaming dropDuplicates keeps EVERY key
+    ever seen — at 110M events the r10 scale audit measured the decade
+    ratio cliff at 32.9x as state spills. The watermark-bounded form
+    holds only keys younger than the 30-minute event-time horizon
+    (state ~ arrival rate x horizon: max 1.23M rows vs 110M, decade
+    8.1x — SCALE_SPOT_r10 watermark_dedup100). It stays EXACT under the
+    redelivery contract because a duplicate carries its original ts and
+    range-partitioned replay delivers it inside the horizon — so the
+    oracle is the full batch-DISTINCT face, hash-compared, not a
+    rows-only declaration. State boundedness itself is pinned in
+    tests/test_watermark_dedup.py via _watermark_dedup_run's audit."""
+    res, _ = _watermark_dedup_run(spark, sf_dir)
+    return res
