@@ -65,108 +65,106 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # therefore revisits on a ~3-round cycle while new Tier C work always
 # gets driver rows in its own round.
 #
-# Round-10 window (executing the r9 verdict's top item): (1) the five
-# never-driver-checked promotions registered this round
-# (queries/promotions_r10.py — prepared and differentially pre-verified
-# in r9, registered now exactly as the r9 queue note promised; the
-# never-checked-first contract test puts them at the head); (2) the
-# queries whose CODE changed this round — q_sim_ivf_kmeans (ivf_kmeans
-# training moved to the train_sample_n idiom, the r9 verdict's finding
-# #2) and the semantic-dedup family q_dedup_semantic /
-# q_dedup_semantic_ingest / q_dedup_semantic_keep_best (the O(N·k)
-# flat assign gained the IVF-routed two-level argmin — verdict item #3;
-# a bit-no-op at gated SFs via the flat-path size threshold, pinned in
-# tests/test_semantic_dedup.py, but the operator code changed so the
-# rows re-enter per the r9 convention). q_sim_pq's code also changed
-# (train_sample_n) but it already sits in the r6-spill block below.
-# q_sim_ivfpq is also touched (ivfpq_index refactored onto the shared
-# _hash_mod_filter helper and pq_fit grew an optional param on its call
-# path — bit-no-op pinned by tests/test_pq.py incl. the train-sample
-# no-op and append-parity suites); its row is r9-fresh, so it yields
-# its slot to r7-stale rows this round and re-enters r11 with the
-# refresh queue;
-# (3) the ten r6 rows spilled from the r9 window, as documented there;
-# (4) 30 of the 46 r7-stale rows, oldest-first with family dedup;
-# (5) the one live streaming_live r7-stale row at the window edge.
+# Round-11 window (executing the r10 verdict items #3/#6):
+# (1) the one never-driver-checked registration of this round,
+# q_stream_dedup_watermark (the measured state-bounded production form
+# of stream dedup, promoted from the r10 scale audit to a registered
+# query with a full batch-DISTINCT oracle) — it lives in streaming_live
+# so it sits inside the live block at the window EDGE, which still
+# satisfies the never-checked-in-window contract;
+# (2) the queries whose CODE changed this round — the semantic family
+# (q_dedup_semantic / q_dedup_semantic_ingest / q_dedup_semantic_keep_best:
+# sizing moved onto semantic_model_params with the 2^15 k-cap, the
+# trainer's Lloyd assigns now dispatch through _assign_model, and the
+# pair-stream governor landed in _bucket_pairs_fn — all bit-no-ops at
+# gated SFs, pinned in tests/test_semantic_dedup.py, but the operator
+# code changed so the rows re-enter per convention), the four queries
+# swapped onto the Arrow md5 embed face (q_dedup_embedding_lsh,
+# q_dedup_embedding_lsh_capped, q_sim_text_topk, q_text_hash_embed —
+# bit-identical face, parity re-run PASS post-swap), and the two
+# kmeans_fit consumers whose training path gained the routed dispatch
+# (q_sim_ivf_kmeans, q_sim_ivfpq — q_sim_ivfpq also owed its r10-queued
+# re-entry);
+# (3) the fifteen r7 spills documented last round, drained in full;
+# (4) 20 of the 36 non-live r8-stale rows;
+# (5) the live streaming_live block, contiguous at the window edge: the
+# six r8-stale live rows + the new q_stream_dedup_watermark.
 #
-# Fifteen non-live r7 rows spill to the r11 queue head — each leaves an
-# in-window (or fresher) family representative: q_cast + q_conditional
-# (q_string_funcs/q_date_funcs/q_json_funcs in-window),
-# q_dedup_clusters_star (q_dedup_clusters in-window),
-# q_dedup_simhash_capped (q_dedup_simhash in-window),
-# q_dedup_exact_incremental + q_dedup_incremental (q_dedup_exact
-# in-window; q_dedup_near r9-fresh), q_dedup_embedding_lsh_capped
-# (q_dedup_embedding_lsh r9-fresh), q_window_lead_lag +
-# q_window_running (q_window_frame/q_window_rank in-window),
-# q_udtf_explode (q_udf_scalar/q_udaf_grouped in-window), q_scan_text +
-# q_projection (q_scan_parquet/q_filter in-window), q_text_chunks +
-# q_text_compressibility (q_text_stats/q_text_tokens in-window),
-# q_epoch_order (q_corpus_report in-window).
+# Sixteen non-live r8 rows spill to the r12 queue head — each leaves an
+# in-window (or fresher) family representative: q_token_count
+# (q_text_tokens r10-fresh), q_text_repetition (q_text_repeated_spans
+# in-window), q_text_fingerprint (q_text_hash_embed in-window),
+# q_text_tfidf (q_text_unigram_logprob in-window), q_text_boilerplate
+# (q_text_decontaminate in-window), q_sample_temperature
+# (q_sample_stratified in-window; q_sample_weighted r10-fresh),
+# q_domain_cap (q_corpus_mix in-window), q_split_assign (q_epoch_order
+# in-window), q_quality_classifier (q_text_quality in-window),
+# q_agg_argmax (q_agg_group in-window), q_doc_ids (q_funnel in-window),
+# q_join_anti (q_join_asof in-window; q_join_semi r10-fresh),
+# q_intersect (q_except in-window), q_stream_tumbling (q_stream_sliding
+# in-window), q_window_value_funcs (q_window_lead_lag + q_window_running
+# in-window), q_subquery_correlated (q_subquery_in in-window).
 #
-# Round-11 queue — the fifteen spilled r7 rows above first, then the
-# r8-stale rows oldest-first. Also queued for r11: move the remaining
-# md5-embed-face callers (q_dedup_embedding, q_dedup_embedding_lsh,
-# q_dedup_embedding_lsh_capped, q_sim_text_topk, q_text_hash_embed)
-# onto attach_hash_embed_arrow when their rows refresh — bit-identical
-# output (tests/test_operators.py pins the faces equal), so the swap is
-# a pure plan change, but the code-changed-re-enters convention says
-# do it in the round their rows re-enter anyway.
+# Round-12 queue — the sixteen spilled r8 rows above first, then the
+# r9-stale rows oldest-first.
 _PRIORITY: tuple[str, ...] = (
-    # (1) never driver-checked: the five r10 promotions (5)
-    "q_compact_cluster",
-    "q_zorder_rewrite",
-    "q_skipping_prune",
-    "q_shard_manifest",
-    "q_line_index_incremental",
-    # (2) code changed this round (4)
-    "q_sim_ivf_kmeans",
+    # (2) code changed this round (9)
     "q_dedup_semantic",
     "q_dedup_semantic_ingest",
     "q_dedup_semantic_keep_best",
-    # (3) the ten r6 spills from the r9 window (10)
-    "q_agg_countif",
-    "q_audit_double_write",
-    "q_grouping_sets",
-    "q_join_right",
-    "q_join_semi",
-    "q_multimodal_decode",
-    "q_rollup",
-    "q_sim_pq",
-    "q_union_distinct",
-    "q_unpivot",
-    # (4) r7-stale, non-live (30 of 45)
-    "q_corpus_report",
-    "q_date_funcs",
-    "q_dedup_clusters",
-    "q_dedup_editdist",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_distinct",
-    "q_embed_quantize",
-    "q_filter",
-    "q_heavy_hitters",
-    "q_json_funcs",
-    "q_multimodal_frames",
-    "q_pipeline_e2e",
-    "q_sample_weighted",
-    "q_scan_json_lines",
-    "q_scan_parquet",
-    "q_scan_partitioned",
-    "q_sim_ivf",
-    "q_sim_sq8",
-    "q_string_funcs",
-    "q_text_bpe",
-    "q_text_decontaminate_spans",
-    "q_text_redact",
-    "q_text_stats",
-    "q_text_tokens",
-    "q_udaf_grouped",
-    "q_udf_scalar",
-    "q_window_frame",
-    "q_window_rank",
-    # (5) live streams, contiguous at the window edge (1)
-    "q_stream_mix_monitor",
+    "q_dedup_embedding_lsh",
+    "q_dedup_embedding_lsh_capped",
+    "q_sim_text_topk",
+    "q_text_hash_embed",
+    "q_sim_ivf_kmeans",
+    "q_sim_ivfpq",
+    # (3) the fifteen r7 spills from the r10 window, minus
+    # q_dedup_embedding_lsh_capped which re-enters above as
+    # code-changed (14)
+    "q_cast",
+    "q_conditional",
+    "q_dedup_clusters_star",
+    "q_dedup_exact_incremental",
+    "q_dedup_incremental",
+    "q_dedup_simhash_capped",
+    "q_epoch_order",
+    "q_projection",
+    "q_scan_text",
+    "q_text_chunks",
+    "q_text_compressibility",
+    "q_udtf_explode",
+    "q_window_lead_lag",
+    "q_window_running",
+    # (4) r8-stale, non-live (20 of 36)
+    "q_agg_group",
+    "q_corpus_mix",
+    "q_dedup_keep_best",
+    "q_dedup_near_capped",
+    "q_except",
+    "q_funnel",
+    "q_join_asof",
+    "q_join_multiway",
+    "q_pack_sequences",
+    "q_sample_stratified",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_subquery_in",
+    "q_text_decontaminate",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_repeated_spans",
+    "q_text_unigram_logprob",
+    "q_timeseries_gapfill",
+    "q_upsert_merge",
+    # (1)+(5) live streams, contiguous at the window edge (7): the new
+    # never-checked registration + the six r8-stale live rows
+    "q_stream_stateful",
+    "q_stream_dlq",
+    "q_sink_jsonl",
+    "q_stream_enrich",
+    "q_stream_join",
+    "q_stream_dedup_ingest",
+    "q_stream_dedup_watermark",
 )
 
 
