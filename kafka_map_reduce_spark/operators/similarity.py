@@ -234,8 +234,16 @@ def _assign_arrow(cents_rows, sc=None):
 # argmin. The threshold sits ABOVE every correctness-gated and
 # benchmarked k (sf0.01 keep-best k<=40, sf0.1 k<=200, sf10 scale rows
 # k=2000) so all hash-pinned and bench rows keep the flat path
-# bit-for-bit; only the 100x witnesses (k=20k) route.
-_ROUTED_ASSIGN_MIN_K = 4096
+# bit-for-bit; only the 100x witnesses route.
+#
+# 4096 → 2048 (r11): at 5M docs the spread-init trainer COLLAPSES the
+# requested k=20000 to ~4000 effective centroids — 96 short of the old
+# threshold, so the production full-corpus assign silently kept the
+# flat O(N·k) path the routing was built to replace (the r10 7.1 s
+# routed number was a forced measurement, not the shipped plan). 2048
+# routes the collapsed production model while still keeping every
+# gated k and the sf10 scale rows (k=2000) on the flat kernel.
+_ROUTED_ASSIGN_MIN_K = 2048
 
 
 def _route_structure(C, n_iters=5):
@@ -525,15 +533,22 @@ def kmeans_fit(
             # large k: interpreted HOF argmin is the wall (see
             # _ARROW_ASSIGN_MIN_K); one numpy matmul per Arrow batch,
             # model hoisted into an explicit broadcast (ship-once per
-            # iteration, not per consuming stage). _assign_model keeps
-            # the flat bit-exact kernel up to _ROUTED_ASSIGN_MIN_K and
-            # engages the IVF-routed two-level kernel above it (r10
-            # verdict item #4: routing the TRAINER's own assigns drops
-            # each Lloyd pass from O(sample·k·dim) to O(sample·√k·dim)
-            # — at k=20k that is ~35× fewer flops per iteration, the
-            # other half of the training-quadratic fix alongside the
-            # semantic_model_params k-cap).
-            assign = _assign_model(
+            # iteration, not per consuming stage).
+            #
+            # Deliberately the FLAT kernel, not _assign_model (r11,
+            # hypothesis tested and killed): routing the trainer's own
+            # Lloyd assigns was the r10 verdict's fallback remedy for
+            # the training quadratic, but measured at the production
+            # sizing (1M-row train slice, k=20000 requested) the routed
+            # trainer is SLOWER — 40.8 s vs 29.9 s flat
+            # (SCALE_SPOT_r11 train_r11): at trainer scale the per-
+            # batch small-group matmul overhead beats the flop savings
+            # that win on the 5M-row full-corpus pass. The quadratic is
+            # bounded by the OTHER remedy instead — the
+            # semantic_model_params k-cap freezes k (and with it the
+            # 50-per-centroid sample) past ~8.2M docs, making flat
+            # Lloyd cost constant in corpus size.
+            assign = _assign_arrow(
                 cents.collect(), sc=corpus.sparkSession.sparkContext
             )
             iter_bc = assign._kmr_broadcast
