@@ -33,9 +33,17 @@ def _parity():
 
 def test_promotions_are_registered_at_the_window_head():
     """The r10 registration contract: all five promotions are in
-    REGISTRY with their oracle SQL attached, and they occupy the head
-    of the priority window (never-checked-first, per
-    test_registry_contract.py::test_never_checked_outranks_stale)."""
+    REGISTRY with their oracle SQL attached, and — WHILE never driver-
+    checked — they occupy the head of the priority window
+    (never-checked-first, per test_registry_contract.py::
+    test_never_checked_outranks_stale). Once CORRECTNESS artifacts
+    carry their rows (r10 did: all five hash-green on first check) the
+    head requirement retires and later rounds rotate them like any
+    other checked query; the registration + oracle pins are permanent."""
+    import glob
+    import json
+    import os
+
     from kafka_map_reduce_spark.registry import _PRIORITY, REGISTRY
 
     names = [n for n, _f, _o in R10_REGISTRATIONS]
@@ -43,7 +51,15 @@ def test_promotions_are_registered_at_the_window_head():
     assert not unregistered, f"r10 promotions missing: {unregistered}"
     for n, _f, oracle in R10_REGISTRATIONS:
         assert REGISTRY[n].oracle == oracle, f"{n}: oracle mismatch"
-    assert list(_PRIORITY[: len(names)]) == names
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            checked |= set(json.load(open(path)))
+        except (json.JSONDecodeError, OSError):
+            continue
+    if not set(names) <= checked:
+        assert list(_PRIORITY[: len(names)]) == names
 
 
 @pytest.mark.parametrize(
