@@ -1633,7 +1633,16 @@ def _bucket_pairs_fn(threshold: float, max_pairs: int | None = None):
     only (a weak bridge edge between two dense sub-cliques can drop) —
     the same accepted trade as the LSH families' hot-bucket caps, and
     it only engages on clusters denser than max_pairs (the planted
-    fixtures and every gated SF emit orders of magnitude fewer)."""
+    fixtures and every gated SF emit orders of magnitude fewer).
+
+    Contract nuance: the witness floor OUTRANKS the cap — if a cluster
+    has more witnessed nodes than ``max_pairs`` (only possible when the
+    cap is set below the cluster's node count), every witness edge is
+    still emitted and the output exceeds ``max_pairs``. Deliberate:
+    dedup-sufficiency is the property downstream connected-components
+    depends on; a hard clamp would silently un-mark duplicates. The
+    "auto" sizing (4 x max_cluster_size ≥ 4 x nodes) can never reach
+    this regime."""
     import numpy as np
 
     def f(pdf: pd.DataFrame) -> pd.DataFrame:

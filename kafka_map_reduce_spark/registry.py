@@ -75,8 +75,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (2) the queries whose CODE changed this round — the semantic family
 # (q_dedup_semantic / q_dedup_semantic_ingest / q_dedup_semantic_keep_best:
 # sizing moved onto semantic_model_params with the 2^15 k-cap, the
-# trainer's Lloyd assigns now dispatch through _assign_model, and the
-# pair-stream governor landed in _bucket_pairs_fn — all bit-no-ops at
+# full-corpus assign now routes at the lowered _ROUTED_ASSIGN_MIN_K=2048
+# (the trainer's own Lloyd assigns stay on the FLAT kernel — the routed-
+# trainer hypothesis was tested and killed, SCALE_SPOT_r11 train_r11),
+# and the pair-stream governor landed in _bucket_pairs_fn — all bit-no-ops at
 # gated SFs, pinned in tests/test_semantic_dedup.py, but the operator
 # code changed so the rows re-enter per convention), the four queries
 # swapped onto the Arrow md5 embed face (q_dedup_embedding_lsh,

@@ -40,25 +40,15 @@ def test_promotions_are_registered_at_the_window_head():
     carry their rows (r10 did: all five hash-green on first check) the
     head requirement retires and later rounds rotate them like any
     other checked query; the registration + oracle pins are permanent."""
-    import glob
-    import json
-    import os
-
     from kafka_map_reduce_spark.registry import _PRIORITY, REGISTRY
+    from tests.test_registry_contract import checked_queries
 
     names = [n for n, _f, _o in R10_REGISTRATIONS]
     unregistered = [n for n in names if n not in REGISTRY]
     assert not unregistered, f"r10 promotions missing: {unregistered}"
     for n, _f, oracle in R10_REGISTRATIONS:
         assert REGISTRY[n].oracle == oracle, f"{n}: oracle mismatch"
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        try:
-            checked |= set(json.load(open(path)))
-        except (json.JSONDecodeError, OSError):
-            continue
-    if not set(names) <= checked:
+    if not set(names) <= checked_queries():
         assert list(_PRIORITY[: len(names)]) == names
 
 

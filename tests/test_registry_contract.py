@@ -14,6 +14,20 @@ from kafka_map_reduce_spark.registry import _PRIORITY, REGISTRY, all_queries
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def checked_queries() -> set[str]:
+    """Every query name with a row in any CORRECTNESS_r*.json — THE
+    reading of the driver-artifact convention (shared with
+    test_promotions_r10; if the artifact shape ever changes, this one
+    helper is where both contracts break loudly together)."""
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        try:
+            checked |= set(json.load(open(path)))
+        except (json.JSONDecodeError, OSError):
+            continue
+    return checked
+
+
 def test_priority_names_exist_and_fill_the_window():
     ordered = all_queries()
     assert len(_PRIORITY) == 50
@@ -36,12 +50,7 @@ def test_never_checked_outranks_stale():
     its first driver row cannot be deferred past the round it lands in.
     If more than 50 registrations were ever simultaneously unchecked,
     the window must consist entirely of unchecked ones."""
-    checked: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
-        try:
-            checked |= set(json.load(open(path)))
-        except (json.JSONDecodeError, OSError):
-            continue
+    checked = checked_queries()
     if not checked:  # fresh clone without driver artifacts: vacuous
         return
     never = set(all_queries()) - checked

@@ -118,9 +118,21 @@ def main() -> int:
     index = index.localCheckpoint(eager=True)
     pair_rows = {}
     for label, max_pairs in (("uncapped", None), ("auto_cap", 4 * cap)):
+        # one kernel pass per config (r11 review: a separate .count()
+        # re-ran the whole U@U^T scoring — ~40 s of duplicated 5M-doc
+        # work per config): count the noop-written stream via a row
+        # accumulator inside the same kernel invocation instead.
+        acc = spark.sparkContext.accumulator(0)
+        kernel = S._bucket_pairs_fn(0.85, max_pairs=max_pairs)
+
+        def counted_kernel(pdf, _f=kernel, _acc=acc):
+            out = _f(pdf)
+            _acc.add(len(out))
+            return out
+
         t0 = time.time()
         pairs = index.groupBy("bkt").applyInPandas(
-            S._bucket_pairs_fn(0.85, max_pairs=max_pairs),
+            counted_kernel,
             "id_a long, id_b long, sim double",
         ).select(
             "id_a",
@@ -129,11 +141,7 @@ def main() -> int:
         ).orderBy("id_a", "id_b")
         pairs.write.mode("overwrite").format("noop").save()
         dt = round(time.time() - t0, 1)
-        n_pairs = index.groupBy("bkt").applyInPandas(
-            S._bucket_pairs_fn(0.85, max_pairs=max_pairs),
-            "id_a long, id_b long, sim double",
-        ).count()
-        pair_rows[label] = {"pairs_round_sort_sec": dt, "n_pairs": n_pairs}
+        pair_rows[label] = {"pairs_round_sort_sec": dt, "n_pairs": acc.value}
     result["pair_cap_r11"] = {
         "n_docs": n,
         "max_cluster_size": cap,

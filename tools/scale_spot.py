@@ -562,22 +562,27 @@ def watermark_dedup_audit(spark, data_dir: str,
     prog_key = "spark.sql.streaming.numRecentProgressUpdates"
     prog_prev = spark.conf.get(prog_key, "100")
     spark.conf.set(prog_key, str(n_files + 64))
-    t0 = time.time()
-    q = (
-        deduped.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(wd, "ckpt"))
-        .start(out_path)
-    )
-    drain_query(q, 1800.0)
-    wall = round(time.time() - t0, 1)
-    max_state = 0
-    n_batches = 0
-    for p in q.recentProgress:
-        n_batches += 1
-        for so in (p.get("stateOperators") or []):
-            max_state = max(max_state, so.get("numRowsTotal", 0))
-    spark.conf.set(prog_key, prog_prev)
+    try:
+        t0 = time.time()
+        q = (
+            deduped.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(wd, "ckpt"))
+            .start(out_path)
+        )
+        drain_query(q, 1800.0)
+        wall = round(time.time() - t0, 1)
+        max_state = 0
+        n_batches = 0
+        for p in q.recentProgress:
+            n_batches += 1
+            for so in (p.get("stateOperators") or []):
+                max_state = max(max_state, so.get("numRowsTotal", 0))
+    finally:
+        # finally, not success-path (r11 review): a drain_query timeout
+        # would otherwise leave the raised retention mutating every
+        # later audit section in the same session
+        spark.conf.set(prog_key, prog_prev)
     got = spark.read.parquet(out_path).count()
     return {
         "wall_sec": wall,
