@@ -107,7 +107,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # in-window), q_window_value_funcs (q_window_lead_lag + q_window_running
 # in-window), q_subquery_correlated (q_subquery_in in-window).
 #
-# Round-12 queue — the sixteen spilled r8 rows above first, then the
+# Late-window swap (r11): q_dedup_near and q_dedup_near_capped adopted
+# fan_out_scan (operators/dedup.py — gated scan repartition, 2x at
+# bench scale, bit-identical pairs, corpus-scale no-op), so q_dedup_near
+# re-enters per the code-changed convention (q_dedup_near_capped was
+# already in the r8 block). Its slot comes from q_dedup_keep_best —
+# same MinHash-LSH family, re-represented in-window by both re-entering
+# queries plus q_dedup_clusters r10-fresh — which joins the r8 spills
+# at the r12 queue head (seventeen total).
+#
+# Round-12 queue — the seventeen spilled r8 rows above first, then the
 # r9-stale rows oldest-first.
 _PRIORITY: tuple[str, ...] = (
     # (2) code changed this round (9)
@@ -140,7 +149,7 @@ _PRIORITY: tuple[str, ...] = (
     # (4) r8-stale, non-live (20 of 36)
     "q_agg_group",
     "q_corpus_mix",
-    "q_dedup_keep_best",
+    "q_dedup_near",
     "q_dedup_near_capped",
     "q_except",
     "q_funnel",

@@ -1615,3 +1615,43 @@ def test_hash_embed_arrow_face_bit_parity(spark):
     assert set(j) == set(a)
     diff = [k for k in j if j[k] != a[k]]
     assert not diff, f"faces differ on {len(diff)} docs, e.g. {diff[:3]}"
+
+
+def test_fan_out_scan_gate_and_identity(spark, monkeypatch):
+    """fan_out_scan (r11): (a) no-op when the scan already has >= slot
+    partitions; (b) no-op below the bytes floor (the driver's
+    correctness tables stay on their historical plans); (c) when
+    engaged, the MinHash pipeline's verified pairs are bit-identical to
+    the un-fanned run (signatures are per-row xxhash64 — partition-
+    invariant by construction, pinned here against drift)."""
+    from kafka_map_reduce_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    # (b) sf0.001 is ~0.1 MB < FAN_OUT_MIN_BYTES: untouched plan
+    assert D.fan_out_scan(docs) is docs
+
+    # (a) already-parallel input: untouched even with the floor removed
+    monkeypatch.setattr(D, "FAN_OUT_MIN_BYTES", 0)
+    slots = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(slots)
+    assert D.fan_out_scan(wide) is wide
+
+    # (c) engaged path (floor removed): fanned frame has slot
+    # partitions and the full MinHash-LSH-verify output is identical
+    fanned = D.fan_out_scan(docs)
+    assert fanned is not docs
+    assert fanned.rdd.getNumPartitions() == slots
+
+    def pairs(d):
+        sh = D.word_shingles(d, "text", "doc_id", k=3)
+        sigs = D.minhash_signatures(sh, num_perm=64)
+        cands = D.lsh_candidates(sigs, num_perm=64, bands=16)
+        out = D.jaccard_verify(cands, sh, min_jaccard=0.5)
+        return {(r.id_a, r.id_b, r.jaccard) for r in out.collect()}
+
+    assert pairs(fanned) == pairs(docs)
+
+    # non-file source (no inputFiles): untouched
+    mem = spark.range(5).toDF("doc_id")
+    assert D.fan_out_scan(mem) is mem
