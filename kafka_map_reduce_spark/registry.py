@@ -107,16 +107,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # in-window), q_window_value_funcs (q_window_lead_lag + q_window_running
 # in-window), q_subquery_correlated (q_subquery_in in-window).
 #
-# Late-window swap (r11): q_dedup_near and q_dedup_near_capped adopted
-# fan_out_scan (operators/dedup.py — gated scan repartition, 2x at
-# bench scale, bit-identical pairs, corpus-scale no-op), so q_dedup_near
-# re-enters per the code-changed convention (q_dedup_near_capped was
-# already in the r8 block). Its slot comes from q_dedup_keep_best —
-# same MinHash-LSH family, re-represented in-window by both re-entering
-# queries plus q_dedup_clusters r10-fresh — which joins the r8 spills
-# at the r12 queue head (seventeen total).
+# Late-window swaps (r11): seven queries adopted fan_out_scan
+# (operators/dedup.py — gated scan repartition for the unsplittable-
+# row-group bench regime; ~2x each at bench scale, outputs verified
+# identical, corpus-scale no-op by construction). Five were already in
+# the window (q_dedup_near_capped, q_agg_group, q_text_decontaminate,
+# q_text_repeated_spans, q_text_langid, q_text_quality — six counting
+# all); the two that were not re-enter per the code-changed convention:
+# q_dedup_near takes q_dedup_keep_best's slot (same MinHash-LSH family,
+# re-represented in-window by both re-entering rows plus
+# q_dedup_clusters r10-fresh), and q_sim_topk takes q_upsert_merge's
+# (layout/maintenance family, re-represented by the r10-fresh
+# q_compact_cluster/q_zorder_rewrite/q_shard_manifest rows). Both
+# displaced rows join the r8 spills at the r12 queue head (eighteen
+# total).
 #
-# Round-12 queue — the seventeen spilled r8 rows above first, then the
+# Round-12 queue — the eighteen spilled r8 rows above first, then the
 # r9-stale rows oldest-first.
 _PRIORITY: tuple[str, ...] = (
     # (2) code changed this round (9)
@@ -166,7 +172,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_repeated_spans",
     "q_text_unigram_logprob",
     "q_timeseries_gapfill",
-    "q_upsert_merge",
+    "q_sim_topk",
     # (1)+(5) live streams, contiguous at the window edge (7): the new
     # never-checked registration + the six r8-stale live rows
     "q_stream_stateful",

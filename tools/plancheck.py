@@ -73,6 +73,23 @@ PUSHDOWN_REQUIRED = {
 # merely push into the row-group reader.
 PARTITION_PRUNE_REQUIRED = {"q_scan_partitioned"}
 
+# Queries whose registration calls fan_out_scan (operators/dedup.py):
+# their plans may carry round-robin exchanges when the checked SF's
+# scan is coarser than the session's slots (sf0.1's one-row-group
+# files). Keyed-exchange budgets still apply to them unchanged; a
+# round-robin exchange in any OTHER query is flagged as a stray
+# repartition.
+FAN_OUT_OK = {
+    "q_agg_group",
+    "q_dedup_near",
+    "q_dedup_near_capped",
+    "q_sim_topk",
+    "q_text_decontaminate",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_repeated_spans",
+}
+
 # Shuffle budgets: the number of Exchange nodes these plans are DESIGNED
 # to have (docstring claims, enforced). A refactor that sneaks in an extra
 # shuffle — the dominant cost at 100 TB — fails here, not in production.
@@ -292,13 +309,28 @@ def main() -> int:
             problems.append("no predicates pushed to scan")
         if name in PARTITION_PRUNE_REQUIRED and "PartitionFilters: []" in plan:
             problems.append("partition filter not pruned to directories")
+        # fan_out_scan (operators/dedup.py, r11) adds a ROUND-ROBIN
+        # exchange when the scan has fewer splits than slots (the
+        # one-row-group small-file regime; structurally absent at
+        # corpus scale where splits >= slots). Catalyst replicates it
+        # into every consumer branch of the scan subtree, so it can
+        # appear several times. The shuffle budget polices KEYED
+        # (hash/range) exchanges — the corpus-scale cost — so
+        # round-robin exchanges are excluded from the count for queries
+        # that declare fan-out, and are a failure anywhere else (a
+        # stray .repartition() is still the regression this check
+        # exists to catch).
+        n_rr = len(re.findall(r"Arguments: roundrobinpartitioning", plan, re.I))
+        if n_rr and name not in FAN_OUT_OK:
+            problems.append(f"{n_rr} round-robin exchange(s) in a non-fan-out plan")
         if name in MAX_EXCHANGES:
             # formatted explain lists each node twice (tree + details);
             # count the numbered detail headers only
             n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
-            if n_ex > MAX_EXCHANGES[name]:
+            n_keyed = n_ex - (n_rr if name in FAN_OUT_OK else 0)
+            if n_keyed > MAX_EXCHANGES[name]:
                 problems.append(
-                    f"{n_ex} shuffles in plan, budget {MAX_EXCHANGES[name]}"
+                    f"{n_keyed} keyed shuffles in plan, budget {MAX_EXCHANGES[name]}"
                 )
         if problems:
             print(f"FAIL {name}: {problems}")
