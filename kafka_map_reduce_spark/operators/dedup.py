@@ -26,58 +26,9 @@ def normalized(text_col) -> F.Column:
     return F.lower(F.trim(text_col))
 
 
-# fan_out_scan's engagement floor: below this many input bytes the
-# repartition exchange costs more than the parallelism buys (measured at
-# the 500-doc/0.1 MB correctness tables: 1.00 s -> 1.11 s, a ~10%
-# REGRESSION; at the 5k-doc/0.6 MB bench tables: 2.1x FASTER), so tiny
-# inputs pass through untouched — which also keeps the driver's
-# correctness-scale plans identical to the historical ones.
-FAN_OUT_MIN_BYTES = 262_144
-
-
-def fan_out_scan(df: DataFrame) -> DataFrame:
-    """Repartition a SMALL scan to the session's task slots so a
-    CPU-heavy narrow pipeline above it (shingle explode + 64 xxhash64
-    min-aggregates: ~50 hash evaluations per input token) can use the
-    whole machine instead of the scan's split count.
-
-    Why this exists: Spark parallelizes a parquet scan by file splits,
-    and a file is splittable only at row-group boundaries — a single
-    small row group yields ONE task no matter how many cores the
-    session has, and every Catalyst branch that re-reads the subtree
-    re-pays the single-threaded pass (measured on the 5k-doc bench
-    table, one 0.6 MB row group on local[32]: the MinHash query runs
-    2.977 s -> 1.433 s, 2.1x, with bit-identical output — signatures
-    are per-row deterministic xxhash64, so the result is provably
-    partition-invariant).
-
-    100 TB framing: the gate makes this a no-op exactly where a blanket
-    ``repartition`` would be catastrophic. At corpus scale the scan has
-    orders of magnitude more splits than the cluster has slots
-    (``n_parts >= defaultParallelism`` — gate false, zero added
-    exchange, the plan is byte-identical to not calling this). It
-    engages only in the coarse-scan/idle-cores regime, where the
-    exchange it adds moves less data than one task's input at corpus
-    scale. Non-file sources (no ``inputFiles``) and sub-floor inputs
-    pass through untouched. NOT applied to SimHash (one hash per token,
-    too cheap to amortize the exchange: measured 1.674 s -> 1.875 s)
-    nor to bounded-subset queries; adopt per-query as rows rotate."""
-    sc = df.sparkSession.sparkContext
-    slots = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= slots:
-        return df
-    try:
-        import os
-        from urllib.parse import urlparse
-
-        total = sum(
-            os.path.getsize(urlparse(p).path) for p in (df.inputFiles() or [None])
-        )
-    except (OSError, ValueError, TypeError):
-        return df  # non-local / non-file source: leave the plan alone
-    if total < FAN_OUT_MIN_BYTES:
-        return df
-    return df.repartition(slots)
+# fan_out_scan (the gated small-scan repartition the MinHash queries
+# adopt) lives in sources/tables.py next to load_table — it is
+# scan-level infrastructure, not a dedup operator (r11 review).
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

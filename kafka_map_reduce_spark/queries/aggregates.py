@@ -68,7 +68,7 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sums are exact, so the result is partition-invariant by
     arithmetic, not just by measurement); at corpus scale the gate is
     a no-op (splits >= slots) and the plan is unchanged."""
-    from kafka_map_reduce_spark.operators.dedup import fan_out_scan
+    from kafka_map_reduce_spark.sources import fan_out_scan
 
     li = fan_out_scan(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))

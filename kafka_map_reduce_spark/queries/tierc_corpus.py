@@ -315,7 +315,8 @@ def q_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scale analysis and measurements there); the only deviation is
     hasher="md5" so the DuckDB oracle can replay the identical span hash
     (DuckDB has no xxhash64 — same caveat as q_dedup_exact's digest)."""
-    from kafka_map_reduce_spark.operators.dedup import fan_out_scan, repeated_spans
+    from kafka_map_reduce_spark.operators.dedup import repeated_spans
+    from kafka_map_reduce_spark.sources import fan_out_scan
 
     # fanned out (r11): the 20-token rolling-window hash explode is the
     # CPU wall and ran on one task over the one-row-group bench table

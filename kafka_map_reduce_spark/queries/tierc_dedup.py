@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from kafka_map_reduce_spark.operators import dedup as D
 from kafka_map_reduce_spark.operators.similarity import cosine
 from kafka_map_reduce_spark.registry import query
-from kafka_map_reduce_spark.sources import load_table
+from kafka_map_reduce_spark.sources import fan_out_scan, load_table
 
 
 def _with_injected_dups(docs: DataFrame) -> DataFrame:
@@ -110,7 +110,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan's split count (1 task on local[32] at bench scale — measured
     2.977 -> 1.433 s, bit-identical pairs); the gate is a no-op at
     corpus scale where splits already exceed task slots."""
-    docs = D.fan_out_scan(load_table(spark, sf_dir, "documents"))
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     shingled = D.word_shingles(docs, "text", "doc_id", k=3)
     sigs = D.minhash_signatures(shingled, num_perm=64)
     cands = D.lsh_candidates(sigs, num_perm=64, bands=16)
@@ -133,7 +133,7 @@ def q_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_near (r11: 4.122 -> 2.036 s at bench scale, identical
     pairs; corpus-scale no-op by the gate)."""
     raw = load_table(spark, sf_dir, "documents")
-    docs = D.fan_out_scan(raw)
+    docs = fan_out_scan(raw)
     shingled = D.word_shingles(docs, "text", "doc_id", k=3)
     sigs = D.minhash_signatures(shingled, num_perm=64)
     cands = D.lsh_candidates(sigs, num_perm=64, bands=16, max_bucket_size=16)

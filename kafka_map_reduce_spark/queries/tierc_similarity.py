@@ -74,7 +74,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings file (1.699 -> 0.673 s); ranks break ties on neighbor_id
     so the output is partition-invariant; corpus-scale no-op by the
     gate."""
-    from kafka_map_reduce_spark.operators.dedup import fan_out_scan
+    from kafka_map_reduce_spark.sources import fan_out_scan
 
     e = fan_out_scan(load_table(spark, sf_dir, "embeddings"))
     return S.brute_force_topk(

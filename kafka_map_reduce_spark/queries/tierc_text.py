@@ -9,9 +9,8 @@ from pyspark.sql import functions as F
 from kafka_map_reduce_spark.functions import davg4, o_avg4
 from kafka_map_reduce_spark.operators import multimodal as M
 from kafka_map_reduce_spark.operators import text as X
-from kafka_map_reduce_spark.operators.dedup import fan_out_scan
 from kafka_map_reduce_spark.registry import query
-from kafka_map_reduce_spark.sources import load_table
+from kafka_map_reduce_spark.sources import fan_out_scan, load_table
 
 
 @query(

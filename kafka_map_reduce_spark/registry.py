@@ -107,13 +107,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # in-window), q_window_value_funcs (q_window_lead_lag + q_window_running
 # in-window), q_subquery_correlated (q_subquery_in in-window).
 #
-# Late-window swaps (r11): seven queries adopted fan_out_scan
-# (operators/dedup.py — gated scan repartition for the unsplittable-
-# row-group bench regime; ~2x each at bench scale, outputs verified
-# identical, corpus-scale no-op by construction). Five were already in
-# the window (q_dedup_near_capped, q_agg_group, q_text_decontaminate,
-# q_text_repeated_spans, q_text_langid, q_text_quality — six counting
-# all); the two that were not re-enter per the code-changed convention:
+# Late-window swaps (r11): eight queries adopted fan_out_scan
+# (sources/tables.py — gated scan repartition for the unsplittable-
+# row-group bench regime; 1.25-2.5x each at bench scale, outputs
+# verified identical, corpus-scale no-op by construction). Six were
+# already in the window (q_dedup_near_capped, q_agg_group,
+# q_text_decontaminate, q_text_repeated_spans, q_text_langid,
+# q_text_quality); the two that were not re-enter per the code-changed
+# convention:
 # q_dedup_near takes q_dedup_keep_best's slot (same MinHash-LSH family,
 # re-represented in-window by both re-entering rows plus
 # q_dedup_clusters r10-fresh), and q_sim_topk takes q_upsert_merge's

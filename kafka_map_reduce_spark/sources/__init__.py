@@ -1,3 +1,15 @@
-from kafka_map_reduce_spark.sources.tables import TABLE_NAMES, Tables, load_table
+from kafka_map_reduce_spark.sources.tables import (
+    FAN_OUT_MIN_BYTES,
+    TABLE_NAMES,
+    Tables,
+    fan_out_scan,
+    load_table,
+)
 
-__all__ = ["TABLE_NAMES", "Tables", "load_table"]
+__all__ = [
+    "FAN_OUT_MIN_BYTES",
+    "TABLE_NAMES",
+    "Tables",
+    "fan_out_scan",
+    "load_table",
+]

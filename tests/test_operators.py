@@ -1619,27 +1619,30 @@ def test_hash_embed_arrow_face_bit_parity(spark):
 
 def test_fan_out_scan_gate_and_identity(spark, monkeypatch):
     """fan_out_scan (r11): (a) no-op when the scan already has >= slot
-    partitions; (b) no-op below the bytes floor (the driver's
-    correctness tables stay on their historical plans); (c) when
-    engaged, the MinHash pipeline's verified pairs are bit-identical to
-    the un-fanned run (signatures are per-row xxhash64 — partition-
-    invariant by construction, pinned here against drift)."""
+    partitions; (b) no-op below the bytes floor (the tiny sf0.001/sf0.01
+    text tables keep their historical plans); (c) when engaged, the
+    MinHash pipeline's verified pairs are bit-identical to the un-fanned
+    run (signatures are per-row xxhash64 — partition-invariant by
+    construction, pinned here against drift); (d) a non-file source
+    reaches the inputFiles fallback (not the partition gate) and is
+    left untouched."""
     from kafka_map_reduce_spark.operators import dedup as D
+    from kafka_map_reduce_spark.sources import tables as T
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
     # (b) sf0.001 is ~0.1 MB < FAN_OUT_MIN_BYTES: untouched plan
-    assert D.fan_out_scan(docs) is docs
+    assert T.fan_out_scan(docs) is docs
 
     # (a) already-parallel input: untouched even with the floor removed
-    monkeypatch.setattr(D, "FAN_OUT_MIN_BYTES", 0)
+    monkeypatch.setattr(T, "FAN_OUT_MIN_BYTES", 0)
     slots = spark.sparkContext.defaultParallelism
     wide = docs.repartition(slots)
-    assert D.fan_out_scan(wide) is wide
+    assert T.fan_out_scan(wide) is wide
 
     # (c) engaged path (floor removed): fanned frame has slot
     # partitions and the full MinHash-LSH-verify output is identical
-    fanned = D.fan_out_scan(docs)
+    fanned = T.fan_out_scan(docs)
     assert fanned is not docs
     assert fanned.rdd.getNumPartitions() == slots
 
@@ -1652,6 +1655,10 @@ def test_fan_out_scan_gate_and_identity(spark, monkeypatch):
 
     assert pairs(fanned) == pairs(docs)
 
-    # non-file source (no inputFiles): untouched
-    mem = spark.range(5).toDF("doc_id")
-    assert D.fan_out_scan(mem) is mem
+    # (d) non-file source: coalesce(1) forces it PAST the partition
+    # gate (1 < slots, and the floor is still monkeypatched to 0) so
+    # the empty-inputFiles fallback itself is what returns it untouched
+    mem = spark.range(5).toDF("doc_id").coalesce(1)
+    assert mem.rdd.getNumPartitions() < slots
+    assert not mem.inputFiles()
+    assert T.fan_out_scan(mem) is mem

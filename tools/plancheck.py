@@ -73,12 +73,14 @@ PUSHDOWN_REQUIRED = {
 # merely push into the row-group reader.
 PARTITION_PRUNE_REQUIRED = {"q_scan_partitioned"}
 
-# Queries whose registration calls fan_out_scan (operators/dedup.py):
+# Queries whose registration calls fan_out_scan (sources/tables.py):
 # their plans may carry round-robin exchanges when the checked SF's
 # scan is coarser than the session's slots (sf0.1's one-row-group
-# files). Keyed-exchange budgets still apply to them unchanged; a
-# round-robin exchange in any OTHER query is flagged as a stray
-# repartition.
+# files). Keyed-exchange budgets still apply to them unchanged; only
+# the fan-out's own signature — roundrobinpartitioning(defaultParallelism)
+# tagged REPARTITION_BY_NUM — is exempt, so a stray .repartition(n) at
+# any other width is flagged even inside this set, and ANY round-robin
+# exchange elsewhere is flagged.
 FAN_OUT_OK = {
     "q_agg_group",
     "q_dedup_near",
@@ -309,25 +311,38 @@ def main() -> int:
             problems.append("no predicates pushed to scan")
         if name in PARTITION_PRUNE_REQUIRED and "PartitionFilters: []" in plan:
             problems.append("partition filter not pruned to directories")
-        # fan_out_scan (operators/dedup.py, r11) adds a ROUND-ROBIN
+        # fan_out_scan (sources/tables.py, r11) adds a ROUND-ROBIN
         # exchange when the scan has fewer splits than slots (the
         # one-row-group small-file regime; structurally absent at
         # corpus scale where splits >= slots). Catalyst replicates it
         # into every consumer branch of the scan subtree, so it can
         # appear several times. The shuffle budget polices KEYED
-        # (hash/range) exchanges — the corpus-scale cost — so
-        # round-robin exchanges are excluded from the count for queries
-        # that declare fan-out, and are a failure anywhere else (a
-        # stray .repartition() is still the regression this check
-        # exists to catch).
-        n_rr = len(re.findall(r"Arguments: roundrobinpartitioning", plan, re.I))
-        if n_rr and name not in FAN_OUT_OK:
-            problems.append(f"{n_rr} round-robin exchange(s) in a non-fan-out plan")
+        # (hash/range) exchanges — the corpus-scale cost — so ONLY the
+        # fan-out's exact signature (round-robin at defaultParallelism,
+        # REPARTITION_BY_NUM) is excluded from the count, and only for
+        # queries that declare fan-out; any other round-robin exchange
+        # — including a stray .repartition(n) at a different width
+        # inside a fan-out query — is still the regression this check
+        # exists to catch.
+        slots = spark.sparkContext.defaultParallelism
+        n_rr_all = len(re.findall(r"Arguments: roundrobinpartitioning", plan, re.I))
+        n_rr_fan = len(
+            re.findall(
+                rf"Arguments: RoundRobinPartitioning\({slots}\), REPARTITION_BY_NUM",
+                plan,
+                re.I,
+            )
+        )
+        n_rr_stray = n_rr_all - (n_rr_fan if name in FAN_OUT_OK else 0)
+        if n_rr_stray:
+            problems.append(
+                f"{n_rr_stray} round-robin exchange(s) outside the fan-out contract"
+            )
         if name in MAX_EXCHANGES:
             # formatted explain lists each node twice (tree + details);
             # count the numbered detail headers only
             n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
-            n_keyed = n_ex - (n_rr if name in FAN_OUT_OK else 0)
+            n_keyed = n_ex - (n_rr_fan if name in FAN_OUT_OK else 0)
             if n_keyed > MAX_EXCHANGES[name]:
                 problems.append(
                     f"{n_keyed} keyed shuffles in plan, budget {MAX_EXCHANGES[name]}"
