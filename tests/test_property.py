@@ -144,3 +144,46 @@ def test_bucket_pairs_matmul_matches_bruteforce(n, dim, threshold):
     for k, s in want.items():
         assert abs(got_pairs[k] - s) < 1e-9
     assert all(a < b for a, b in got_pairs)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=14),
+    st.integers(min_value=2, max_value=5),
+    st.floats(min_value=-1.0, max_value=0.9),
+    st.integers(min_value=1, max_value=20),
+)
+def test_bucket_pairs_governor_invariants(n, dim, threshold, max_pairs):
+    """The max_pairs governor (r11, verdict item #5) under arbitrary
+    vectors/thresholds/caps: the capped emission is a SUBSET of the full
+    pair set, covers exactly the same node set (every doc with an
+    over-threshold neighbor keeps >=1 witness edge — the property
+    connected-components/keep-best depend on), never exceeds
+    max(max_pairs, n_witnessed_nodes) rows (the documented witness-floor
+    override), is a bit-level no-op when the full set fits the cap, and
+    is deterministic across invocations."""
+    vecs = [
+        [math.sin(0.9 * i + 0.61 * d) + 0.1 * (i % 3) for d in range(dim)]
+        for i in range(n)
+    ]
+    unit = []
+    for v in vecs:
+        nv = math.sqrt(sum(x * x for x in v)) or 1.0
+        unit.append([x / nv for x in v])
+    ids = [7 + 5 * i for i in range(n)]
+    pdf = pd.DataFrame({"id": ids, "__vn": unit})
+
+    full = _bucket_pairs_fn(threshold)(pdf)
+    capped = _bucket_pairs_fn(threshold, max_pairs=max_pairs)(pdf)
+
+    full_set = set(zip(full["id_a"], full["id_b"]))
+    cap_set = set(zip(capped["id_a"], capped["id_b"]))
+    assert cap_set <= full_set
+    full_nodes = set(full["id_a"]) | set(full["id_b"])
+    cap_nodes = set(capped["id_a"]) | set(capped["id_b"])
+    assert cap_nodes == full_nodes
+    assert len(capped) <= max(max_pairs, len(full_nodes))
+    if len(full) <= max_pairs:
+        assert cap_set == full_set
+    again = _bucket_pairs_fn(threshold, max_pairs=max_pairs)(pdf)
+    assert capped.reset_index(drop=True).equals(again.reset_index(drop=True))
