@@ -546,6 +546,43 @@ def cpu_probe(n: int) -> list:
     return samples
 
 
+def _lcg_loop(_arg=None) -> int:
+    """The probe's fixed 8M-step LCG loop as a picklable worker."""
+    x = 1
+    for _i in range(8_000_000):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+
+def cpu_par_probe(n: int, workers: int | None = None) -> list:
+    """n wall-timings of ``workers`` LCG loops running CONCURRENTLY in
+    separate processes (fork; pure-CPU children, no JVM/socket use).
+
+    Why it exists (r11 finding): on the shared sandbox host the
+    single-thread probe and the 32-thread bench headline moved in
+    OPPOSITE directions between two same-code runs (probe 1.152 → 0.980
+    s while headline 21.82 → 22.889 s) — multi-core capacity varies
+    independently of single-thread speed, and a single-thread loop
+    cannot see it. On an unloaded dedicated host each sample's wall
+    time ≈ one loop's time; co-tenant pressure shows up as the ratio
+    par/single rising above ~1. RECORD-ONLY this round (the r9-r10
+    introduction pattern: the artifact must carry the number for one
+    round before shared_vs_prev may divide by it — r12 can adopt it as
+    the second calibration axis)."""
+    import multiprocessing as mp
+
+    if workers is None:
+        workers = mp.cpu_count()
+    samples = []
+    ctx = mp.get_context("fork")
+    for _ in range(n):
+        with ctx.Pool(workers) as pool:
+            t0 = time.time()
+            pool.map(_lcg_loop, range(workers))
+            samples.append(time.time() - t0)
+    return samples
+
+
 def current_round() -> int:
     """The round this run belongs to: $SPARK_GRAFT_ROUND if set, else
     1 + the highest round recorded in BENCH_r*.json (the driver writes
@@ -695,6 +732,16 @@ def main() -> None:
     calibration["cpu_sec_post"] = round(min(post_samples[:n_runs]), 3)
     calibration["cpu_rel_spread"] = round(
         (max(pooled) - min(pooled)) / min(pooled), 4
+    )
+    # Multi-core probe (r11, record-only — see cpu_par_probe): all
+    # cores running the same loop concurrently, timed after the
+    # headline set. par/single ratio >> 1 = co-tenant pressure the
+    # single-thread probe cannot see.
+    par = cpu_par_probe(3)
+    calibration["cpu_par_sec"] = round(min(par), 3)
+    calibration["cpu_par_samples"] = [round(s, 3) for s in par]
+    calibration["cpu_par_over_single"] = round(
+        min(par) / calibration["cpu_sec_post"], 3
     )
 
     def bench_set(names, data_dir, runs):
