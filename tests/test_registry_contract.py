@@ -81,3 +81,29 @@ def test_live_streams_sit_at_the_window_edge():
             "live-stream queries must be contiguous at positions "
             f"{50 - n}..49, got {in_window_streams}"
         )
+
+
+def test_fan_out_adopters_match_plancheck_declaration():
+    """plancheck exempts the fan-out exchange signature only for its
+    FAN_OUT_OK set — but the default plancheck run (sf0.001) has the
+    gate OFF, so an adopter added without updating the declaration
+    would only fail at sf0.1. Pin the sync here instead: the registered
+    queries whose source calls fan_out_scan must equal FAN_OUT_OK."""
+    import importlib.util
+    import inspect
+
+    spec = importlib.util.spec_from_file_location(
+        "plancheck", os.path.join(_REPO, "tools", "plancheck.py")
+    )
+    plancheck = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(plancheck)
+
+    adopters = {
+        name
+        for name, qspec in all_queries().items()
+        if "fan_out_scan(" in inspect.getsource(qspec.fn)
+    }
+    assert adopters == plancheck.FAN_OUT_OK, (
+        f"fan_out_scan adopters {sorted(adopters ^ plancheck.FAN_OUT_OK)} "
+        "out of sync with tools/plancheck.py FAN_OUT_OK"
+    )
