@@ -124,7 +124,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # total).
 #
 # Round-12 queue — the eighteen spilled r8 rows above first, then the
-# r9-stale rows oldest-first.
+# r9-stale rows oldest-first. Piggyback items for rows already in that
+# queue or rotating naturally: q_window_rank (fan-out A/B 0.75) and
+# q_agg_percentile (0.90) adopt fan_out_scan when their rows re-enter
+# (SCALE_SPOT_r11 fanout_r11 note) — remember to extend plancheck's
+# FAN_OUT_OK (the sync is pytest-pinned); r12's bench may adopt
+# cpu_par_sec as the second calibration axis now that BENCH_r11 carries
+# the first recorded value.
 _PRIORITY: tuple[str, ...] = (
     # (2) code changed this round (9)
     "q_dedup_semantic",
