@@ -673,6 +673,55 @@ def shared_vs_prev(
                             round(out["ratio"] / (drift * (1.0 + band)), 3),
                             round(out["ratio"] * (1.0 + band) / drift, 3),
                         ]
+                # Second calibration axis (r12, adopting the r11
+                # record-only probe): multi-core capacity moves
+                # independently of single-thread speed on this host
+                # (BENCH_r11: probe 1.152->0.980 s while the 32-thread
+                # headline went 21.82->22.889 s), and the queries whose
+                # speedup depends on 32-way fan-out track the PAR probe,
+                # not the single-thread one. A query's parallel fraction
+                # is unknown per-query, so the host-corrected ratio lies
+                # BETWEEN the two axis-pure calibrations:
+                # ratio_calibrated_band2 is the union of the per-axis
+                # bands, each widened by its own pooled spread. The
+                # contract is unchanged: a band2 straddling 1.0 is NOT
+                # evidence of an engine change.
+                if calibration and prev_cal.get("cpu_par_sec"):
+                    par_drift = (
+                        calibration["cpu_par_sec"] / prev_cal["cpu_par_sec"]
+                    )
+                    out["host_par_drift"] = round(par_drift, 3)
+                    out["ratio_calibrated_par"] = round(
+                        out["ratio"] / par_drift, 3
+                    )
+                    prev_par_spread = prev_cal.get("cpu_par_rel_spread")
+                    if prev_par_spread is None and prev_cal.get("cpu_par_samples"):
+                        ps = prev_cal["cpu_par_samples"]
+                        prev_par_spread = (max(ps) - min(ps)) / min(ps)
+                    par_band = (
+                        calibration.get("cpu_par_rel_spread") or 0.0
+                    ) + (prev_par_spread or 0.0)
+                    out["par_calibration_rel_spread"] = round(par_band, 4)
+                    if out.get("ratio_calibrated") is not None:
+                        cpu_band = out.get("calibration_rel_spread") or 0.0
+                        drift = out["host_cpu_drift"]
+                        out["ratio_calibrated_band2"] = [
+                            round(
+                                min(
+                                    out["ratio"] / (drift * (1.0 + cpu_band)),
+                                    out["ratio"]
+                                    / (par_drift * (1.0 + par_band)),
+                                ),
+                                3,
+                            ),
+                            round(
+                                max(
+                                    out["ratio"] * (1.0 + cpu_band) / drift,
+                                    out["ratio"] * (1.0 + par_band) / par_drift,
+                                ),
+                                3,
+                            ),
+                        ]
                 return out
         except (json.JSONDecodeError, OSError, TypeError):
             continue  # a malformed prior artifact must not fail the bench
@@ -707,6 +756,12 @@ def main() -> None:
     # the headline set, recorded in the compact line so shared_vs_prev
     # can divide measured host drift out of the cross-round ratio.
     calibration = host_calibration(spark, sf_dir, n_runs)
+    # Pre-headline multi-core samples (r12): feed ONLY the par-axis
+    # spread (within-run par-capacity drift), never cpu_par_sec itself —
+    # the estimator must stay min-of-3-POST to match the r11 artifact it
+    # is divided by in shared_vs_prev.
+    par_pre = cpu_par_probe(3)
+    calibration["cpu_par_pre_samples"] = [round(s, 3) for s in par_pre]
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -725,7 +780,11 @@ def main() -> None:
     # calibration record so the calibrated ratio carries its own error
     # bar. cpu_sec itself stays the PRE-headline min (protocol match
     # with the r9/r10 artifacts it is compared against).
-    post_samples = cpu_probe(CAL_CPU_SAMPLES)
+    # max(...) mirrors host_calibration (ADVICE r11): with
+    # SPARK_GRAFT_BENCH_N > 7 the pre probe draws n_runs samples, so the
+    # post probe must too or min(post[:n_runs]) silently becomes a
+    # min-of-7 — a differently-biased estimator than cpu_sec's.
+    post_samples = cpu_probe(max(CAL_CPU_SAMPLES, n_runs))
     pooled = calibration["cpu_samples"] + [round(s, 3) for s in post_samples]
     # same estimator as cpu_sec (min of the first n_runs draws) so the
     # pre-vs-post within-run comparison is bias-free too
@@ -733,15 +792,23 @@ def main() -> None:
     calibration["cpu_rel_spread"] = round(
         (max(pooled) - min(pooled)) / min(pooled), 4
     )
-    # Multi-core probe (r11, record-only — see cpu_par_probe): all
-    # cores running the same loop concurrently, timed after the
-    # headline set. par/single ratio >> 1 = co-tenant pressure the
-    # single-thread probe cannot see.
+    # Multi-core probe (r11; since r12 the SECOND calibration axis in
+    # shared_vs_prev): all cores running the same loop concurrently,
+    # timed after the headline set. par/single ratio >> 1 = co-tenant
+    # pressure the single-thread probe cannot see — exactly what
+    # distorted the fan-out-dependent queries in BENCH_r11 (~20
+    # effective of 32 nominal cores post-reboot). cpu_par_sec stays
+    # min-of-3-POST (protocol match with the r11 artifact it is divided
+    # by); the pre samples feed only the pooled spread.
     par = cpu_par_probe(3)
     calibration["cpu_par_sec"] = round(min(par), 3)
     calibration["cpu_par_samples"] = [round(s, 3) for s in par]
     calibration["cpu_par_over_single"] = round(
         min(par) / calibration["cpu_sec_post"], 3
+    )
+    par_pooled = calibration["cpu_par_pre_samples"] + calibration["cpu_par_samples"]
+    calibration["cpu_par_rel_spread"] = round(
+        (max(par_pooled) - min(par_pooled)) / min(par_pooled), 4
     )
 
     def bench_set(names, data_dir, runs):

@@ -268,9 +268,16 @@ def q_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentile (sort-based within group)."""
+    """Exact interpolated percentile (sort-based within group).
+
+    fan_out_scan (r12, queued from the r11 A/B at 0.90): percentile's
+    partial-aggregate buffers are per-group value lists built on the
+    map side — a single-row-group scan builds them all on one core.
+    Group-invariant, so fanning the scan is output-identical."""
+    from kafka_map_reduce_spark.sources import fan_out_scan
+
     return (
-        load_table(spark, sf_dir, "lineitem")
+        fan_out_scan(load_table(spark, sf_dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(
             round4(F.percentile("l_quantity", F.lit(0.5))).alias("p50_qty"),

@@ -55,8 +55,16 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra exchange costs ~0.13 s more than parallelism 3 -> 96 saves.
     The two-stage is kept anyway: it is the only form whose sort cost
     shrinks with cluster size (the one-window form sorts the full table
-    on exactly 3 tasks forever)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    on exactly 3 tasks forever).
+
+    fan_out_scan (r12, queued from the r11 A/B at 0.75): the stage-1
+    partial TakeOrdered is exactly the CPU-heavy narrow work a
+    single-row-group scan serializes onto one core; fanning the scan
+    is output-invariant here BY the two-stage proof above — the local
+    cut is correct under ANY partitioning of the input."""
+    from kafka_map_reduce_spark.sources import fan_out_scan
+
+    li = fan_out_scan(load_table(spark, sf_dir, "lineitem"))
     w = Window.partitionBy("l_returnflag").orderBy(
         F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
     )

@@ -65,7 +65,43 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # therefore revisits on a ~3-round cycle while new Tier C work always
 # gets driver rows in its own round.
 #
-# Round-11 window (executing the r10 verdict items #3/#6):
+# Round-12 window (executing the r11 verdict item #3):
+# (1) never-driver-checked: NONE — the inventory is complete at 159 and
+# frozen this round (r11 verdict item #7: keep LoC flat);
+# (2) code changed this round (2): q_window_rank and q_agg_percentile —
+# the two queued fan_out_scan adoptions land (r11 A/B 0.75 / 0.90,
+# SCALE_SPOT_r11 fanout_r11), outputs provably partition-invariant
+# (see each docstring), plancheck FAN_OUT_OK extended in the same
+# commit (sync pytest-pinned, now AST-based per ADVICE r11);
+# (3) the eighteen r8 spills documented below, drained in full
+# (q_agg_argmax q_dedup_keep_best q_doc_ids q_domain_cap q_intersect
+# q_join_anti q_quality_classifier q_sample_temperature q_split_assign
+# q_stream_tumbling q_subquery_correlated q_text_boilerplate
+# q_text_fingerprint q_text_repetition q_text_tfidf q_token_count
+# q_upsert_merge q_window_value_funcs);
+# (4) 28 of the 43 non-live r9-stale rows (q_agg_percentile, also r9,
+# sits at the head as code-changed). The 14 that spill to the r13
+# queue each leave an in-window or r10/r11-fresh family
+# representative: q_join_left (q_join_inner in-window; q_join_right
+# r10), q_join_cross (q_join_theta in-window), q_join_full
+# (q_join_null_safe in-window), q_agg_collect (q_string_agg
+# in-window), q_agg_distinct (q_distinct r10), q_agg_having /
+# q_agg_global (q_agg_group r11; q_agg_stats in-window),
+# q_multimodal_resize (q_multimodal_meta in-window; q_multimodal_frames
+# r10), q_scan_csv (q_scan_json_lines r10; q_scan_text r11),
+# q_scan_binary (q_scan_orc + q_multimodal_meta in-window),
+# q_union_all (q_union_distinct r10; q_except r11), q_topk (q_orderby
+# in-window; q_sim_topk r11), q_window_dist (q_window_time_range
+# in-window), q_subquery_scalar (q_subquery_correlated in-window;
+# q_subquery_in r11);
+# (5) the live streaming_live block, contiguous at the window edge (2):
+# the only r9-stale live rows, q_stream_gated_ingest and
+# q_stream_watermark (the other live rows are r10/r11-fresh).
+#
+# Round-13 queue — the fourteen spilled r9 rows above first, then
+# r10-stale oldest-first.
+#
+# ---- history: Round-11 window (executed r10 verdict items #3/#6): ----
 # (1) the one never-driver-checked registration of this round,
 # q_stream_dedup_watermark (the measured state-bounded production form
 # of stream dedup, promoted from the r10 scale audit to a registered
@@ -132,63 +168,61 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # cpu_par_sec as the second calibration axis now that BENCH_r11 carries
 # the first recorded value.
 _PRIORITY: tuple[str, ...] = (
-    # (2) code changed this round (9)
-    "q_dedup_semantic",
-    "q_dedup_semantic_ingest",
-    "q_dedup_semantic_keep_best",
-    "q_dedup_embedding_lsh",
-    "q_dedup_embedding_lsh_capped",
-    "q_sim_text_topk",
-    "q_text_hash_embed",
-    "q_sim_ivf_kmeans",
-    "q_sim_ivfpq",
-    # (3) the fifteen r7 spills from the r10 window, minus
-    # q_dedup_embedding_lsh_capped which re-enters above as
-    # code-changed (14)
-    "q_cast",
-    "q_conditional",
-    "q_dedup_clusters_star",
-    "q_dedup_exact_incremental",
-    "q_dedup_incremental",
-    "q_dedup_simhash_capped",
-    "q_epoch_order",
-    "q_projection",
-    "q_scan_text",
-    "q_text_chunks",
-    "q_text_compressibility",
-    "q_udtf_explode",
-    "q_window_lead_lag",
-    "q_window_running",
-    # (4) r8-stale, non-live (20 of 36)
-    "q_agg_group",
-    "q_corpus_mix",
-    "q_dedup_near",
-    "q_dedup_near_capped",
-    "q_except",
-    "q_funnel",
-    "q_join_asof",
-    "q_join_multiway",
-    "q_pack_sequences",
-    "q_sample_stratified",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_subquery_in",
-    "q_text_decontaminate",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_repeated_spans",
-    "q_text_unigram_logprob",
-    "q_timeseries_gapfill",
-    "q_sim_topk",
-    # (1)+(5) live streams, contiguous at the window edge (7): the new
-    # never-checked registration + the six r8-stale live rows
-    "q_stream_stateful",
-    "q_stream_dlq",
-    "q_sink_jsonl",
-    "q_stream_enrich",
-    "q_stream_join",
-    "q_stream_dedup_ingest",
-    "q_stream_dedup_watermark",
+    # (2) code changed this round: the two fan_out_scan adoptions
+    "q_window_rank",
+    "q_agg_percentile",
+    # (3) the eighteen r8 spills, drained in full
+    "q_agg_argmax",
+    "q_dedup_keep_best",
+    "q_doc_ids",
+    "q_domain_cap",
+    "q_intersect",
+    "q_join_anti",
+    "q_quality_classifier",
+    "q_sample_temperature",
+    "q_split_assign",
+    "q_stream_tumbling",
+    "q_subquery_correlated",
+    "q_text_boilerplate",
+    "q_text_fingerprint",
+    "q_text_repetition",
+    "q_text_tfidf",
+    "q_token_count",
+    "q_upsert_merge",
+    "q_window_value_funcs",
+    # (4) r9-stale, non-live (28 of 43)
+    "q_agg_approx_distinct",
+    "q_agg_stats",
+    "q_array_funcs",
+    "q_audit_delivery",
+    "q_classifier_fit",
+    "q_cube",
+    "q_dedup_embedding",
+    "q_group_rebalance",
+    "q_histogram",
+    "q_hll_sketches",
+    "q_join_bucketed",
+    "q_join_inner",
+    "q_join_null_safe",
+    "q_join_range_bucket",
+    "q_join_theta",
+    "q_math_funcs",
+    "q_multimodal_meta",
+    "q_orderby",
+    "q_pivot",
+    "q_sample_hash",
+    "q_scan_orc",
+    "q_sim_cosine",
+    "q_sketch_quantile",
+    "q_sql_interface",
+    "q_stream_dedup",
+    "q_string_agg",
+    "q_text_bigram_logprob",
+    "q_window_time_range",
+    # (5) live streams, contiguous at the window edge (2): the only
+    # r9-stale streaming_live rows
+    "q_stream_gated_ingest",
+    "q_stream_watermark",
 )
 
 

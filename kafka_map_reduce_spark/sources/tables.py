@@ -69,6 +69,8 @@ def fan_out_scan(df: DataFrame) -> DataFrame:
     that shuffle or sample early LOSE from it (SimHash: 1.674 s ->
     1.875 s; one hash per token is too cheap to amortize the exchange);
     see the A/B table in SCALE_SPOT_r11.json."""
+    if df.isStreaming:
+        return df  # streaming plans reject rdd/inputFiles introspection
     sc = df.sparkSession.sparkContext
     slots = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= slots:
@@ -79,8 +81,11 @@ def fan_out_scan(df: DataFrame) -> DataFrame:
         total = sum(
             os.path.getsize(urlparse(p).path) for p in (df.inputFiles() or [None])
         )
-    except (OSError, ValueError, TypeError):
-        return df  # non-local / non-file source: leave the plan alone
+    except Exception:  # noqa: BLE001 — incl. Py4J errors (ADVICE r11):
+        # a v2/exotic source may REJECT inputFiles() JVM-side rather
+        # than return []; the contract is pass-through-untouched on any
+        # source whose size cannot be established, never a query failure.
+        return df
     if total < FAN_OUT_MIN_BYTES:
         return df
     return df.repartition(slots)

@@ -89,8 +89,10 @@ def test_fan_out_adopters_match_plancheck_declaration():
     gate OFF, so an adopter added without updating the declaration
     would only fail at sf0.1. Pin the sync here instead: the registered
     queries whose source calls fan_out_scan must equal FAN_OUT_OK."""
+    import ast
     import importlib.util
     import inspect
+    import textwrap
 
     spec = importlib.util.spec_from_file_location(
         "plancheck", os.path.join(_REPO, "tools", "plancheck.py")
@@ -98,10 +100,35 @@ def test_fan_out_adopters_match_plancheck_declaration():
     plancheck = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(plancheck)
 
+    # AST Call-node match (ADVICE r11): the old substring test counted a
+    # commented-out call or a docstring mention as an adopter. Matching
+    # callee names of real Call nodes can still be escaped by an aliased
+    # import, so aliasing fan_out_scan is banned across query modules.
+    def calls_fan_out(fn) -> bool:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Call):
+                callee = node.func
+                cname = (
+                    callee.id
+                    if isinstance(callee, ast.Name)
+                    else callee.attr if isinstance(callee, ast.Attribute) else None
+                )
+                if cname == "fan_out_scan":
+                    return True
+        return False
+
+    modules = {inspect.getmodule(qspec.fn) for qspec in all_queries().values()}
+    for mod in modules:
+        for node in ast.walk(ast.parse(inspect.getsource(mod))):
+            if isinstance(node, (ast.Import, ast.ImportFrom)):
+                for alias in node.names:
+                    assert not (
+                        alias.name == "fan_out_scan" and alias.asname
+                    ), f"{mod.__name__}: aliasing fan_out_scan escapes this pin"
+
     adopters = {
-        name
-        for name, qspec in all_queries().items()
-        if "fan_out_scan(" in inspect.getsource(qspec.fn)
+        name for name, qspec in all_queries().items() if calls_fan_out(qspec.fn)
     }
     assert adopters == plancheck.FAN_OUT_OK, (
         f"fan_out_scan adopters {sorted(adopters ^ plancheck.FAN_OUT_OK)} "

@@ -83,6 +83,7 @@ PARTITION_PRUNE_REQUIRED = {"q_scan_partitioned"}
 # exchange elsewhere is flagged.
 FAN_OUT_OK = {
     "q_agg_group",
+    "q_agg_percentile",  # r12 adoption (r11 A/B 0.90)
     "q_dedup_near",
     "q_dedup_near_capped",
     "q_sim_topk",
@@ -90,6 +91,7 @@ FAN_OUT_OK = {
     "q_text_langid",
     "q_text_quality",
     "q_text_repeated_spans",
+    "q_window_rank",  # r12 adoption (r11 A/B 0.75)
 }
 
 # Shuffle budgets: the number of Exchange nodes these plans are DESIGNED

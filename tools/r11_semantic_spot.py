@@ -131,10 +131,20 @@ def main() -> int:
             return out
 
         t0 = time.time()
-        pairs = index.groupBy("bkt").applyInPandas(
+        raw = index.groupBy("bkt").applyInPandas(
             counted_kernel,
             "id_a long, id_b long, sim double",
-        ).select(
+        )
+        # localCheckpoint BEFORE the orderBy (ADVICE r11 high): the
+        # downstream RangePartitioning exchange runs a SAMPLING job that
+        # would execute the kernel a second time, doubling acc.value
+        # (the committed SCALE_SPOT_r11 n_pairs=260,002,384 was ~2x the
+        # true count for exactly this reason). Checkpointing here means
+        # the sampling job reads the materialized frame and the kernel
+        # runs exactly once, making the accumulator exact — and the
+        # timing still covers kernel + round + range-sort + write.
+        raw = raw.localCheckpoint(eager=True)
+        pairs = raw.select(
             "id_a",
             "id_b",
             (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("sim"),
