@@ -154,6 +154,17 @@ def _nearest(vec: Column, cents: Column) -> Column:
 _ARROW_ASSIGN_MIN_K = 64
 
 
+# One-matmul vs tiled boundary for the flat Arrow argmin (see
+# _assign_arrow): at or below this k the B x k tile is <= ~328 MB per
+# 10k-row Arrow batch and the kernel keeps the exact historical floats;
+# above it the tile would not fit (k=2^15 -> 2.6 GB/batch/worker) and
+# the blocked form takes over. Sits above every hash-pinned and gated
+# model and above _ROUTED_ASSIGN_MIN_K (full-corpus assigns route
+# before they ever reach a big-k flat tile); only trainer-internal
+# Lloyd passes and 100x witnesses cross it.
+_FLAT_ONE_TILE_MAX_K = 4096
+
+
 def _assign_arrow(cents_rows, sc=None):
     """pandas_udf factory: nearest-centroid id for array<double> vectors
     via ONE numpy matmul per Arrow batch (||v-c||^2 = |v|^2 - 2 v.C^T +
@@ -184,7 +195,27 @@ def _assign_arrow(cents_rows, sc=None):
     matches the JVM struct-min (lowest cid wins); distances are float64
     matmuls, so a knife-edge tie at the last ulp could in principle
     assign differently than the JVM fold — acceptable for the rows-only
-    trained-model operators that use this path."""
+    trained-model operators that use this path.
+
+    Blocked distance tile above k=4096 (r12, found by the k-cap
+    boundary witness): a single B x k float64 matrix is 2.6 GB per
+    Arrow batch per worker at k=2^15 — the above-cap trainer sizing
+    OOM-killed the whole host the first time it was ever executed (the
+    k-cap policy shipped in r11 with only below-cap runs). For
+    k > _FLAT_ONE_TILE_MAX_K the argmin streams over centroid blocks
+    sized to a ~64 MB tile with a running (best_d2, best_idx): strict
+    less-than cross-block updates preserve first-minimum tie-breaks,
+    and peak transient memory becomes k-independent. For
+    k <= _FLAT_ONE_TILE_MAX_K the ONE-matmul form is kept verbatim —
+    NOT as an optimization but as a bit-stability contract: BLAS gemm
+    can produce last-ulp-different dot products for the same column at
+    different offsets (measured: planted duplicate centroids differ at
+    the 16th digit between the full call and a tile), so tiling is not
+    bit-identical under exact ties, and every hash-pinned / gated model
+    (k <= 2000; full-corpus assigns above 2048 take the ROUTED kernel)
+    must keep the exact floats it has always produced. The tiled regime
+    is reached only by big-k training and 100x witnesses — rows-only
+    paths with pinned accuracy floors."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -192,6 +223,25 @@ def _assign_arrow(cents_rows, sc=None):
     cids = np.array([r["cluster_id"] for r in rows], dtype="int64")
     C = np.array([list(r["centroid"]) for r in rows], dtype="float64")
     cn = (C * C).sum(axis=1)
+
+    def blocked_nearest(V, C_m, cn_m, cids_m):
+        k_m = C_m.shape[0]
+        if k_m <= _FLAT_ONE_TILE_MAX_K:
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C_m.T) + cn_m[None, :]
+            return cids_m[np.argmin(d2, axis=1)]
+        vn = (V * V).sum(axis=1)[:, None]
+        block = max(256, 8_000_000 // max(len(V), 1))  # ~64 MB tile
+        best_d = np.full(len(V), np.inf)
+        best_j = np.zeros(len(V), dtype=np.int64)
+        rows_ix = np.arange(len(V))
+        for s in range(0, k_m, block):
+            d2 = vn - 2.0 * (V @ C_m[s : s + block].T) + cn_m[None, s : s + block]
+            j = np.argmin(d2, axis=1)
+            d = d2[rows_ix, j]
+            upd = d < best_d
+            best_d[upd] = d[upd]
+            best_j[upd] = j[upd] + s
+        return cids_m[best_j]
 
     if sc is not None:
         bc = sc.broadcast((cids, C, cn))
@@ -204,11 +254,9 @@ def _assign_arrow(cents_rows, sc=None):
 
             cids_b, C_b, cn_b = bc.value
             V = np.array([list(x) for x in v], dtype="float64")
-            d2 = (
-                (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C_b.T)
-                + cn_b[None, :]
+            return pd.Series(blocked_nearest(V, C_b, cn_b, cids_b)).astype(
+                "int32"
             )
-            return pd.Series(cids_b[np.argmin(d2, axis=1)]).astype("int32")
 
         assign._kmr_broadcast = bc
         return assign
@@ -220,8 +268,7 @@ def _assign_arrow(cents_rows, sc=None):
         import numpy as np
 
         V = np.array([list(x) for x in v], dtype="float64")
-        d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
-        return pd.Series(cids[np.argmin(d2, axis=1)]).astype("int32")
+        return pd.Series(blocked_nearest(V, C, cn, cids)).astype("int32")
 
     assign._kmr_broadcast = None
     return assign

@@ -650,3 +650,42 @@ def test_semantic_dedup_pair_cap_noop_at_fixture_scale(spark, planted):
         max_cluster_size=2000, init="spread", max_pairs_per_cluster=None,
     )
     assert _pairs(auto) == _pairs(uncapped)
+
+
+def test_flat_assign_tiled_regime_matches_full_argmin(spark):
+    """r12: above _FLAT_ONE_TILE_MAX_K the flat Arrow argmin streams over
+    ~64 MB centroid tiles (the one-matmul B x k matrix is 2.6 GB/batch
+    at the above-cap trainer sizing k=2^15 and OOM-killed the host).
+    On tie-free data the tiled result must equal the full argmin; below
+    the boundary the kernel keeps the one-matmul form verbatim (bit
+    stability for every hash-pinned model — BLAS gemm is NOT column-
+    offset-stable at the last ulp, so tiling may not be used there)."""
+    import numpy as np
+
+    from kafka_map_reduce_spark.operators.similarity import (
+        _FLAT_ONE_TILE_MAX_K,
+        _assign_arrow,
+    )
+
+    rng = np.random.default_rng(42)
+    k = _FLAT_ONE_TILE_MAX_K + 1000  # tiled regime
+    dim = 8
+    C = rng.standard_normal((k, dim))
+    V = rng.standard_normal((300, dim))
+    cents_rows = [
+        {"cluster_id": i, "centroid": [float(x) for x in C[i]]}
+        for i in range(k)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id long, embedding array<double>",
+    )
+    assign = _assign_arrow(cents_rows, sc=spark.sparkContext)
+    got = {
+        r.vec_id: r.cid
+        for r in df.withColumn("cid", assign(F.col("embedding"))).collect()
+    }
+    cn = (C * C).sum(axis=1)
+    d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
+    want = np.argmin(d2, axis=1)
+    assert got == {i: int(want[i]) for i in range(len(V))}

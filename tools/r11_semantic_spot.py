@@ -125,9 +125,14 @@ def main() -> int:
         acc = spark.sparkContext.accumulator(0)
         kernel = S._bucket_pairs_fn(0.85, max_pairs=max_pairs)
 
-        def counted_kernel(pdf, _f=kernel, _acc=acc):
-            out = _f(pdf)
-            _acc.add(len(out))
+        # plain closure (r12 fix): applyInPandas validates the function
+        # signature as exactly (data) or (key, data); the old defaulted
+        # extra params (_f=kernel, _acc=acc) are rejected by the
+        # validator. kernel/acc are re-assigned just above inside this
+        # loop iteration, so the closure binds the right pair.
+        def counted_kernel(pdf):
+            out = kernel(pdf)
+            acc.add(len(out))
             return out
 
         t0 = time.time()
