@@ -461,8 +461,17 @@ def _hash_mod_filter(df: DataFrame, id_col: str, mod: int) -> DataFrame:
     lineage over the corpus."""
     if mod <= 1:
         return df
+    # SALTED hash (r12, found by the k-cap boundary witness): the
+    # spread-init seeder buckets by the UNSALTED xxhash64(id) % k, so a
+    # train filter on the same hash % mod constrains which buckets the
+    # sample can reach — with g = gcd(mod, k) > 1 only k/g buckets are
+    # seedable. This was the entire r11 "spread-init collapse": at 5M
+    # docs (mod=5, k=20000, g=5) exactly 4000 of 20000 centroids; at
+    # 10M (mod=6, k=2^15, g=2) exactly 2^14. Salting decorrelates the
+    # slice from the seeding; mod<=1 (every driver-gated scale) remains
+    # a pass-through, so hash-pinned rows keep their bits.
     return df.filter(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        F.pmod(F.xxhash64(F.lit("train-slice"), F.col(id_col)), F.lit(mod)) == 0
     ).localCheckpoint(eager=True)
 
 
@@ -1689,7 +1698,21 @@ def _bucket_pairs_fn(threshold: float, max_pairs: int | None = None):
     dedup-sufficiency is the property downstream connected-components
     depends on; a hard clamp would silently un-mark duplicates. The
     "auto" sizing (4 x max_cluster_size ≥ 4 x nodes) can never reach
-    this regime."""
+    this regime.
+
+    fp32 BLAS: measured and REJECTED (r12, tools/r12_fp32_micro.py).
+    The float32 gemm is only 1.7-2.1x faster than float64 at cluster
+    sizes 500-2000 and the gemm is <10% of kernel wall (triu extraction,
+    masking and frame assembly dominate; the stage residual beyond the
+    kernel is round+sort+materialize). A bare fp32 swap also breaks the
+    4-decimal rounding contract: max |fp64-fp32| error measured 3.1e-7,
+    so ~0.3% of pairs would round differently (err/1e-4 granularity) —
+    and q_dedup_semantic_keep_best consumes these sims in a HASH-pinned
+    row. The exactness-preserving variant (fp32 + fp64 recompute of
+    pairs inside an error band of the threshold/rounding edges) spends
+    100x its gemm savings scanning the band: 6% of pairs sit within
+    10x-max-err of a decision edge on hash-embed-like vectors. float64
+    stays."""
     import numpy as np
 
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1787,7 +1810,16 @@ def semantic_dedup(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
     ).localCheckpoint(eager=False)
     train = (
-        base.filter(F.pmod(F.xxhash64("id"), F.lit(train_sample_mod)) == 0)
+        # salted like _hash_mod_filter (r12): an unsalted filter on the
+        # same hash the spread-init seeder buckets with restricts the
+        # seedable buckets to k/gcd(mod, k) — the r11 "collapse"
+        base.filter(
+            F.pmod(
+                F.xxhash64(F.lit("train-slice"), F.col("id")),
+                F.lit(train_sample_mod),
+            )
+            == 0
+        )
         if train_sample_mod > 1
         else base
     )
