@@ -290,6 +290,12 @@ def _assign_arrow(cents_rows, sc=None):
 # routed number was a forced measurement, not the shipped plan). 2048
 # routes the collapsed production model while still keeping every
 # gated k and the sf10 scale rows (k=2000) on the flat kernel.
+#
+# r12 addendum: that "collapse" turned out to be the unsalted
+# train-filter hash constraining the seedable buckets to k/gcd(mod, k)
+# (see _hash_mod_filter) — with the salt, production k_eff tracks the
+# requested k, which sits far above this threshold anyway; 2048 remains
+# correct for both regimes.
 _ROUTED_ASSIGN_MIN_K = 2048
 
 
