@@ -204,10 +204,16 @@ def main() -> int:
             raw = index.groupBy("bkt").applyInPandas(
                 counted, "id_a long, id_b long, sim double"
             )
-            # checkpoint BEFORE the orderBy: the range-sort's sampling
+            # materialize BEFORE the orderBy: the range-sort's sampling
             # job would re-execute the kernel and double the count
-            # (ADVICE r11 high — the r11 spot had exactly this bug)
-            raw = raw.localCheckpoint(eager=True)
+            # (ADVICE r11 high — the r11 spot had exactly this bug).
+            # Parquet spill, not localCheckpoint: the sf16m capped pair
+            # stream is hundreds of millions of rows and heap-resident
+            # checkpoint blocks OOM a 24g driver; the timing includes
+            # the spill+re-read for every N point uniformly.
+            raw_path = os.path.join(tmp, "pairs_raw")
+            raw.write.mode("overwrite").parquet(raw_path)
+            raw = spark.read.parquet(raw_path)
             raw.select(
                 "id_a",
                 "id_b",
@@ -277,7 +283,15 @@ def main() -> int:
             "frame = the replicas=100 loop build); the r11 accumulator "
             "double-counted through the orderBy sampling job. Timings "
             "are NOT comparable across the protocols (the corrected "
-            "one materializes a checkpoint before the sort)."
+            "one materializes the pair frame before the sort). "
+            "PROVENANCE: counts directly comparable to r11's index "
+            "require the PRE-SALT trainer (commit d02f032 fixed the "
+            "train-filter/spread-init hash correlation, which changes "
+            "every mod>1 model) — the r11-comparable exact counts "
+            "(230,792,804 / 24,256,493, reproduced twice) are recorded "
+            "in SCALE_SPOT_r11.json correction_r12 and "
+            "SCALE_SPOT_r12.json; a HEAD run of this script reports "
+            "the FIXED model's counts instead."
         ),
     }
     print(json.dumps(result))
