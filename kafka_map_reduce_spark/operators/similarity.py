@@ -597,21 +597,32 @@ def kmeans_fit(
             # model hoisted into an explicit broadcast (ship-once per
             # iteration, not per consuming stage).
             #
-            # Deliberately the FLAT kernel, not _assign_model (r11,
-            # hypothesis tested and killed): routing the trainer's own
-            # Lloyd assigns was the r10 verdict's fallback remedy for
-            # the training quadratic, but measured at the production
-            # sizing (1M-row train slice, k=20000 requested) the routed
-            # trainer is SLOWER — 40.8 s vs 29.9 s flat
-            # (SCALE_SPOT_r11 train_r11): at trainer scale the per-
-            # batch small-group matmul overhead beats the flop savings
-            # that win on the 5M-row full-corpus pass. The quadratic is
-            # bounded by the OTHER remedy instead — the
-            # semantic_model_params k-cap freezes k (and with it the
-            # 50-per-centroid sample) past ~8.2M docs, making flat
-            # Lloyd cost constant in corpus size.
-            assign = _assign_arrow(
-                cents.collect(), sc=corpus.sparkSession.sparkContext
+            # Kernel choice by regime (r12 revision of the r11 "routed
+            # trainer tested and killed" verdict — that A/B ran at the
+            # hash-correlation-collapsed sizing, k_eff≈4000, where flat
+            # is ONE fast gemm tile and routing indeed lost 40.8 vs
+            # 29.9 s; with the correlation fixed the above-cap trainer
+            # really runs at k=2^15, where the flat kernel is a tiled
+            # memory-bound scan and the A/B reverses DECISIVELY:
+            # routed 1.4 s vs tiled-flat 59.7 s per assign pass at
+            # k_eff=32768, 1.6 vs 14.7 s at 8192, agreement 1.0 on the
+            # separated synthetic slice — SCALE_SPOT_r12
+            # trainer_routed_r12). The boundary is _FLAT_ONE_TILE_MAX_K,
+            # the same k above which the flat kernel already stops
+            # being the verbatim one-matmul: below it flat is a single
+            # bit-stable gemm and stays (every gated and benched k);
+            # above it training is rows-only by declaration and the
+            # routed kernel's group-boundary approximation is the same
+            # trade the full-corpus assign already makes.
+            fit_rows = cents.collect()
+            assign = (
+                _assign_model(
+                    fit_rows, sc=corpus.sparkSession.sparkContext
+                )
+                if n_clusters > _FLAT_ONE_TILE_MAX_K
+                else _assign_arrow(
+                    fit_rows, sc=corpus.sparkSession.sparkContext
+                )
             )
             iter_bc = assign._kmr_broadcast
             assigned = vecs.withColumn("__cid", assign(F.col("__v"))).select(
