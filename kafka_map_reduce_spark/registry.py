@@ -98,8 +98,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the only r9-stale live rows, q_stream_gated_ingest and
 # q_stream_watermark (the other live rows are r10/r11-fresh).
 #
-# Round-13 queue — the fourteen spilled r9 rows above first, then
-# r10-stale oldest-first.
+# Round-13 queue — per the code-changed convention, the trained-model
+# consumers of operators/similarity.py re-enter FIRST (the r12 salt /
+# tiled-argmin / routed-trainer changes are all gated to be bit-no-ops
+# at driver scales — parity re-swept 133 pass / 0 fail — but the
+# operator code changed, so the rows re-enter): q_dedup_semantic,
+# q_dedup_semantic_ingest, q_dedup_semantic_keep_best, q_sim_ivf,
+# q_sim_ivf_kmeans, q_sim_ivfpq, q_sim_pq, q_sim_sq8, q_sim_cosine and
+# q_sim_topk get fresh r12 rows already (in-window); then the fourteen
+# spilled r9 rows above, then r10-stale oldest-first.
 #
 # ---- history: Round-11 window (executed r10 verdict items #3/#6): ----
 # (1) the one never-driver-checked registration of this round,
