@@ -56,6 +56,9 @@ def contiguous_row_ids(
     offsets = counts.select(
         _PID,
         F.coalesce(
+            # Unpartitioned window BY DESIGN: its input is the per-partition
+            # count rollup — O(num_partitions) rows, never O(data) — so the
+            # WindowExec "No Partition Defined" warning it triggers is safe.
             F.sum("__n").over(
                 Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
             ),
@@ -110,6 +113,8 @@ def running_total(
     offsets = totals.select(
         _PID,
         F.coalesce(
+            # Unpartitioned window BY DESIGN: O(num_partitions) rollup rows
+            # only — the WindowExec "No Partition Defined" warning is safe.
             F.sum("__t").over(
                 Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
             ),
