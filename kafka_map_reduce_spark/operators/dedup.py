@@ -263,7 +263,16 @@ def lsh_candidates_against(
     ``max_bucket_size`` caps the INDEX side per (band, bh): a template
     bucket accumulated over months of ingest would otherwise emit
     O(bucket) candidates for every new member forever. Capped buckets
-    belong to exact dedup, same contract as ``lsh_candidates``.
+    belong to exact dedup, same contract as ``lsh_candidates``. NOTE the
+    cost model: the cap RECOUNTS index bucket sizes with a full-index
+    group-by on every call — O(index) per batch, which re-introduces the
+    corpus term this probe exists to avoid. At standing-index scale,
+    either pre-cap buckets when APPENDING to the index table (drop or
+    flag over-full buckets at write time, so probes need no counting) or
+    maintain a (band, bh, count) sidecar the way the line-hash index
+    keeps its counts (append_line_counts/compact_line_index). No caller
+    in this repo passes the cap here yet; the queries exercise the cap
+    on the batch-local generators.
     """
     carry_n = {"n"} <= set(banded_new.columns) and {"n"} <= set(
         banded_index.columns
@@ -934,7 +943,15 @@ def edit_distance_pairs(
             f"deletion-signature candidates are complete only for "
             f"max_dist=1 (got {max_dist})"
         )
-    s = deletion_signatures(df, text_col, id_col)
+    # Consume-once barrier (the embedding_near_dup / lsh_candidates
+    # pattern): both self-join sides consume the deletion-neighborhood
+    # explode — O(len) signature strings per row — and Catalyst does not
+    # share subtrees across join branches, so without materialization the
+    # neighborhood generation runs twice over the corpus. Measured
+    # wall-NEUTRAL at bench scale (short keys, idle host overlaps the two
+    # branches); kept for the halved resource term, which grows with key
+    # length (the neighborhood is O(len^2) bytes per string).
+    s = deletion_signatures(df, text_col, id_col).localCheckpoint(eager=False)
     a = s.select(F.col("id").alias("id_a"), F.col("txt").alias("ta"), "sig")
     b = s.select(F.col("id").alias("id_b"), F.col("txt").alias("tb"), "sig")
     return (

@@ -1662,3 +1662,103 @@ def test_fan_out_scan_gate_and_identity(spark, monkeypatch):
     assert mem.rdd.getNumPartitions() < slots
     assert not mem.inputFiles()
     assert T.fan_out_scan(mem) is mem
+
+
+def test_simhash_packed_lanes_match_naive_bit_sums(spark):
+    """The r12 packed-lane SimHash aggregation (two 32-bit ones-counters
+    per 64-bit sum lane, operators/dedup.py simhash) must be
+    bit-identical to the naive per-bit form it replaced — including
+    even-token-count docs, where a tied bit (ones == zeros) must resolve
+    to 0 under both the old sum(+-1) > 0 test and the new 2*ones > n."""
+    from pyspark.sql import functions as F
+
+    from kafka_map_reduce_spark.operators.dedup import normalized, simhash
+
+    docs = [
+        (1, "alpha beta gamma delta"),  # even token count: tie-able
+        (2, "one"),
+        (3, "x y z " * 50),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "Mixed CASE   and   extra whitespace\ttabs"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    toks = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(normalized(F.col("text")), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    naive = (
+        toks.select("id", F.xxhash64("t").alias("h"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"bit{i}")
+                for i in range(64)
+            ]
+        )
+        .select(
+            "id",
+            sum(
+                [
+                    F.when(
+                        F.col(f"bit{i}") > 0,
+                        F.lit(1).cast("long") * (2**i) if i < 63 else F.lit(-(2**63)),
+                    )
+                    .otherwise(0)
+                    .cast("long")
+                    for i in range(64)
+                ],
+                F.lit(0).cast("long"),
+            ).alias("simhash"),
+        )
+    )
+    expected = {r.id: r.simhash for r in naive.collect()}
+    got = {r.id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    assert got == expected
+
+
+def test_candidate_generators_compute_signatures_once(spark, tmp_path):
+    """Consume-once pin (r12): the LSH/SimHash/edit-distance candidate
+    generators fan their signature frames into multiple join branches;
+    the localCheckpoint barrier must keep the signature subtree OUT of
+    the executed pair plan (a parquet scan or token explode reappearing
+    there means the corpus is being re-tokenized once per branch — the
+    regression SCALE_SPOT_r12 dedup_onepass_r12 measured at 4 scans / 14
+    aggregates before the fix)."""
+    import re
+
+    from kafka_map_reduce_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta epsilon zeta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    def executed_plan(df):
+        df.count()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    sh = D.word_shingles(docs, "text", "doc_id", k=3)
+    lsh = D.lsh_candidates(
+        D.minhash_signatures(sh, num_perm=64), num_perm=64, bands=16,
+        max_bucket_size=16,
+    )
+    sim = D.hamming_pairs(
+        D.simhash(docs, "text", "doc_id"), max_dist=3, max_bucket_size=16
+    )
+    edit = D.edit_distance_pairs(
+        docs.selectExpr("doc_id", "substr(text, 1, 12) as word"),
+        "word",
+        "doc_id",
+    )
+    for name, frame in (("lsh", lsh), ("simhash", sim), ("editdist", edit)):
+        plan = executed_plan(frame)
+        assert "Scan parquet" not in plan, f"{name}: signature subtree re-entered the pair plan"
+        assert not re.search(r"Generate explode", plan), f"{name}: explode re-entered the pair plan"
