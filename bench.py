@@ -698,18 +698,6 @@ def shared_vs_prev(
                     if prev_par_spread is None and prev_cal.get("cpu_par_samples"):
                         ps = prev_cal["cpu_par_samples"]
                         prev_par_spread = (max(ps) - min(ps)) / min(ps)
-                # Informational third axis (r12 watch-item diagnosis):
-                # single-task JVM-bound queries (q_dedup_simhash_capped:
-                # avg 1.9 cores) track the SCAN probe, which drifted
-                # 1.62x r10->r12 while the Python LCG axis moved 1.18x —
-                # neither band axis sees pure-JVM throughput. Recorded
-                # for per-query diagnosis; NOT folded into band2 (the
-                # scan probe conflates IO + JVM and has no spread
-                # history before r12).
-                if calibration and prev_cal.get("scan_sec"):
-                    out["host_scan_drift"] = round(
-                        calibration["scan_sec"] / prev_cal["scan_sec"], 3
-                    )
                     par_band = (
                         calibration.get("cpu_par_rel_spread") or 0.0
                     ) + (prev_par_spread or 0.0)
@@ -734,6 +722,18 @@ def shared_vs_prev(
                                 3,
                             ),
                         ]
+                # Informational third axis (r12 watch-item diagnosis):
+                # single-task JVM-bound queries (q_dedup_simhash_capped:
+                # avg 1.9 cores) track the SCAN probe, which drifted
+                # 1.62x r10->r12 while the Python LCG axis moved 1.18x —
+                # neither band axis sees pure-JVM throughput. Recorded
+                # for per-query diagnosis; NOT folded into band2 (the
+                # scan probe conflates IO + JVM and has no spread
+                # history before r12).
+                if calibration and prev_cal.get("scan_sec"):
+                    out["host_scan_drift"] = round(
+                        calibration["scan_sec"] / prev_cal["scan_sec"], 3
+                    )
                 return out
         except (json.JSONDecodeError, OSError, TypeError):
             continue  # a malformed prior artifact must not fail the bench

@@ -105,8 +105,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # operator code changed, so the rows re-enter): q_dedup_semantic,
 # q_dedup_semantic_ingest, q_dedup_semantic_keep_best, q_sim_ivf,
 # q_sim_ivf_kmeans, q_sim_ivfpq, q_sim_pq, q_sim_sq8, q_sim_cosine and
-# q_sim_topk get fresh r12 rows already (in-window); then the fourteen
-# spilled r9 rows above, then r10-stale oldest-first.
+# q_sim_topk get fresh r12 rows already (in-window). The late-r12
+# operators/dedup.py changes (consume-once barriers in
+# lsh_candidates/hamming_pairs/edit_distance_pairs, packed-lane
+# simhash — outputs verified identical at sf0.1 and re-swept 133
+# pass / 0 fail, invariants pinned in tests/test_operators.py) add
+# their consumers to the same re-entry head: q_dedup_near,
+# q_dedup_near_capped, q_dedup_simhash, q_dedup_simhash_capped,
+# q_dedup_editdist, q_dedup_incremental, q_stream_dedup_ingest.
+# Then the fourteen spilled r9 rows above, then r10-stale oldest-first.
 #
 # ---- history: Round-11 window (executed r10 verdict items #3/#6): ----
 # (1) the one never-driver-checked registration of this round,
