@@ -43,18 +43,43 @@ def _mg_merge(counters: dict, batch: "pd.Series", capacity: int) -> dict:
     return counters
 
 
+def _mg_summaries(items: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries over ``items[col]`` PLUS the
+    partition's row count, in ONE pass: candidate rows carry
+    ``__pn = null``, and each partition appends a single sentinel row
+    (``col = null``, ``__pn = rows``). Folding the count into the sketch
+    pass spares ``heavy_hitters`` a separate full scan of ``items`` just
+    for N — at corpus scale that scan is a third tokenization of the
+    corpus. Null items cannot be candidates (pandas ``value_counts``
+    drops them and the sentinel claims the null key), which is fine for
+    every caller here: a null token is not a heavy hitter."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            counters = _mg_merge(counters, pdf[col].value_counts(), capacity)
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()) + [None],
+                "__pn": [None] * len(counters) + [n],
+            }
+        )
+
+    return items.mapInPandas(summarize, schema=f"{col} string, __pn long")
+
+
 def mg_candidates(items: DataFrame, col: str, capacity: int) -> DataFrame:
     """Per-partition Misra-Gries summaries over ``items[col]``; returns the
     distinct candidate union (one narrow column, <= capacity rows per input
     partition). Superset of every item with global frequency > N/capacity."""
-
-    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
-        for pdf in batches:
-            counters = _mg_merge(counters, pdf[col].value_counts(), capacity)
-        yield pd.DataFrame({col: list(counters.keys())})
-
-    return items.mapInPandas(summarize, schema=f"{col} string").distinct()
+    return (
+        _mg_summaries(items, col, capacity)
+        .filter(F.col(col).isNotNull())
+        .select(col)
+        .distinct()
+    )
 
 
 def heavy_hitters(
@@ -74,8 +99,14 @@ def heavy_hitters(
             "Misra-Gries candidate set would no longer be a superset of the "
             "true heavy hitters"
         )
-    cand = mg_candidates(items, col, capacity)
-    total = items.agg(F.count(F.lit(1)).alias("__total"))
+    # ONE sketch pass yields both the candidate union and N (the
+    # sentinel rows), so ``items`` is consumed twice total (sketch +
+    # exact verify) instead of three times; the summary table is
+    # capacity x partitions rows, so its barrier is ~free while its two
+    # consumers below would otherwise each re-run the full scan.
+    summ = _mg_summaries(items, col, capacity).localCheckpoint(eager=False)
+    cand = summ.filter(F.col(col).isNotNull()).select(col).distinct()
+    total = summ.agg(F.sum("__pn").cast("long").alias("__total"))
     return (
         items.join(F.broadcast(cand), col, "left_semi")
         .groupBy(col)

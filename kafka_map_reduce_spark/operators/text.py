@@ -197,6 +197,18 @@ def unigram_logprob(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     if lm_counts is None:
+        # KNOWN plan duplication, measured and kept (r12): the
+        # self-trained LM feeds both the total-mass aggregate and the
+        # scoring join, and Catalyst does not share subtrees across join
+        # branches, so the corpus is tokenized 3x in this plan (LM agg
+        # twice + scoring side). A vocab-sized localCheckpoint barrier
+        # was A/B'd at sf1 and REJECTED: consistently ~25% slower wall
+        # (0.85 vs 0.68 s min-of-4 x3) — the idle host runs the
+        # duplicated branches concurrently, while the barrier serializes
+        # materialize-then-consume. On a saturated cluster the extra
+        # passes are the real cost; the production posture is the fixed
+        # lm_counts mode (LM persisted once, scored per batch), where no
+        # duplication exists.
         lm_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total_row = lm_counts.agg(F.sum("cnt").cast("double").alias("__total"))
     scored = (

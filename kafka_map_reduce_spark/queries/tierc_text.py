@@ -472,6 +472,12 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (small) document-frequency table against the TF table."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    # KNOWN plan duplication, measured and kept (r12): the TF table feeds
+    # both the DF aggregation and the join left side, so the tokenize +
+    # TF aggregate appears twice in the plan. A localCheckpoint barrier
+    # on tf was A/B'd at sf1 and REJECTED (~0.80 vs 0.58 s min-of-4 x3 —
+    # the idle host overlaps the duplicate branches; the barrier
+    # serializes them and materializes a corpus-sized aggregate).
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n"))
