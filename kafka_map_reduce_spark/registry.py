@@ -112,7 +112,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # pass / 0 fail, invariants pinned in tests/test_operators.py) add
 # their consumers to the same re-entry head: q_dedup_near,
 # q_dedup_near_capped, q_dedup_simhash, q_dedup_simhash_capped,
-# q_dedup_editdist, q_dedup_incremental, q_stream_dedup_ingest.
+# q_dedup_editdist, q_dedup_incremental, q_stream_dedup_ingest;
+# q_heavy_hitters joins them (sketches.py r12: the total count now
+# rides the Misra-Gries pass — output bit-identical, parity PASS, but
+# the operator code changed). q_text_tfidf / q_text_unigram_logprob do
+# NOT re-enter: their r12 barrier experiments were reverted to
+# comment-only diffs after the sf1 A/B rejected them.
 # Then the fourteen spilled r9 rows above, then r10-stale oldest-first.
 #
 # ---- history: Round-11 window (executed r10 verdict items #3/#6): ----
