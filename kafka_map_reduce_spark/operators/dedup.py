@@ -146,13 +146,24 @@ def _drop_hot_buckets(
     blocks, index probes). Capped members are template clusters that
     belong to exact dedup, which finds identical text in one linear
     shuffle."""
-    small = (
+    # Anti-join against the HOT buckets, not inner-join against the small
+    # ones (r12): the two forms are exactly equivalent (every bucket is
+    # on one side of the threshold), but at corpus scale most buckets are
+    # singletons, so the "small" list is nearly the full bucket table —
+    # inner-joining it re-shuffles O(rows) a second time — while the hot
+    # list is bounded by total_rows/max_bucket_size and in practice tiny
+    # (the template clusters), so AQE broadcasts it and the cap costs one
+    # map-side anti probe instead of a corpus-sized shuffle. CAVEAT: the
+    # equivalence requires non-null keys (an inner join drops a null-key
+    # row, an anti join keeps it); every caller's keys are hash/block
+    # values that cannot be null.
+    hot = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") <= max_bucket_size)
+        .filter(F.col("__bn") > max_bucket_size)
         .drop("__bn")
     )
-    return df.join(small, keys)
+    return df.join(hot, keys, "left_anti")
 
 
 def lsh_banded(

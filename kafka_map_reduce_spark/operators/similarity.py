@@ -1620,10 +1620,17 @@ def embedding_near_dup(
     # PERSIST anyway (the LSH band-index pattern of the text pipeline).
     sigs = sigs.localCheckpoint(eager=False)
     if max_bucket_size is not None:
+        # Anti-join the HOT buckets (the dedup._drop_hot_buckets r12
+        # form): the small-bucket list is nearly the whole bucket table
+        # at corpus scale, the hot list is tiny — AQE broadcasts it and
+        # the cap costs a map-side anti probe, not an O(rows) shuffle.
+        # Keys are (tbl, bkt) hash values — never null, so the anti/inner
+        # equivalence holds.
         counts = sigs.groupBy("tbl", "bkt").agg(F.count(F.lit(1)).alias("__n"))
         sigs = sigs.join(
-            counts.filter(F.col("__n") <= max_bucket_size).select("tbl", "bkt"),
+            counts.filter(F.col("__n") > max_bucket_size).select("tbl", "bkt"),
             ["tbl", "bkt"],
+            "left_anti",
         )
     left = sigs.select("tbl", "bkt", F.col("id").alias("id_a"))
     right = sigs.select("tbl", "bkt", F.col("id").alias("id_b"))
