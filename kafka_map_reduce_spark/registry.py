@@ -115,7 +115,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # q_dedup_editdist, q_dedup_incremental, q_stream_dedup_ingest;
 # q_heavy_hitters joins them (sketches.py r12: the total count now
 # rides the Misra-Gries pass — output bit-identical, parity PASS, but
-# the operator code changed). q_text_tfidf / q_text_unigram_logprob do
+# the operator code changed); so do q_dedup_embedding_lsh and
+# q_dedup_embedding_lsh_capped (the hot-bucket cap became a broadcast
+# anti-join in both _drop_hot_buckets and embedding_near_dup's inline
+# form — hash-identical on the sf1 banded table, but operator code
+# changed). q_text_tfidf / q_text_unigram_logprob do
 # NOT re-enter: their r12 barrier experiments were reverted to
 # comment-only diffs after the sf1 A/B rejected them.
 # Then the fourteen spilled r9 rows above, then r10-stale oldest-first.
