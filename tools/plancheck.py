@@ -148,13 +148,20 @@ MAX_EXCHANGES = {
     # per-partition pre-prune + per-probe rank + presentation sort;
     # probes ride a 1-row-ish broadcast, so only small aggregates move
     "q_sim_topk": 2,
-    # signature agg + band self-join + candidate distinct + intersection
-    # agg + presentation sort, AQE-coalesced — the LSH shape after the
-    # redundant post-explode shingle distinct was removed (7 -> 3); a 4th
-    # Exchange means a regression snuck in
-    "q_dedup_near": 3,
-    # same shape with the hot-block bucket-count agg folded in
-    "q_dedup_simhash_capped": 7,
+    # r12 re-pin: the consume-once barrier truncates the candidate plans
+    # at the banded/block checkpoint (the signature aggregation executes
+    # exactly once behind it — SCALE_SPOT_r12 dedup_onepass_r12), and
+    # the hot-bucket cap is a broadcast anti-join, so the VISIBLE keyed
+    # exchanges are only the pair join + distinct + verify/presentation
+    # stages. Counted at plancheck's own sf/config; growth means a
+    # corpus-scale shuffle re-entered the candidate path.
+    "q_dedup_near": 2,
+    "q_dedup_near_capped": 4,
+    "q_dedup_simhash": 2,
+    "q_dedup_simhash_capped": 4,
+    "q_dedup_editdist": 1,
+    "q_dedup_embedding_lsh": 4,
+    "q_dedup_embedding_lsh_capped": 4,
     # batch digest canonicalization agg + one digest join pair; the
     # incremental contract is that cost tracks the batch, so any extra
     # corpus-scale Exchange is a design regression
