@@ -1762,3 +1762,33 @@ def test_candidate_generators_compute_signatures_once(spark, tmp_path):
         plan = executed_plan(frame)
         assert "Scan parquet" not in plan, f"{name}: signature subtree re-entered the pair plan"
         assert not re.search(r"Generate explode", plan), f"{name}: explode re-entered the pair plan"
+
+
+def test_drop_hot_buckets_anti_join_equals_small_inner_join(spark):
+    """The r12 cap form (broadcast LEFT ANTI against hot buckets) must
+    keep exactly the rows the original small-bucket INNER join kept —
+    the equivalence that holds because every bucket is on one side of
+    the threshold and the keys are never null. Exercised across cap
+    values that make zero, some, and all buckets hot."""
+    from pyspark.sql import functions as F
+
+    from kafka_map_reduce_spark.operators.dedup import _drop_hot_buckets
+
+    rows = [(i, f"b{i % 5}", i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, k1 string, k2 long")
+
+    def old_form(frame, keys, cap):
+        small = (
+            frame.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= cap)
+            .drop("__bn")
+        )
+        return frame.join(small, keys)
+
+    for cap in (1, 3, 4, 100):
+        got = sorted(map(str, _drop_hot_buckets(df, ["k1", "k2"], cap).collect()))
+        want = sorted(map(str, old_form(df, ["k1", "k2"], cap).collect()))
+        assert got == want, f"cap={cap}: anti-join form diverged"
+    assert _drop_hot_buckets(df, ["k1", "k2"], 100).count() == 60
+    assert _drop_hot_buckets(df, ["k1", "k2"], 1).count() == 0
