@@ -689,22 +689,28 @@ def hamming_pairs(
         F.col("id").alias("id_b"), F.col("simhash").alias("simhash_b"),
         F.col("b").alias("b_b"), F.col("v").alias("v_b"),
     )
-    cand = (
-        exploded.join(
-            other,
-            (F.col("b") == F.col("b_b"))
-            & (F.col("v") == F.col("v_b"))
-            & (F.col("id") < F.col("id_b")),
-        )
-        .select("id", "id_b", "simhash", "simhash_b")
-        .distinct()
-    )
+    cand = exploded.join(
+        other,
+        (F.col("b") == F.col("b_b"))
+        & (F.col("v") == F.col("v_b"))
+        & (F.col("id") < F.col("id_b")),
+    ).select("id", "id_b", "simhash", "simhash_b")
+    # Dedup AFTER the popcount filter, not before (r12): a pair matching
+    # in k blocks appears k times, and the old pre-verify distinct
+    # shuffled the ENTIRE candidate stream (mostly false positives — a
+    # 16-bit block agreement says little about the other 48 bits) just
+    # to avoid re-running a stateless one-instruction popcount on <= 4
+    # duplicate rows. Post-filter, only TRUE pairs reach the distinct —
+    # the shuffle shrinks from O(candidates) to O(result). Contrast
+    # lsh_candidates, where dedup stays BEFORE verification because its
+    # verify is an expensive per-candidate intersection join.
     return (
         cand.withColumn(
             "dist", F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash_b")))
         )
         .filter(F.col("dist") <= max_dist)
         .select(F.col("id").alias("id_a"), "id_b", "dist")
+        .distinct()
     )
 
 
