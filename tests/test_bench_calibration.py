@@ -1,0 +1,128 @@
+"""Pins for bench.py's cross-round calibration arithmetic (r13: the
+per-class axis certification of the r12 verdict item #3). Pure-Python —
+no Spark session; shared_vs_prev reads prior BENCH_r*.json artifacts
+from the repo root, so the pins run against a synthetic prev artifact
+in tmp_path via monkeypatched REPO to stay independent of what rounds
+exist on disk."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def _write_prev(tmp_path, queries, cal):
+    doc = {"parsed": {"sf": 0.1, "queries": queries, "calibration": cal}}
+    with open(os.path.join(tmp_path, "BENCH_r90.json"), "w") as fh:
+        json.dump(doc, fh)
+
+
+def test_per_class_calibration_divides_each_query_by_its_own_axis(
+    tmp_path, monkeypatch
+):
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    prev_q = {"a": 2.0, "b": 4.0, "c": 1.0}
+    prev_cal = {
+        "cpu_sec": 1.0, "cpu_rel_spread": 0.0,
+        "cpu_par_sec": 1.0, "cpu_par_rel_spread": 0.0,
+        "scan_sec": 1.0, "scan_rel_spread": 0.0,
+    }
+    _write_prev(tmp_path, prev_q, prev_cal)
+    # host: scan axis 2x slower, par axis unchanged, cpu axis 0.5x
+    now_cal = {
+        "cpu_sec": 0.5, "cpu_rel_spread": 0.0,
+        "cpu_par_sec": 1.0, "cpu_par_rel_spread": 0.0,
+        "scan_sec": 2.0, "scan_rel_spread": 0.0,
+    }
+    # each query's wall exactly tracks its axis => calibrated == 1.0
+    per_query = {"a": 4.0, "b": 4.0, "c": 0.5}
+    axis = {"a": "scan", "b": "par", "c": "cpu"}
+    out = bench.shared_vs_prev(per_query, 91, 0.1, now_cal, axis)
+    pc = out["per_class"]
+    assert pc["scan"]["ratio_calibrated"] == 1.0
+    assert pc["par"]["ratio_calibrated"] == 1.0
+    assert pc["cpu"]["ratio_calibrated"] == 1.0
+    assert out["ratio_calibrated_classed"] == 1.0
+    # zero spreads => the classed band collapses onto the point estimate
+    assert out["classed_band"] == [1.0, 1.0]
+    # while the single-axis calibrations disagree wildly (the old-band
+    # pathology this feature replaces):
+    assert out["ratio_calibrated"] != out["ratio_calibrated_scan"]
+
+
+def test_classed_band_widens_by_each_axis_own_spread_only(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    prev_q = {"a": 1.0, "b": 1.0}
+    prev_cal = {
+        "cpu_sec": 1.0, "cpu_rel_spread": 0.0,
+        "cpu_par_sec": 1.0, "cpu_par_rel_spread": 0.0,
+        "scan_sec": 1.0, "scan_rel_spread": 0.0,
+    }
+    _write_prev(tmp_path, prev_q, prev_cal)
+    now_cal = {
+        "cpu_sec": 1.0, "cpu_rel_spread": 0.5,  # noisy cpu axis
+        "cpu_par_sec": 1.0, "cpu_par_rel_spread": 0.0,
+        "scan_sec": 1.0, "scan_rel_spread": 0.1,
+    }
+    per_query = {"a": 1.0, "b": 1.0}
+    out = bench.shared_vs_prev(
+        per_query, 91, 0.1, now_cal, {"a": "scan", "b": "par"}
+    )
+    # no cpu-class query in the shared set => the 0.5 cpu spread must
+    # not touch the classed band; scan contributes 0.1 on its half.
+    assert "cpu" not in out["per_class"]
+    lo, hi = out["classed_band"]
+    assert 0.9 < lo <= 1.0 <= hi < 1.1
+    assert out["per_class"]["scan"]["band"] == [
+        round(1.0 / 1.1, 3),
+        round(1.1, 3),
+    ]
+    assert out["per_class"]["par"]["band"] == [1.0, 1.0]
+
+
+def test_missing_prev_scan_spread_is_one_sided_honest(tmp_path, monkeypatch):
+    """The r12 artifact records scan_sec but no scan_rel_spread; the
+    first cross-round scan band must still form (prev contributes 0),
+    matching the cpu axis's r11 introduction convention."""
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    _write_prev(
+        tmp_path,
+        {"a": 1.0},
+        {"cpu_sec": 1.0, "cpu_rel_spread": 0.0, "scan_sec": 1.0},
+    )
+    now_cal = {
+        "cpu_sec": 1.0, "cpu_rel_spread": 0.0,
+        "scan_sec": 1.0, "scan_rel_spread": 0.2,
+    }
+    out = bench.shared_vs_prev(
+        {"a": 1.0}, 91, 0.1, now_cal, {"a": "scan"}
+    )
+    assert out["scan_calibration_rel_spread"] == 0.2
+    assert out["per_class"]["scan"]["band"] == [round(1 / 1.2, 3), 1.2]
+
+
+def test_axis_assignment_thresholds():
+    """PAR_AXIS_MIN_CORES splits par from scan; the Python-worker set
+    overrides to cpu below the threshold only (a 20-core pandas-UDF
+    query is still capacity-bound)."""
+    cores = {"q_udf_scalar": 2.0, "q_agg_group": 14.0, "q_join_asof": 1.8}
+    axis = {
+        n: (
+            "par"
+            if c >= bench.PAR_AXIS_MIN_CORES
+            else ("cpu" if n in bench.PY_AXIS_QUERIES else "scan")
+        )
+        for n, c in cores.items()
+    }
+    assert axis == {
+        "q_udf_scalar": "cpu",
+        "q_agg_group": "par",
+        "q_join_asof": "scan",
+    }

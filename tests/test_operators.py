@@ -1764,6 +1764,78 @@ def test_candidate_generators_compute_signatures_once(spark, tmp_path):
         assert not re.search(r"Generate explode", plan), f"{name}: explode re-entered the pair plan"
 
 
+def test_pre_barrier_signature_subtrees_stay_one_scan_one_shuffle(spark, tmp_path):
+    """Complement to the consume-once pin above (ADVICE r12): the barrier
+    truncates the EXECUTED pair plans, so a shuffle regression introduced
+    in the signature-aggregation subtree BEHIND it would be invisible to
+    both that pin and tools/plancheck.py's exchange budgets. Capture the
+    exact frames handed to ``localCheckpoint(eager=False)`` (instance-
+    class patch — pyspark.sql.classic.dataframe, same technique as
+    tools/r12_dedup_onepass.py; patching the base class is a silent
+    no-op in Spark 4) and pin their executed plans to the corpus-scale
+    minimum: ONE parquet scan, ONE exchange for the per-doc signature
+    aggregation (partial+final HashAggregate pair), and a map-only
+    zero-exchange plan for the deletion-signature explode."""
+    import re
+
+    import pyspark.sql.classic.dataframe as cdf
+
+    from kafka_map_reduce_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta epsilon zeta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    captured: list = []
+    orig = cdf.DataFrame.localCheckpoint
+
+    def capture(self, eager=True, storageLevel=None):
+        if not eager:
+            captured.append(self)
+            return self  # identity: only the pre-barrier frame matters here
+        return orig(self, eager=eager)
+
+    cdf.DataFrame.localCheckpoint = capture
+    try:
+        sh = D.word_shingles(docs, "text", "doc_id", k=3)
+        D.lsh_candidates(
+            D.minhash_signatures(sh, num_perm=64), num_perm=64, bands=16,
+            max_bucket_size=16,
+        )
+        D.hamming_pairs(
+            D.simhash(docs, "text", "doc_id"), max_dist=3, max_bucket_size=16
+        )
+        D.edit_distance_pairs(
+            docs.selectExpr("doc_id", "substr(text, 1, 12) as word"),
+            "word",
+            "doc_id",
+        )
+    finally:
+        cdf.DataFrame.localCheckpoint = orig
+
+    assert len(captured) == 3, "expected one eager=False barrier per generator"
+    budgets = {  # (max scans, max exchanges, max HashAggregates)
+        "lsh_banded": (1, 1, 2),
+        "simhash_blocks": (1, 1, 2),
+        "edit_sigs": (1, 0, 0),
+    }
+    for (name, (max_scan, max_exch, max_agg)), frame in zip(
+        budgets.items(), captured
+    ):
+        frame.count()
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        scans = len(re.findall(r"Scan parquet", plan))
+        exch = len(re.findall(r"Exchange", plan))
+        aggs = len(re.findall(r"HashAggregate", plan))
+        assert scans == max_scan, f"{name}: {scans} scans (want {max_scan})"
+        assert exch <= max_exch, f"{name}: {exch} exchanges (budget {max_exch})"
+        assert aggs <= max_agg, f"{name}: {aggs} HashAggregates (budget {max_agg})"
+
+
 def test_drop_hot_buckets_anti_join_equals_small_inner_join(spark):
     """The r12 cap form (broadcast LEFT ANTI against hot buckets) must
     keep exactly the rows the original small-bucket INNER join kept —
