@@ -515,20 +515,68 @@ def host_calibration(spark, sf_dir: str, n_runs: int) -> dict:
     from pyspark.sql import functions as F
 
     samples = cpu_probe(max(CAL_CPU_SAMPLES, n_runs))
-    ev = os.path.join(sf_dir, "events.parquet")
-    best_scan = float("inf")
-    for _ in range(n_runs):
-        t0 = time.time()
-        spark.read.parquet(ev).agg(
-            F.count(F.lit(1)), F.sum("value"), F.min("ts"), F.max("ts")
-        ).write.mode("overwrite").format("noop").save()
-        best_scan = min(best_scan, time.time() - t0)
+    scan_samples = scan_probe(spark, sf_dir, n_runs)
     return {
         "cpu_sec": round(min(samples[:n_runs]), 3),
         "cpu_samples": [round(s, 3) for s in samples],
         "cpu_rel_spread": round((max(samples) - min(samples)) / min(samples), 4),
-        "scan_sec": round(best_scan, 3),
+        # scan_sec stays the PRE-headline min-of-n (protocol match with
+        # the r9-r12 artifacts it is divided by); since r13 the samples
+        # and spread are recorded too, because the scan axis joined the
+        # calibration contract (r12 verdict what's-wrong #1: the probe
+        # explained q_dedup_simhash_capped's drift but carried no error
+        # bar, so it could diagnose and never certify).
+        "scan_sec": round(min(scan_samples), 3),
+        "scan_samples": [round(s, 3) for s in scan_samples],
+        "scan_rel_spread": round(
+            (max(scan_samples) - min(scan_samples)) / min(scan_samples), 4
+        ),
     }
+
+
+def scan_probe(spark, sf_dir: str, n: int) -> list:
+    """n timings of the fixed parquet scan+aggregate over the events
+    table — the JVM-throughput (whole-stage codegen + IO) face of the
+    host, exposed for the pre AND post headline probes."""
+    from pyspark.sql import functions as F
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    samples = []
+    for _ in range(n):
+        t0 = time.time()
+        spark.read.parquet(ev).agg(
+            F.count(F.lit(1)), F.sum("value"), F.min("ts"), F.max("ts")
+        ).write.mode("overwrite").format("noop").save()
+        samples.append(time.time() - t0)
+    return samples
+
+
+def task_seconds(spark) -> float:
+    """Cumulative task run time (core-seconds) across the app, from the
+    AppStatusStore's executor summaries — the same counter the Spark UI
+    shows as "Total Uptime -> Task Time". Deltas around a query give its
+    average busy cores (task-sec / wall-sec), which is what classifies
+    each headline query to its best-predicting calibration axis: a
+    1-2-core query's wall tracks single-stream JVM throughput (the scan
+    probe), a 10-30-core query's wall tracks multi-core capacity (the
+    par probe). Local mode has one executor ("driver"), so the loop is
+    O(1)."""
+    it = spark._jsc.sc().statusStore().executorList(False).iterator()
+    total_ms = 0
+    while it.hasNext():
+        total_ms += it.next().totalDuration()
+    return total_ms / 1000.0
+
+
+# Axis classification thresholds (r13, executing r12 verdict item #3):
+# a headline query whose best rep runs at >= this many average busy
+# cores is certified against the PAR axis (multi-core capacity); below
+# it, against the SCAN axis (single-stream JVM throughput) — except the
+# Python-worker-bound queries, which track the single-thread Python
+# probe (CPU axis). The measured cores land in BENCH_DETAIL so a query
+# drifting across the boundary is visible, not silent.
+PAR_AXIS_MIN_CORES = 6.0
+PY_AXIS_QUERIES = {"q_udf_scalar"}  # Arrow pandas-UDF path: Python workers
 
 
 CAL_CPU_SAMPLES = 7  # ~0.8 s each; 7 bounds the min estimator's noise
@@ -606,6 +654,7 @@ def shared_vs_prev(
     round_no: int,
     sf: float | None,
     calibration: dict | None = None,
+    query_axis: dict | None = None,
 ) -> dict | None:
     """Cross-round comparability ratio, computed HERE so the recorded
     artifact carries its own baseline: sum of this run's timings over
@@ -722,18 +771,94 @@ def shared_vs_prev(
                                 3,
                             ),
                         ]
-                # Informational third axis (r12 watch-item diagnosis):
-                # single-task JVM-bound queries (q_dedup_simhash_capped:
-                # avg 1.9 cores) track the SCAN probe, which drifted
-                # 1.62x r10->r12 while the Python LCG axis moved 1.18x —
-                # neither band axis sees pure-JVM throughput. Recorded
-                # for per-query diagnosis; NOT folded into band2 (the
-                # scan probe conflates IO + JVM and has no spread
-                # history before r12).
+                # Third axis (promoted r13 from the r12 informational
+                # record, executing the r12 verdict item #3): single-
+                # task JVM-bound queries track the SCAN probe — it
+                # drifted 1.62x r10->r12 while the Python LCG axis moved
+                # 1.18x, and that gap was the one unexplained regression
+                # in repo history (q_dedup_simhash_capped). Since r13 the
+                # probe carries its own spread; the r12 artifact has
+                # none, so the first cross-round scan band is one-sided-
+                # honest (prev contributes 0), same introduction
+                # convention as the cpu axis in r11.
+                scan_band = None
                 if calibration and prev_cal.get("scan_sec"):
-                    out["host_scan_drift"] = round(
-                        calibration["scan_sec"] / prev_cal["scan_sec"], 3
+                    scan_drift = calibration["scan_sec"] / prev_cal["scan_sec"]
+                    out["host_scan_drift"] = round(scan_drift, 3)
+                    out["ratio_calibrated_scan"] = round(
+                        out["ratio"] / scan_drift, 3
                     )
+                    scan_band = (calibration.get("scan_rel_spread") or 0.0) + (
+                        prev_cal.get("scan_rel_spread") or 0.0
+                    )
+                    out["scan_calibration_rel_spread"] = round(scan_band, 4)
+                # Per-class certification (r12 verdict item #3's "better"
+                # option): the union-of-axes band2 was the union of three
+                # DISAGREEING host drifts, so it certified nothing three
+                # rounds running. Instead, classify each headline query
+                # to the axis its wall time actually tracks (measured
+                # avg busy cores this run: >= PAR_AXIS_MIN_CORES -> par
+                # probe; below -> scan probe; Python-worker-bound -> cpu
+                # probe) and calibrate each class by its own axis only.
+                # The aggregate `ratio_calibrated_classed` divides every
+                # shared query by its class drift; `classed_band` widens
+                # each class's divisor by that axis's pooled spread —
+                # still: a band straddling 1.0 is NOT evidence.
+                if query_axis and calibration:
+                    axis_drift: dict[str, float] = {}
+                    axis_band: dict[str, float] = {}
+                    if prev_cal.get("scan_sec") and scan_band is not None:
+                        axis_drift["scan"] = (
+                            calibration["scan_sec"] / prev_cal["scan_sec"]
+                        )
+                        axis_band["scan"] = scan_band
+                    if prev_cal.get("cpu_sec"):
+                        axis_drift["cpu"] = (
+                            calibration["cpu_sec"] / prev_cal["cpu_sec"]
+                        )
+                        axis_band["cpu"] = (
+                            calibration.get("cpu_rel_spread") or 0.0
+                        ) + (prev_cal.get("cpu_rel_spread") or 0.0)
+                    if prev_cal.get("cpu_par_sec"):
+                        axis_drift["par"] = (
+                            calibration["cpu_par_sec"] / prev_cal["cpu_par_sec"]
+                        )
+                        axis_band["par"] = (
+                            calibration.get("cpu_par_rel_spread") or 0.0
+                        ) + (prev_cal.get("cpu_par_rel_spread") or 0.0)
+                    per_class: dict[str, dict] = {}
+                    num = den = lo_den = hi_den = 0.0
+                    for axis in ("scan", "cpu", "par"):
+                        qs = [q for q in shared if query_axis.get(q) == axis]
+                        if not qs or axis not in axis_drift:
+                            continue
+                        s_now = sum(per_query[q] for q in qs)
+                        s_prev = sum(prev_queries[q] for q in qs)
+                        if s_prev <= 0:
+                            continue
+                        d, b = axis_drift[axis], axis_band[axis]
+                        r = s_now / s_prev
+                        per_class[axis] = {
+                            "n": len(qs),
+                            "ratio": round(r, 3),
+                            "drift": round(d, 3),
+                            "ratio_calibrated": round(r / d, 3),
+                            "band": [
+                                round(r / (d * (1.0 + b)), 3),
+                                round(r * (1.0 + b) / d, 3),
+                            ],
+                        }
+                        num += s_now
+                        den += s_prev * d
+                        lo_den += s_prev * d * (1.0 + b)
+                        hi_den += s_prev * d / (1.0 + b)
+                    if per_class and den > 0:
+                        out["per_class"] = per_class
+                        out["ratio_calibrated_classed"] = round(num / den, 3)
+                        out["classed_band"] = [
+                            round(num / lo_den, 3),
+                            round(num / hi_den, 3),
+                        ]
                 return out
         except (json.JSONDecodeError, OSError, TypeError):
             continue  # a malformed prior artifact must not fail the bench
@@ -775,13 +900,33 @@ def main() -> None:
     par_pre = cpu_par_probe(3)
     calibration["cpu_par_pre_samples"] = [round(s, 3) for s in par_pre]
     per_query: dict[str, float] = {}
+    query_cores: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
+        best_cores = 0.0
         for _ in range(n_runs):
+            ts0 = task_seconds(spark)
             t0 = time.time()
             materialize(specs[name].fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
+            wall = time.time() - t0
+            if wall < best:
+                best = wall
+                best_cores = (task_seconds(spark) - ts0) / wall
         per_query[name] = round(best, 3)
+        query_cores[name] = round(best_cores, 1)
+    # Axis assignment from the measured cores of each query's BEST rep
+    # (the rep the headline records). Computed fresh each round — the
+    # cores land in the detail artifact, so a query migrating across
+    # PAR_AXIS_MIN_CORES between rounds is visible in the diff of the
+    # two detail files, and per_class n's in the compact line.
+    query_axis = {
+        name: (
+            "par"
+            if query_cores[name] >= PAR_AXIS_MIN_CORES
+            else ("cpu" if name in PY_AXIS_QUERIES else "scan")
+        )
+        for name in HEADLINE
+    }
 
     total = round(sum(per_query.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -822,6 +967,16 @@ def main() -> None:
     calibration["cpu_par_rel_spread"] = round(
         (max(par_pooled) - min(par_pooled)) / min(par_pooled), 4
     )
+    # Post-headline scan re-probe (r13, mirroring the cpu probe's
+    # pre/post protocol): scan_sec stays the PRE min (protocol match
+    # with r12's artifact); the pooled pre+post spread is the scan
+    # axis's error bar in shared_vs_prev.
+    scan_post = scan_probe(spark, sf_dir, n_runs)
+    scan_pooled = calibration["scan_samples"] + [round(s, 3) for s in scan_post]
+    calibration["scan_sec_post"] = round(min(scan_post), 3)
+    calibration["scan_rel_spread"] = round(
+        (max(scan_pooled) - min(scan_pooled)) / min(scan_pooled), 4
+    )
 
     def bench_set(names, data_dir, runs):
         out = {}
@@ -852,12 +1007,27 @@ def main() -> None:
         "calibration": calibration,
         "detail_file": detail_name,
     }
-    svp = shared_vs_prev(per_query, round_no, result["sf"], calibration)
+    svp = shared_vs_prev(
+        per_query, round_no, result["sf"], calibration, query_axis
+    )
     if svp:
         result["shared_vs_prev"] = svp
 
     # Everything below goes to the DETAIL file only.
     detail: dict = dict(result)
+    detail["query_cores"] = query_cores
+    detail["query_axis"] = query_axis
+    # Compact-line hygiene (driver tail captures 2000 bytes and parses
+    # the FINAL line): the per-class section grew the line, so the raw
+    # sample lists move to the detail file — every scalar a future
+    # round's shared_vs_prev divides by (cpu_sec, cpu_par_sec, scan_sec
+    # + their rel_spreads) stays in the compact artifact.
+    detail["calibration"] = dict(calibration)
+    result["calibration"] = {
+        k: v
+        for k, v in calibration.items()
+        if not k.endswith("_samples")
+    }
 
     # Round-5 additions, timed in their OWN section so the pinned
     # 18-query headline set stays comparable across rounds. min-of-3

@@ -375,7 +375,18 @@ def incremental_near_dedup(
     this call ``persist()``s; after running your actions on the outputs,
     ``unpersist()`` each — in a long-running stream (thousands of ingest
     steps in one session) skipping this leaks executor cache until LRU
-    eviction starts thrashing genuinely hot data.
+    eviction starts thrashing genuinely hot data. One lifecycle the
+    registry does NOT cover: ``lsh_candidates`` internally
+    ``localCheckpoint(eager=False)``s its banded frame (the consume-once
+    barrier), and a checkpointed RDD cannot be handed back as an
+    unpersistable DataFrame — those blocks are reclaimed by the driver's
+    ContextCleaner when the plan that references them is garbage-
+    collected, not at ``unpersist()`` time. Per ingest step that is one
+    O(bands x batch)-row block set (batch-sized, NOT corpus-sized, since
+    only the new batch's frames are checkpointed here); a thousands-of-
+    batches session should therefore not hold references to returned
+    frames after acting on them, so driver GC can release the lineage
+    promptly.
     """
     # The batch is the SMALL side by design; its shingles and signatures
     # feed four plan branches (within-batch candidates, the index probe,
@@ -582,9 +593,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     1.7-2.3 s per cold plan; outputs bit-identical on all 5000 docs).
 
     Lane packing is carry-safe unconditionally: each 32-bit counter is
-    at most the document's token count, so corruption would need a
-    single document of >= 2^32 tokens (tens of GB of text), and the
-    high counter shifted by 32 stays below 2^63 for any count < 2^31.
+    at most the document's token count n, and the lane sum is bounded by
+    n*(2^32+1) (low counter + high counter shifted by 32), which stays
+    below the signed-64 limit 2^63 exactly while n < 2^31 — so corruption
+    would need a single document of >= 2^31 tokens (tens of GB of text).
     Majority semantics are unchanged: the old +-1-sum test ``sum > 0``
     is exactly ``2*ones > n``, ties (possible only for even n) resolve
     to 0 on both forms.

@@ -164,7 +164,17 @@ def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one join key — the SimHash twin of the LSH hot-band pathology.
     Over-full (block, value) buckets are dropped before the candidate
     join; their members belong to exact dedup. Candidate-count linearity
-    is unit-tested in tests/test_operators.py (planted template cluster)."""
+    is unit-tested in tests/test_operators.py (planted template cluster).
+
+    fan_out_scan: REJECTED twice, second time on an idle host (r13,
+    executing the r12 verdict item #5 after the r12 profile showed 1.84 s
+    of the 3.37 s wall in single-task JVM signature work). Idle min-of-3
+    at sf0.1 (tools/r13_simhash_fanout.py, SCALE_SPOT_r13): head 2.533 s
+    vs fanned 2.923 s — the fanned side is 15% SLOWER with a stable head
+    re-run (2.549 s), outputs hash-identical. One xxhash64 per token is
+    too cheap for the full-text exchange to amortize even at 32 idle
+    cores; the r11 rejection was the host-independent truth, not a
+    degraded-host artifact."""
     docs = load_table(spark, sf_dir, "documents")
     sim = D.simhash(docs, "text", "doc_id")
     return D.hamming_pairs(sim, max_dist=3, max_bucket_size=16).orderBy(

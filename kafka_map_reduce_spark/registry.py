@@ -65,7 +65,65 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # therefore revisits on a ~3-round cycle while new Tier C work always
 # gets driver rows in its own round.
 #
-# Round-12 window (executing the r11 verdict item #3):
+# Round-13 window (executing the r12 verdict item #2):
+# (1) never-driver-checked: NONE — the inventory is frozen at 159
+# (r12 verdict item #6: keep LoC flat; no new registrations);
+# (2) code changed in r12, re-entering per convention (18, of which one
+# is live and so sits in the live block at the window edge):
+#   - the trained-model consumers of operators/similarity.py (salted
+#     train filter, tiled argmin above k=4096, routed trainer above the
+#     one-tile boundary — all gated bit-no-ops at driver scales, parity
+#     re-swept 133 pass / 0 fail, but operator code changed):
+#     q_dedup_semantic, q_dedup_semantic_ingest,
+#     q_dedup_semantic_keep_best (the round's hard gate — its SQL oracle
+#     is the one row that catches a bit-drift the sweeps missed),
+#     q_sim_ivf, q_sim_ivf_kmeans, q_sim_ivfpq, q_sim_pq, q_sim_sq8;
+#   - the operators/dedup.py consumers (consume-once localCheckpoint
+#     barriers in lsh_candidates/hamming_pairs/edit_distance_pairs,
+#     packed-lane simhash majority, hot-bucket broadcast anti-join):
+#     q_dedup_near, q_dedup_near_capped, q_dedup_simhash,
+#     q_dedup_simhash_capped, q_dedup_editdist, q_dedup_incremental,
+#     q_dedup_embedding_lsh, q_dedup_embedding_lsh_capped, plus the live
+#     q_stream_dedup_ingest (window edge);
+#   - the sketches.py consumer (sentinel-row count fold): q_heavy_hitters.
+#   q_dedup_clusters / q_dedup_ngram_jaccard / q_dedup_exact do NOT
+#   consume the changed generators (word_shingles / jaccard_verify /
+#   connected_components / exact_dedup are untouched) — q_dedup_clusters
+#   re-enters on r10 staleness below, the others spill with reps.
+# (3) the fourteen r9 spills documented in the r12 window notes, drained
+# in full (q_agg_collect q_agg_distinct q_agg_global q_agg_having
+# q_join_cross q_join_full q_join_left q_multimodal_resize q_scan_binary
+# q_scan_csv q_subquery_scalar q_topk q_union_all q_window_dist);
+# (4) 17 of the 38 non-live r10-stale rows. The 21 that spill to the
+# r14 queue each leave an in-window or r11/r12-fresh family
+# representative: q_audit_double_write (q_audit_delivery r12),
+# q_compact_cluster / q_shard_manifest / q_line_index_incremental /
+# q_skipping_prune (q_zorder_rewrite in-window; q_upsert_merge +
+# q_join_bucketed r12), q_corpus_report (q_corpus_mix r11; q_domain_cap
+# r12), q_date_funcs / q_json_funcs (q_string_funcs in-window;
+# q_math_funcs + q_array_funcs r12), q_dedup_exact
+# (q_dedup_exact_incremental r11; q_dedup_keep_best r12),
+# q_dedup_ngram_jaccard (q_dedup_clusters in-window shares
+# word_shingles + jaccard_verify; q_dedup_near in-window), q_distinct
+# (q_agg_distinct + q_union_distinct in-window), q_join_right
+# (q_join_left + q_join_full in-window), q_multimodal_decode
+# (q_multimodal_frames in-window; q_multimodal_meta r12), q_rollup
+# (q_grouping_sets in-window; q_cube r12), q_scan_json_lines
+# (q_scan_parquet in-window; q_scan_text r11),
+# q_text_decontaminate_spans (q_text_decontaminate r11), q_text_redact
+# (q_text_stats in-window; q_text_repetition r12), q_text_tokens
+# (q_token_count r12; q_text_stats in-window), q_udf_scalar
+# (q_udaf_grouped in-window; q_udtf_explode r11), q_unpivot (q_pivot
+# r12), q_window_frame (q_window_dist in-window; q_window_rank +
+# q_window_value_funcs r12);
+# (5) the live streaming_live block, contiguous at the window edge (2):
+# the code-changed q_stream_dedup_ingest and the r10-stale
+# q_stream_mix_monitor (every other live row is r11/r12-fresh).
+#
+# Round-14 queue — the 21 spilled r10 rows above first (oldest-first),
+# then r11-stale oldest-first, plus any r13 code-changed consumers.
+#
+# ---- history: Round-12 window (executed the r11 verdict item #3): ----
 # (1) never-driver-checked: NONE — the inventory is complete at 159 and
 # frozen this round (r11 verdict item #7: keep LoC flat);
 # (2) code changed this round (2): q_window_rank and q_agg_percentile —
@@ -191,61 +249,63 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # cpu_par_sec as the second calibration axis now that BENCH_r11 carries
 # the first recorded value.
 _PRIORITY: tuple[str, ...] = (
-    # (2) code changed this round: the two fan_out_scan adoptions
-    "q_window_rank",
-    "q_agg_percentile",
-    # (3) the eighteen r8 spills, drained in full
-    "q_agg_argmax",
-    "q_dedup_keep_best",
-    "q_doc_ids",
-    "q_domain_cap",
-    "q_intersect",
-    "q_join_anti",
-    "q_quality_classifier",
-    "q_sample_temperature",
-    "q_split_assign",
-    "q_stream_tumbling",
-    "q_subquery_correlated",
-    "q_text_boilerplate",
-    "q_text_fingerprint",
-    "q_text_repetition",
-    "q_text_tfidf",
-    "q_token_count",
-    "q_upsert_merge",
-    "q_window_value_funcs",
-    # (4) r9-stale, non-live (28 of 43)
-    "q_agg_approx_distinct",
-    "q_agg_stats",
-    "q_array_funcs",
-    "q_audit_delivery",
-    "q_classifier_fit",
-    "q_cube",
-    "q_dedup_embedding",
-    "q_group_rebalance",
-    "q_histogram",
-    "q_hll_sketches",
-    "q_join_bucketed",
-    "q_join_inner",
-    "q_join_null_safe",
-    "q_join_range_bucket",
-    "q_join_theta",
-    "q_math_funcs",
-    "q_multimodal_meta",
-    "q_orderby",
-    "q_pivot",
-    "q_sample_hash",
-    "q_scan_orc",
-    "q_sim_cosine",
-    "q_sketch_quantile",
-    "q_sql_interface",
-    "q_stream_dedup",
-    "q_string_agg",
-    "q_text_bigram_logprob",
-    "q_window_time_range",
-    # (5) live streams, contiguous at the window edge (2): the only
-    # r9-stale streaming_live rows
-    "q_stream_gated_ingest",
-    "q_stream_watermark",
+    # (2) code changed in r12: similarity.py consumers first — the
+    # hard-gate oracle row leads
+    "q_dedup_semantic_keep_best",
+    "q_dedup_semantic",
+    "q_dedup_semantic_ingest",
+    "q_sim_ivf",
+    "q_sim_ivf_kmeans",
+    "q_sim_ivfpq",
+    "q_sim_pq",
+    "q_sim_sq8",
+    # (2) code changed in r12: dedup.py / sketches.py consumers
+    "q_dedup_near",
+    "q_dedup_near_capped",
+    "q_dedup_simhash",
+    "q_dedup_simhash_capped",
+    "q_dedup_editdist",
+    "q_dedup_incremental",
+    "q_dedup_embedding_lsh",
+    "q_dedup_embedding_lsh_capped",
+    "q_heavy_hitters",
+    # (3) the fourteen r9 spills, drained in full
+    "q_agg_collect",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_having",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_left",
+    "q_multimodal_resize",
+    "q_scan_binary",
+    "q_scan_csv",
+    "q_subquery_scalar",
+    "q_topk",
+    "q_union_all",
+    "q_window_dist",
+    # (4) r10-stale, non-live (17 of 38)
+    "q_agg_countif",
+    "q_dedup_clusters",
+    "q_embed_quantize",
+    "q_filter",
+    "q_grouping_sets",
+    "q_join_semi",
+    "q_multimodal_frames",
+    "q_pipeline_e2e",
+    "q_sample_weighted",
+    "q_scan_parquet",
+    "q_scan_partitioned",
+    "q_string_funcs",
+    "q_text_bpe",
+    "q_text_stats",
+    "q_udaf_grouped",
+    "q_union_distinct",
+    "q_zorder_rewrite",
+    # (5) live streams, contiguous at the window edge (2): the
+    # code-changed q_stream_dedup_ingest + the r10-stale mix monitor
+    "q_stream_dedup_ingest",
+    "q_stream_mix_monitor",
 )
 
 
