@@ -521,8 +521,10 @@ def host_calibration(spark, sf_dir: str, n_runs: int) -> dict:
         "cpu_samples": [round(s, 3) for s in samples],
         "cpu_rel_spread": round((max(samples) - min(samples)) / min(samples), 4),
         # scan_sec stays the PRE-headline min-of-n (protocol match with
-        # the r9-r12 artifacts it is divided by); since r13 the samples
-        # and spread are recorded too, because the scan axis joined the
+        # the r9-r12 artifacts it is divided by — the min discards the
+        # cold first sample those rounds drew, so warming first leaves
+        # the estimator's value unchanged); since r13 the samples and
+        # spread are recorded too, because the scan axis joined the
         # calibration contract (r12 verdict what's-wrong #1: the probe
         # explained q_dedup_simhash_capped's drift but carried no error
         # bar, so it could diagnose and never certify).
@@ -537,34 +539,63 @@ def host_calibration(spark, sf_dir: str, n_runs: int) -> dict:
 def scan_probe(spark, sf_dir: str, n: int) -> list:
     """n timings of the fixed parquet scan+aggregate over the events
     table — the JVM-throughput (whole-stage codegen + IO) face of the
-    host, exposed for the pre AND post headline probes."""
+    host, exposed for the pre AND post headline probes.
+
+    One untimed warm-up scan first: unlike the LCG loop, a parquet scan
+    has cache state (footer decode JIT, OS page cache), and the first
+    r13 run showed exactly what mixing states does — pre samples
+    [0.308, 0.228, 0.224] against a post-headline 0.106 pooled into a
+    1.9 relative spread that was WARMTH, not host drift. The spread
+    this probe's callers record must therefore come from same-phase
+    samples only (see main(): the scan axis, unlike the cpu axis, does
+    NOT pool pre+post)."""
     from pyspark.sql import functions as F
 
     ev = os.path.join(sf_dir, "events.parquet")
-    samples = []
-    for _ in range(n):
+
+    def one_scan():
         t0 = time.time()
         spark.read.parquet(ev).agg(
             F.count(F.lit(1)), F.sum("value"), F.min("ts"), F.max("ts")
         ).write.mode("overwrite").format("noop").save()
-        samples.append(time.time() - t0)
-    return samples
+        return time.time() - t0
+
+    one_scan()  # warm-up, untimed
+    return [one_scan() for _ in range(n)]
 
 
 def task_seconds(spark) -> float:
-    """Cumulative task run time (core-seconds) across the app, from the
-    AppStatusStore's executor summaries — the same counter the Spark UI
-    shows as "Total Uptime -> Task Time". Deltas around a query give its
-    average busy cores (task-sec / wall-sec), which is what classifies
-    each headline query to its best-predicting calibration axis: a
-    1-2-core query's wall tracks single-stream JVM throughput (the scan
-    probe), a 10-30-core query's wall tracks multi-core capacity (the
-    par probe). Local mode has one executor ("driver"), so the loop is
-    O(1)."""
-    it = spark._jsc.sc().statusStore().executorList(False).iterator()
+    """Cumulative task run time (core-seconds) over COMPLETED stages,
+    from the AppStatusStore. Deltas around a query give its average busy
+    cores (task-sec / wall-sec), which is what classifies each headline
+    query to its best-predicting calibration axis: a 1-2-core query's
+    wall tracks single-stream JVM throughput (the scan probe), a
+    10-30-core query's wall tracks multi-core capacity (the par probe).
+
+    Instrument notes (the first r13 bench run recorded cores == 1.0 for
+    every query — two real pitfalls, both verified by experiment):
+    - executorList's totalDuration is LIVE accounting: read immediately
+      after a query it lags the listener bus, and a stuck live-task
+      entry integrates wall time (delta == wall exactly, for every
+      query). stageList over completed stages carries final
+      executorRunTime values instead.
+    - the listener bus drains asynchronously: waitUntilEmpty() first,
+      or the just-finished stages are missing from the read.
+    stageList's Scala default args are materialized via the $default$N
+    accessors (py4j requires every parameter explicitly)."""
+    sc = spark._jsc.sc()
+    sc.listenerBus().waitUntilEmpty()
+    store = sc.statusStore()
+    it = store.stageList(
+        spark._jvm.java.util.ArrayList(),
+        getattr(store, "stageList$default$2")(),
+        getattr(store, "stageList$default$3")(),
+        getattr(store, "stageList$default$4")(),
+        getattr(store, "stageList$default$5")(),
+    ).iterator()
     total_ms = 0
     while it.hasNext():
-        total_ms += it.next().totalDuration()
+        total_ms += it.next().executorRunTime()
     return total_ms / 1000.0
 
 
@@ -911,7 +942,10 @@ def main() -> None:
             wall = time.time() - t0
             if wall < best:
                 best = wall
-                best_cores = (task_seconds(spark) - ts0) / wall
+                # max(..., 0): stage-store eviction (retainedStages)
+                # between the two reads can only SHRINK the delta; a
+                # clamped 0 classifies conservatively to the scan axis.
+                best_cores = max(task_seconds(spark) - ts0, 0.0) / wall
         per_query[name] = round(best, 3)
         query_cores[name] = round(best_cores, 1)
     # Axis assignment from the measured cores of each query's BEST rep
@@ -967,16 +1001,17 @@ def main() -> None:
     calibration["cpu_par_rel_spread"] = round(
         (max(par_pooled) - min(par_pooled)) / min(par_pooled), 4
     )
-    # Post-headline scan re-probe (r13, mirroring the cpu probe's
-    # pre/post protocol): scan_sec stays the PRE min (protocol match
-    # with r12's artifact); the pooled pre+post spread is the scan
-    # axis's error bar in shared_vs_prev.
+    # Post-headline scan re-probe (r13): recorded for within-run drift
+    # diagnosis but NOT pooled into scan_rel_spread — the pre and post
+    # phases sit in different cache states (the headline set touches the
+    # events table repeatedly), so pooling measures warmth, not host
+    # drift; the first r13 run's pooled 1.9 spread was exactly that
+    # artifact. scan_rel_spread stays the PRE-phase spread (same-phase
+    # samples only), which is what shared_vs_prev divides against the
+    # prior round's same-definition number.
     scan_post = scan_probe(spark, sf_dir, n_runs)
-    scan_pooled = calibration["scan_samples"] + [round(s, 3) for s in scan_post]
     calibration["scan_sec_post"] = round(min(scan_post), 3)
-    calibration["scan_rel_spread"] = round(
-        (max(scan_pooled) - min(scan_pooled)) / min(scan_pooled), 4
-    )
+    calibration["scan_post_samples"] = [round(s, 3) for s in scan_post]
 
     def bench_set(names, data_dir, runs):
         out = {}
