@@ -606,39 +606,49 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.explode(F.split(normalized(F.col(text_col)), r"\s+")).alias("t"),
     ).filter(F.col("t") != "")
     hashed = toks.select("id", F.xxhash64("t").alias("h"))
+    # SQL-string faces of the lane/pack expressions (r13): the Column-
+    # object construction of these trees (32 lane aggregates + a 64-term
+    # packed majority sum) cost ~1.1 s of DRIVER time per plan build —
+    # hundreds of py4j round trips plus eager re-analysis per
+    # transformation — which the r12 watch-item profile had misread as
+    # executor signature work (the cores instrument showed 0.3 task-sec
+    # under a 2.0 s wall; tools/r13_simhash_fanout.py's exchange fix
+    # rightly lost because no exchange touches plan-build time). One
+    # F.expr parse builds the identical trees JVM-side: build 1.092 ->
+    # 0.100 s, full capped query wall 1.997 -> 0.890 s (min-of-3, idle),
+    # outputs bit-identical on the sf0.1 corpus. Fixed cost in data
+    # volume either way — irrelevant at 100 TB, dominant at bench SF.
     lanes = hashed.groupBy("id").agg(
-        F.count(F.lit(1)).alias("__n"),
+        F.expr("count(1) AS __n"),
         *[
-            F.sum(
-                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))
-                + F.shiftleft(
-                    F.shiftrightunsigned(F.col("h"), j + 32).bitwiseAND(F.lit(1)),
-                    32,
-                )
-            ).alias(f"lane{j}")
+            F.expr(
+                f"sum((shiftrightunsigned(h, {j}) & 1) + "
+                f"shiftleft(shiftrightunsigned(h, {j + 32}) & 1, 32)) "
+                f"AS lane{j}"
+            )
             for j in range(32)
         ],
     )
 
-    def _ones(i: int) -> F.Column:
+    def _ones(i: int) -> str:
         if i < 32:
-            return F.col(f"lane{i}").bitwiseAND(F.lit(0xFFFFFFFF))
-        return F.shiftrightunsigned(F.col(f"lane{i - 32}"), 32)
+            return f"(lane{i} & 4294967295)"
+        return f"shiftrightunsigned(lane{i - 32}, 32)"
 
-    packed = lanes.select(
-        "id",
-        sum(
-            [
-                F.when(
-                    _ones(i) * 2 > F.col("__n"),
-                    F.lit(1).cast("long") * (2**i) if i < 63 else F.lit(-(2**63)),
-                ).otherwise(0).cast("long")
-                for i in range(64)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+    def _bit(i: int) -> str:
+        if i < 63:
+            return f"CAST({2 ** i} AS BIGINT)"
+        # -2^63 has no direct BIGINT literal (its positive half overflows)
+        return "(CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT))"
+
+    packed_sql = " + ".join(
+        ["CAST(0 AS BIGINT)"]
+        + [
+            f"IF({_ones(i)} * 2 > __n, {_bit(i)}, CAST(0 AS BIGINT))"
+            for i in range(64)
+        ]
     )
-    return packed
+    return lanes.selectExpr("id", f"({packed_sql}) AS simhash")
 
 
 def hamming_pairs(

@@ -120,8 +120,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the code-changed q_stream_dedup_ingest and the r10-stale
 # q_stream_mix_monitor (every other live row is r11/r12-fresh).
 #
-# Round-14 queue — the 21 spilled r10 rows above first (oldest-first),
-# then r11-stale oldest-first, plus any r13 code-changed consumers.
+# Round-14 queue — per the code-changed convention the r13 operator
+# changes re-enter FIRST: q_dedup_simhash and q_dedup_simhash_capped
+# (operators/dedup.py simhash moved its lane/pack trees onto F.expr
+# string faces — outputs verified bit-identical on the sf0.1 corpus and
+# their r13 driver rows already carry the new face, but the convention
+# keys on code age, not on luck of ordering). Then the 21 spilled r10
+# rows above (oldest-first), then r11-stale oldest-first.
 #
 # ---- history: Round-12 window (executed the r11 verdict item #3): ----
 # (1) never-driver-checked: NONE — the inventory is complete at 159 and
