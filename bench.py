@@ -582,21 +582,31 @@ def task_seconds(spark) -> float:
     - the listener bus drains asynchronously: waitUntilEmpty() first,
       or the just-finished stages are missing from the read.
     stageList's Scala default args are materialized via the $default$N
-    accessors (py4j requires every parameter explicitly)."""
-    sc = spark._jsc.sc()
-    sc.listenerBus().waitUntilEmpty()
-    store = sc.statusStore()
-    it = store.stageList(
-        spark._jvm.java.util.ArrayList(),
-        getattr(store, "stageList$default$2")(),
-        getattr(store, "stageList$default$3")(),
-        getattr(store, "stageList$default$4")(),
-        getattr(store, "stageList$default$5")(),
-    ).iterator()
-    total_ms = 0
-    while it.hasNext():
-        total_ms += it.next().executorRunTime()
-    return total_ms / 1000.0
+    accessors (py4j requires every parameter explicitly).
+
+    Fail-open: this reaches into package-private Spark internals
+    (listenerBus, the $default$N accessors), so any Spark upgrade that
+    moves them must degrade the AXIS CLASSIFICATION, never kill the
+    bench — the driver's per-round run is the artifact that matters.
+    On failure returns -1.0; the caller maps that to 0 measured cores
+    (conservative scan-axis classification) and the bench proceeds."""
+    try:
+        sc = spark._jsc.sc()
+        sc.listenerBus().waitUntilEmpty()
+        store = sc.statusStore()
+        it = store.stageList(
+            spark._jvm.java.util.ArrayList(),
+            getattr(store, "stageList$default$2")(),
+            getattr(store, "stageList$default$3")(),
+            getattr(store, "stageList$default$4")(),
+            getattr(store, "stageList$default$5")(),
+        ).iterator()
+        total_ms = 0
+        while it.hasNext():
+            total_ms += it.next().executorRunTime()
+        return total_ms / 1000.0
+    except Exception:
+        return -1.0
 
 
 # Axis classification thresholds (r13, executing r12 verdict item #3):
@@ -943,9 +953,15 @@ def main() -> None:
             if wall < best:
                 best = wall
                 # max(..., 0): stage-store eviction (retainedStages)
-                # between the two reads can only SHRINK the delta; a
-                # clamped 0 classifies conservatively to the scan axis.
-                best_cores = max(task_seconds(spark) - ts0, 0.0) / wall
+                # between the two reads can only SHRINK the delta, and a
+                # failed probe reads -1; either way the clamped 0
+                # classifies conservatively to the scan axis.
+                ts1 = task_seconds(spark)
+                best_cores = (
+                    max(ts1 - ts0, 0.0) / wall
+                    if ts0 >= 0.0 and ts1 >= 0.0
+                    else 0.0
+                )
         per_query[name] = round(best, 3)
         query_cores[name] = round(best_cores, 1)
     # Axis assignment from the measured cores of each query's BEST rep
