@@ -620,6 +620,16 @@ PAR_AXIS_MIN_CORES = 6.0
 PY_AXIS_QUERIES = {"q_udf_scalar"}  # Arrow pandas-UDF path: Python workers
 
 
+def classify_axis(name: str, cores: float) -> str:
+    """THE axis-assignment rule (single source; main() and
+    tests/test_bench_calibration.py both call this, ADVICE r13 — the
+    test used to re-implement the rule inline and would have kept
+    passing if main()'s copy diverged)."""
+    if cores >= PAR_AXIS_MIN_CORES:
+        return "par"
+    return "cpu" if name in PY_AXIS_QUERIES else "scan"
+
+
 CAL_CPU_SAMPLES = 7  # ~0.8 s each; 7 bounds the min estimator's noise
 
 
@@ -869,6 +879,7 @@ def shared_vs_prev(
                         ) + (prev_cal.get("cpu_par_rel_spread") or 0.0)
                     per_class: dict[str, dict] = {}
                     num = den = lo_den = hi_den = 0.0
+                    n_classified = 0
                     for axis in ("scan", "cpu", "par"):
                         qs = [q for q in shared if query_axis.get(q) == axis]
                         if not qs or axis not in axis_drift:
@@ -877,6 +888,7 @@ def shared_vs_prev(
                         s_prev = sum(prev_queries[q] for q in qs)
                         if s_prev <= 0:
                             continue
+                        n_classified += len(qs)
                         d, b = axis_drift[axis], axis_band[axis]
                         r = s_now / s_prev
                         per_class[axis] = {
@@ -896,6 +908,13 @@ def shared_vs_prev(
                     if per_class and den > 0:
                         out["per_class"] = per_class
                         out["ratio_calibrated_classed"] = round(num / den, 3)
+                        # Coverage honesty (ADVICE r13): a shared query
+                        # whose class has no usable prev-round axis is
+                        # silently excluded from the classed aggregate;
+                        # record how many queries it actually covers so
+                        # a subset-coverage number is visible next to
+                        # n_shared in the compact artifact.
+                        out["n_classified"] = n_classified
                         out["classed_band"] = [
                             round(num / lo_den, 3),
                             round(num / hi_den, 3),
@@ -970,12 +989,7 @@ def main() -> None:
     # PAR_AXIS_MIN_CORES between rounds is visible in the diff of the
     # two detail files, and per_class n's in the compact line.
     query_axis = {
-        name: (
-            "par"
-            if query_cores[name] >= PAR_AXIS_MIN_CORES
-            else ("cpu" if name in PY_AXIS_QUERIES else "scan")
-        )
-        for name in HEADLINE
+        name: classify_axis(name, query_cores[name]) for name in HEADLINE
     }
 
     total = round(sum(per_query.values()), 3)

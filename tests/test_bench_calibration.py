@@ -111,18 +111,16 @@ def test_missing_prev_scan_spread_is_one_sided_honest(tmp_path, monkeypatch):
 def test_axis_assignment_thresholds():
     """PAR_AXIS_MIN_CORES splits par from scan; the Python-worker set
     overrides to cpu below the threshold only (a 20-core pandas-UDF
-    query is still capacity-bound)."""
+    query is still capacity-bound). Calls bench.classify_axis — the
+    rule main() uses — instead of re-implementing it (ADVICE r13)."""
     cores = {"q_udf_scalar": 2.0, "q_agg_group": 14.0, "q_join_asof": 1.8}
-    axis = {
-        n: (
-            "par"
-            if c >= bench.PAR_AXIS_MIN_CORES
-            else ("cpu" if n in bench.PY_AXIS_QUERIES else "scan")
-        )
-        for n, c in cores.items()
-    }
+    axis = {n: bench.classify_axis(n, c) for n, c in cores.items()}
     assert axis == {
         "q_udf_scalar": "cpu",
         "q_agg_group": "par",
         "q_join_asof": "scan",
     }
+    # a 20-core pandas-UDF query is capacity-bound, not cpu-bound
+    assert bench.classify_axis("q_udf_scalar", 20.0) == "par"
+    # boundary is inclusive on the par side
+    assert bench.classify_axis("q_x", bench.PAR_AXIS_MIN_CORES) == "par"

@@ -227,7 +227,6 @@ def main() -> int:
         print(json.dumps({"progress": label, **rows[label]}), file=sys.stderr)
         spark.stop()
 
-    r5, r16 = rows["sf5m"], rows["sf16m"]
     # Per-pair emission price from the within-N A/B (flops identical on
     # both sides of each A/B by construction); flop price from the
     # residual of the capped wall.
@@ -252,27 +251,37 @@ def main() -> int:
             ),
         }
     result["semantic_e2e_16m_r13"] = rows
-    result["gap_attribution_r13"] = {
-        **attribution,
-        "ratio_16m_over_5m": {
-            "n_docs": round(r16["n_docs"] / r5["n_docs"], 2),
-            "cluster_avg_model_n_times_size": round(
-                (r16["n_docs"] / r5["n_docs"]) * (r16["cluster_avg"] / r5["cluster_avg"]), 2
-            ),
-            "sum_c2_exact_flops": round(r16["sum_c2"] / r5["sum_c2"], 2),
-            "n_pairs_capped": round(r16["n_pairs_capped"] / r5["n_pairs_capped"], 2),
-            "pairs_capped_wall": round(
-                r16["pairs_capped_sec"] / r5["pairs_capped_sec"], 2
-            ),
-            "e2e_governed_wall": round(
-                r16["e2e_sec_governed"] / r5["e2e_sec_governed"], 2
-            ),
-        },
-        "size_cap_dropped_docs": {
-            "sf5m": r5["docs_dropped_by_size_cap"],
-            "sf16m": r16["docs_dropped_by_size_cap"],
-        },
-    }
+    # The cross-N ratio section needs BOTH points; a documented
+    # single-point rerun (SEMCAP_POINTS=sf16m) must still print its
+    # per-point rows instead of dying on a KeyError after ~20 min
+    # of work (ADVICE r13).
+    if "sf5m" in rows and "sf16m" in rows:
+        r5, r16 = rows["sf5m"], rows["sf16m"]
+        result["gap_attribution_r13"] = {
+            **attribution,
+            "ratio_16m_over_5m": {
+                "n_docs": round(r16["n_docs"] / r5["n_docs"], 2),
+                "cluster_avg_model_n_times_size": round(
+                    (r16["n_docs"] / r5["n_docs"]) * (r16["cluster_avg"] / r5["cluster_avg"]), 2
+                ),
+                "sum_c2_exact_flops": round(r16["sum_c2"] / r5["sum_c2"], 2),
+                "n_pairs_capped": round(r16["n_pairs_capped"] / r5["n_pairs_capped"], 2),
+                "pairs_capped_wall": round(
+                    r16["pairs_capped_sec"] / r5["pairs_capped_sec"], 2
+                ),
+                "e2e_governed_wall": round(
+                    r16["e2e_sec_governed"] / r5["e2e_sec_governed"], 2
+                ),
+            },
+            "size_cap_dropped_docs": {
+                "sf5m": r5["docs_dropped_by_size_cap"],
+                "sf16m": r16["docs_dropped_by_size_cap"],
+            },
+        }
+    else:
+        result["gap_attribution_r13"] = attribution or {
+            "note": "single-point run; cross-N ratios need sf5m AND sf16m"
+        }
     print(json.dumps(result))
     return 0
 
