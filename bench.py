@@ -618,6 +618,19 @@ def task_seconds(spark) -> float:
 # drifting across the boundary is visible, not silent.
 PAR_AXIS_MIN_CORES = 6.0
 PY_AXIS_QUERIES = {"q_udf_scalar"}  # Arrow pandas-UDF path: Python workers
+# Measured single-thread-affinity overrides (r14 verdict item #3):
+# queries whose sub-par-threshold wall tracks the single-thread cpu
+# probe, established by a cross-session fit, not by mechanism class.
+# q_agg_group: three sessions (r12 bench, r13 bench, r14 idle re-run,
+# code byte-identical across all three — git diff 76dc450..HEAD over
+# aggregates.py+sources/ is empty) give (cpu_sec, wall) =
+# (0.797, 1.182), (1.069, 1.670), (0.837, 1.331): linear with slope
+# 1.68, residuals <= 3.3% — the decimal partial aggregate runs ~3 busy
+# cores but its wall is set by single-thread speed (final merge +
+# 0.25 s driver build + the fan-out's residual serial fraction). Its
+# r13 "1.41x regression" was exactly host_cpu_drift 1.341; the scan
+# axis (parquet single-stream, drift 1.101) under-corrected it.
+CPU_AXIS_QUERIES = PY_AXIS_QUERIES | {"q_agg_group"}
 
 
 def classify_axis(name: str, cores: float) -> str:
@@ -627,7 +640,7 @@ def classify_axis(name: str, cores: float) -> str:
     passing if main()'s copy diverged)."""
     if cores >= PAR_AXIS_MIN_CORES:
         return "par"
-    return "cpu" if name in PY_AXIS_QUERIES else "scan"
+    return "cpu" if name in CPU_AXIS_QUERIES else "scan"
 
 
 CAL_CPU_SAMPLES = 7  # ~0.8 s each; 7 bounds the min estimator's noise

@@ -124,3 +124,8 @@ def test_axis_assignment_thresholds():
     assert bench.classify_axis("q_udf_scalar", 20.0) == "par"
     # boundary is inclusive on the par side
     assert bench.classify_axis("q_x", bench.PAR_AXIS_MIN_CORES) == "par"
+    # measured single-thread-affinity override (r14: the three-session
+    # cpu_sec fit, see CPU_AXIS_QUERIES) beats the scan default below
+    # the par threshold, and only below it
+    assert bench.classify_axis("q_agg_group", 2.5) == "cpu"
+    assert bench.classify_axis("q_agg_group", 14.0) == "par"
