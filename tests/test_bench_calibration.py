@@ -129,3 +129,13 @@ def test_axis_assignment_thresholds():
     # the par threshold, and only below it
     assert bench.classify_axis("q_agg_group", 2.5) == "cpu"
     assert bench.classify_axis("q_agg_group", 14.0) == "par"
+
+
+def test_estimator_rel_spread_is_symmetric_and_matches_r13_case():
+    """r14 cpu-band redefinition: the spread of the min-of-n estimator
+    is the pre-vs-post estimator drift. The r13 numbers (pre 1.069,
+    post 0.942) must give ~0.135, not the raw-range 0.487 that made
+    the cpu band useless."""
+    assert bench.estimator_rel_spread(1.069, 0.942) == 0.1348
+    assert bench.estimator_rel_spread(0.942, 1.069) == 0.1348
+    assert bench.estimator_rel_spread(1.0, 1.0) == 0.0
