@@ -1970,7 +1970,21 @@ def semantic_dedup_ingest(
     batch x cluster, not the corpus. ``max_cluster_size`` counts the
     UNION (index + batch) per touched cluster — a cluster the corpus
     already showed to be a template blob stays routed to exact dedup
-    even mid-ingest."""
+    even mid-ingest.
+
+    Index LAYOUT (r14, SCALE_SPOT_r14 assign_decomp_r14): the index
+    rows deliberately CARRY the unit vectors. The measured 16M-doc
+    stage split (48g heap, warm min-of-3) is routed-argmin 17.7 s +
+    Arrow normalize ~10 s + fat parquet write ~0 — the write volume an
+    (id, bkt)-only layout would save is nil, while re-deriving vectors
+    at pair time costs a corpus-wide id-join per batch probe (measured
+    pair stage 54.3 s thin vs 35.3-43.8 s carried at 16M; totals 73.5
+    vs 71.5, and 21.1 vs 18.2 at 5M) and re-introduces exactly the
+    O(corpus)-per-batch term this probe contract exists to avoid. The
+    r13 note attributing the stage's scale-up residual to 'index write
+    volume' was wrong: warm min-of-3 gives 8.4 -> 27.7 s per 5M -> 16M
+    (3.3x per 3.2x N, linear); the r13 43.3 s carried first-execution
+    cost."""
     n_cents = centroids.count()
     base = batch.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")

@@ -1,0 +1,133 @@
+"""r14 driver-heap sizing probe for the 16M-doc semantic assign+index
+stage (r13 verdict item #6).
+
+r13 observed an operational cliff: the 16M assign+index write OOM'd at
+8 GiB and 20 GiB driver heap (BufferedRowIterator append) and ran at
+48 GiB. This tool brackets the cliff and tests whether
+spark.sql.shuffle.partitions moves it, so the sizing rule recorded
+next to the operator is measured, not anecdotal.
+
+Parent mode (no argv): runs each (heap, shuffle_partitions) config as
+an ISOLATED subprocess (a driver OOM kills the JVM and the Python
+gateway with it — isolation keeps one crash from ending the sweep) and
+prints one JSON doc with per-config status + stage walls.
+
+Child mode (argv: child <heap> <shuffle>): reproduces the r13 16M
+stage exactly — read emb_sf16m, train (salted sample, k=2^15, spread,
+3 Lloyd iters), semantic_dedup_ingest empty face, fat index parquet
+write — emitting stage markers on stderr so the parent can tell WHICH
+stage died.
+
+Note on what "driver heap" means here: local[32] runs executors inside
+the driver JVM, so the knob sizes the WHOLE execution heap — on a real
+cluster this pressure lands on executor memory and the driver needs
+only the collected centroid model (k x dim doubles, ~8 MB at k=2^15).
+The cliff is a local-mode harness property; the recorded rule exists
+so the next 16M+ local run doesn't rediscover it by crashing twice.
+
+Usage: python tools/r14_heap_cliff.py          (runs the sweep)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+CONFIGS = [
+    ("20g", 64),   # r13's crash point, reproduced under the same shuffle
+    ("20g", 256),  # does 4x more (smaller) shuffle/scan partitions move it?
+    ("32g", 64),   # bracket the cliff between 20g and the working 48g
+]
+
+
+def child(heap: str, shuffle: int) -> int:
+    from pyspark.sql import functions as F
+
+    from kafka_map_reduce_spark import get_session
+    from kafka_map_reduce_spark.operators import similarity as S
+
+    tmp = os.path.join(REPO, ".bench_semcap", "tmp")
+    spark = get_session(
+        f"r14-heap-{heap}-{shuffle}",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=shuffle,
+    )
+    emb = spark.read.parquet(os.path.join(tmp, "emb_sf16m"))
+    n = emb.count()
+    k, mod, cap = S.semantic_model_params(n)
+    print(json.dumps({"stage": "train_start"}), file=sys.stderr, flush=True)
+    t0 = time.time()
+    cents = S.kmeans_fit(
+        S._hash_mod_filter(emb, "vec_id", mod),
+        k, iters=3, vec_col="embedding", id_col="vec_id", init="spread",
+    ).localCheckpoint(eager=True)
+    cents.count()
+    train_sec = round(time.time() - t0, 1)
+    print(
+        json.dumps({"stage": "assign_start", "train_sec": train_sec}),
+        file=sys.stderr, flush=True,
+    )
+    empty = spark.createDataFrame([], "id long, bkt int, __vn array<double>")
+    t0 = time.time()
+    _, index = S.semantic_dedup_ingest(
+        emb, cents, empty, threshold=0.85, max_cluster_size=cap
+    )
+    index.write.mode("overwrite").parquet(
+        os.path.join(tmp, f"index_heapprobe")
+    )
+    assign_sec = round(time.time() - t0, 1)
+    print(
+        json.dumps({"stage": "done", "assign_index_sec": assign_sec}),
+        file=sys.stderr, flush=True,
+    )
+    spark.stop()
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "child":
+        return child(sys.argv[2], int(sys.argv[3]))
+
+    out: dict = {"metric": "r14_heap_cliff", "round": 14, "configs": []}
+    for heap, shuffle in CONFIGS:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_DRIVER_MEM"] = heap
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "child", heap, str(shuffle)],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        wall = round(time.time() - t0, 1)
+        stderr_lines = [
+            ln for ln in proc.stderr.splitlines() if ln.strip()
+        ]
+        stages = [ln for ln in stderr_lines if ln.startswith('{"stage"')]
+        oom = any(
+            "OutOfMemoryError" in ln or "java heap space" in ln.lower()
+            for ln in stderr_lines
+        )
+        row = {
+            "heap": heap,
+            "shuffle_partitions": shuffle,
+            "exit_code": proc.returncode,
+            "ok": proc.returncode == 0,
+            "oom_seen": oom,
+            "wall_sec": wall,
+            "stage_markers": stages[-3:],
+            "stderr_tail": stderr_lines[-3:] if proc.returncode != 0 else [],
+        }
+        out["configs"].append(row)
+        print(json.dumps({"progress": row}), file=sys.stderr, flush=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
