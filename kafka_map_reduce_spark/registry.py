@@ -65,7 +65,51 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # therefore revisits on a ~3-round cycle while new Tier C work always
 # gets driver rows in its own round.
 #
-# Round-13 window (executing the r12 verdict item #2):
+# Round-14 window (executing the r13 verdict item #2, exactly the
+# queue registry.py:121-129 documented at r13 close):
+# (1) never-driver-checked: NONE — the inventory is frozen at 159;
+# (2) code changed in r13, re-entering per convention (2):
+#   q_dedup_simhash and q_dedup_simhash_capped (operators/dedup.py
+#   simhash moved its lane/pack trees onto F.expr string faces —
+#   outputs verified bit-identical on the sf0.1 corpus; their r13 rows
+#   happen to carry the new face already, but the convention keys on
+#   code age, not luck of ordering). r14's own code changes touch only
+#   bench.py/tools/tests and a similarity.py DOCSTRING (the thin-index
+#   layout was measured and REJECTED, SCALE_SPOT_r14 — comment-only
+#   diffs do not re-enter, the q_text_tfidf r12 precedent);
+# (3) the 21 r10-stale spills documented in the r13 window notes,
+# drained in full (q_audit_double_write q_compact_cluster
+# q_corpus_report q_date_funcs q_dedup_exact q_dedup_ngram_jaccard
+# q_distinct q_join_right q_json_funcs q_line_index_incremental
+# q_multimodal_decode q_rollup q_scan_json_lines q_shard_manifest
+# q_skipping_prune q_text_decontaminate_spans q_text_redact
+# q_text_tokens q_udf_scalar q_unpivot q_window_frame) — after this
+# window no latest row is older than r11;
+# (4) 21 of the 32 non-live r11-stale rows. The 11 that spill to the
+# r15 queue each leave an in-window or r12/r13-fresh family
+# representative: q_cast (q_string_funcs r13; q_date_funcs +
+# q_json_funcs in-window), q_conditional (q_math_funcs r12;
+# q_string_funcs r13), q_projection (q_scan_parquet + q_filter r13;
+# q_scan_json_lines in-window), q_scan_text (q_scan_csv + q_scan_binary
+# r13; q_scan_json_lines in-window), q_except (q_union_all +
+# q_union_distinct r13; q_intersect r12), q_window_lead_lag +
+# q_window_running (q_window_frame in-window; q_window_dist r13;
+# q_window_rank + q_window_value_funcs r12), q_text_chunks
+# (q_text_redact + q_text_tokens in-window; q_text_stats r13),
+# q_funnel (q_doc_ids + q_agg_argmax r12), q_timeseries_gapfill
+# (q_histogram r12), q_udtf_explode (q_udf_scalar in-window;
+# q_udaf_grouped r13);
+# (5) the live streaming_live block, contiguous at the window edge —
+# ALL six live r11-stale rows drain (q_stream_dedup_watermark
+# q_stream_dlq q_stream_enrich q_stream_join q_stream_stateful
+# q_sink_jsonl), leaving every live row r11+ fresh... r12+ after this
+# round.
+#
+# Round-15 queue — no code-changed re-entries are known yet (r14
+# shipped no operator-behavior diffs); the 11 spilled r11 rows above
+# re-enter first (oldest-first), then r12-stale oldest-first.
+#
+# ---- history: Round-13 window (executing the r12 verdict item #2): ----
 # (1) never-driver-checked: NONE — the inventory is frozen at 159
 # (r12 verdict item #6: keep LoC flat; no new registrations);
 # (2) code changed in r12, re-entering per convention (18, of which one
@@ -254,63 +298,61 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # cpu_par_sec as the second calibration axis now that BENCH_r11 carries
 # the first recorded value.
 _PRIORITY: tuple[str, ...] = (
-    # (2) code changed in r12: similarity.py consumers first — the
-    # hard-gate oracle row leads
-    "q_dedup_semantic_keep_best",
-    "q_dedup_semantic",
-    "q_dedup_semantic_ingest",
-    "q_sim_ivf",
-    "q_sim_ivf_kmeans",
-    "q_sim_ivfpq",
-    "q_sim_pq",
-    "q_sim_sq8",
-    # (2) code changed in r12: dedup.py / sketches.py consumers
-    "q_dedup_near",
-    "q_dedup_near_capped",
+    # (2) code changed in r13: the simhash F.expr faces
     "q_dedup_simhash",
     "q_dedup_simhash_capped",
-    "q_dedup_editdist",
-    "q_dedup_incremental",
-    "q_dedup_embedding_lsh",
-    "q_dedup_embedding_lsh_capped",
-    "q_heavy_hitters",
-    # (3) the fourteen r9 spills, drained in full
-    "q_agg_collect",
-    "q_agg_distinct",
-    "q_agg_global",
-    "q_agg_having",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_left",
-    "q_multimodal_resize",
-    "q_scan_binary",
-    "q_scan_csv",
-    "q_subquery_scalar",
-    "q_topk",
-    "q_union_all",
-    "q_window_dist",
-    # (4) r10-stale, non-live (17 of 38)
-    "q_agg_countif",
-    "q_dedup_clusters",
-    "q_embed_quantize",
-    "q_filter",
-    "q_grouping_sets",
-    "q_join_semi",
-    "q_multimodal_frames",
-    "q_pipeline_e2e",
-    "q_sample_weighted",
-    "q_scan_parquet",
-    "q_scan_partitioned",
-    "q_string_funcs",
-    "q_text_bpe",
-    "q_text_stats",
-    "q_udaf_grouped",
-    "q_union_distinct",
-    "q_zorder_rewrite",
-    # (5) live streams, contiguous at the window edge (2): the
-    # code-changed q_stream_dedup_ingest + the r10-stale mix monitor
-    "q_stream_dedup_ingest",
-    "q_stream_mix_monitor",
+    # (3) the 21 r10-stale spills, drained in full
+    "q_audit_double_write",
+    "q_compact_cluster",
+    "q_corpus_report",
+    "q_date_funcs",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_distinct",
+    "q_join_right",
+    "q_json_funcs",
+    "q_line_index_incremental",
+    "q_multimodal_decode",
+    "q_rollup",
+    "q_scan_json_lines",
+    "q_shard_manifest",
+    "q_skipping_prune",
+    "q_text_decontaminate_spans",
+    "q_text_redact",
+    "q_text_tokens",
+    "q_udf_scalar",
+    "q_unpivot",
+    "q_window_frame",
+    # (4) r11-stale, non-live (21 of 32)
+    "q_agg_group",
+    "q_corpus_mix",
+    "q_dedup_clusters_star",
+    "q_dedup_exact_incremental",
+    "q_epoch_order",
+    "q_join_asof",
+    "q_join_multiway",
+    "q_pack_sequences",
+    "q_sample_stratified",
+    "q_sim_text_topk",
+    "q_sim_topk",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_subquery_in",
+    "q_text_compressibility",
+    "q_text_decontaminate",
+    "q_text_hash_embed",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_repeated_spans",
+    "q_text_unigram_logprob",
+    # (5) live streams, contiguous at the window edge (6): every
+    # r11-stale live row drains this round
+    "q_stream_dedup_watermark",
+    "q_stream_dlq",
+    "q_stream_enrich",
+    "q_stream_join",
+    "q_stream_stateful",
+    "q_sink_jsonl",
 )
 
 

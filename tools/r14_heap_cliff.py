@@ -41,13 +41,22 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 CONFIGS = [
-    ("20g", 64),   # r13's crash point, reproduced under the same shuffle
-    ("20g", 256),  # does 4x more (smaller) shuffle/scan partitions move it?
-    ("32g", 64),   # bracket the cliff between 20g and the working 48g
+    ("20g", 64, False),   # r13's crash point, same shuffle, isolated stage
+    ("20g", 256, False),  # do smaller shuffle/scan partitions move it?
+    ("32g", 64, False),   # bracket between 20g and the working 48g
+    # The first sweep pass: all three ISOLATED configs PASSED (20g/64
+    # assign+index 21.3 s) — the r13 OOM did not reproduce when the
+    # child reads pre-materialized embeddings. r13's crashed attempts
+    # ran the 16M EMBED stage in the same session first; this config
+    # replicates that exact session shape (documents -> hash-embed ->
+    # write -> read -> train -> assign) to test whether the cliff is
+    # session-cumulative rather than stage-intrinsic.
+    ("20g", 64, True),
+    ("8g", 64, True),     # r13's other crash point, same session shape
 ]
 
 
-def child(heap: str, shuffle: int) -> int:
+def child(heap: str, shuffle: int, with_embed: bool = False) -> int:
     from pyspark.sql import functions as F
 
     from kafka_map_reduce_spark import get_session
@@ -59,7 +68,33 @@ def child(heap: str, shuffle: int) -> int:
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         shuffle_partitions=shuffle,
     )
-    emb = spark.read.parquet(os.path.join(tmp, "emb_sf16m"))
+    emb_path = os.path.join(tmp, "emb_sf16m")
+    if with_embed:
+        # replicate the r13 e2e per-point session shape: the embed
+        # stage runs IN THIS SESSION and its write lands in a scratch
+        # path (the shared emb parquet stays untouched for other tools)
+        from kafka_map_reduce_spark.operators.text import (
+            attach_hash_embed_arrow,
+        )
+
+        docs = spark.read.parquet(
+            os.path.join(REPO, ".bench_semcap", "sf16m", "documents.parquet")
+        )
+        emb_path = os.path.join(tmp, "emb_heapprobe")
+        print(json.dumps({"stage": "embed_start"}), file=sys.stderr, flush=True)
+        t0 = time.time()
+        (
+            attach_hash_embed_arrow(docs, "text", "embedding", dim=32)
+            .select(F.col("doc_id").alias("vec_id"), "embedding")
+            .write.mode("overwrite")
+            .parquet(emb_path)
+        )
+        print(
+            json.dumps({"stage": "embed_done",
+                        "embed_sec": round(time.time() - t0, 1)}),
+            file=sys.stderr, flush=True,
+        )
+    emb = spark.read.parquet(emb_path)
     n = emb.count()
     k, mod, cap = S.semantic_model_params(n)
     print(json.dumps({"stage": "train_start"}), file=sys.stderr, flush=True)
@@ -93,16 +128,26 @@ def child(heap: str, shuffle: int) -> int:
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "child":
-        return child(sys.argv[2], int(sys.argv[3]))
+        return child(
+            sys.argv[2], int(sys.argv[3]),
+            with_embed=(len(sys.argv) > 4 and sys.argv[4] == "embed"),
+        )
 
+    only = os.environ.get("HEAP_CLIFF_ONLY")  # e.g. "20g:64:embed"
     out: dict = {"metric": "r14_heap_cliff", "round": 14, "configs": []}
-    for heap, shuffle in CONFIGS:
+    for heap, shuffle, with_embed in CONFIGS:
+        tag = f"{heap}:{shuffle}:{'embed' if with_embed else 'noembed'}"
+        if only and tag != only:
+            continue
         env = dict(os.environ)
         env["SPARK_GRAFT_DRIVER_MEM"] = heap
         t0 = time.time()
+        argv = [
+            sys.executable, os.path.abspath(__file__), "child", heap,
+            str(shuffle),
+        ] + (["embed"] if with_embed else [])
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "child", heap, str(shuffle)],
-            env=env, capture_output=True, text=True, timeout=1800,
+            argv, env=env, capture_output=True, text=True, timeout=1800,
         )
         wall = round(time.time() - t0, 1)
         stderr_lines = [
@@ -116,6 +161,7 @@ def main() -> int:
         row = {
             "heap": heap,
             "shuffle_partitions": shuffle,
+            "embed_in_session": with_embed,
             "exit_code": proc.returncode,
             "ok": proc.returncode == 0,
             "oom_seen": oom,
