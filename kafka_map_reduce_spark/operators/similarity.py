@@ -1972,6 +1972,20 @@ def semantic_dedup_ingest(
     already showed to be a template blob stays routed to exact dedup
     even mid-ingest.
 
+    Local-mode harness sizing (r14, SCALE_SPOT_r14 heap_cliff_r14):
+    the full governed 16M-doc pipeline (embed -> train -> assign+index
+    -> governed pairs) runs in the DEFAULT 8 GiB local[32] heap
+    provided (a) each corpus point runs in its OWN JVM — the r13
+    "needs 48g, 8g/20g OOM" rule was shared-JVM residue (local-mode
+    spark.stop() leaves the gateway JVM and prior-point state alive,
+    so a new get_session is NOT isolation); 6/6 process-isolated
+    probes green at 8-32g, both r13 crash points included — and
+    (b) the pair-stream governor stays on: UNCAPPED
+    16M pair emission crash-loops the Arrow python workers via host
+    RAM, independent of JVM heap. On a real cluster this pressure is
+    executor memory; the driver holds only the collected centroid
+    model (k x dim doubles, ~8 MB at k=2^15).
+
     Index LAYOUT (r14, SCALE_SPOT_r14 assign_decomp_r14): the index
     rows deliberately CARRY the unit vectors. The measured 16M-doc
     stage split (48g heap, warm min-of-3) is routed-argmin 17.7 s +

@@ -47,13 +47,19 @@ Reuses ensure_corpora from tools/r12_semantic_spot.py (same 320-replica
 
 Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/r13_semantic_e2e.py
 (one JSON doc on stdout; stage markers + per-point rows stream to
-stderr). ~12-20 min on an idle 32-cpu host. The heap sizing is load-
-bearing at the 16M point: 8g and 20g heaps both OOM'd in the assign/
-index stage's shuffle (BufferedRowIterator append; first two r13
-attempts) — 16M rows x (32-dim doubles + unit copy) through a 64-
-partition exchange needs the headroom. SEMCAP_POINTS=sf16m reruns one
-point (the final attribution section then requires both, so default
-runs both).
+stderr). ~12-20 min on an idle 32-cpu host. SEMCAP_POINTS=sf16m reruns
+one point (the cross-N attribution section then needs both; a
+single-point run still prints its rows).
+
+Heap note, CORRECTED by the r14 probes (tools/r14_heap_cliff.py,
+SCALE_SPOT_r14 heap_cliff_r14): the r13 claim here that 8g/20g heaps
+OOM the 16M assign/index exchange did not reproduce under PROCESS
+isolation — the full governed 16M pipeline runs at the default 8g in
+its own JVM. The crashes were shared-JVM residue: local-mode
+spark.stop() leaves the gateway JVM alive, so this tool's per-point
+_fresh_session never actually isolated the points (one JVM serves
+them all, heap setting and leftover state included). 48g stays in the
+usage line because THIS tool still runs multi-point in one process.
 """
 
 from __future__ import annotations

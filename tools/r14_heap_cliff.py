@@ -53,6 +53,15 @@ CONFIGS = [
     # session-cumulative rather than stage-intrinsic.
     ("20g", 64, True),
     ("8g", 64, True),     # r13's other crash point, same session shape
+    # Second pass: BOTH with-embed configs passed too (8g: embed+train
+    # 19.4+assign 21.7 s, no OOM) — the r13 crashes were the
+    # shared-multi-point-session artifact (5M ingest checkpoint blocks
+    # still heap-pinned when the 16M point ran), not a stage property.
+    # Final config: the ENTIRE governed 16M pipeline (embed -> train ->
+    # assign+index -> governed pairs) in ONE 8g per-point session — if
+    # this passes, the recorded sizing rule is about session shape, not
+    # gigabytes.
+    ("8g", 64, "full"),
 ]
 
 
@@ -119,24 +128,52 @@ def child(heap: str, shuffle: int, with_embed: bool = False) -> int:
     )
     assign_sec = round(time.time() - t0, 1)
     print(
-        json.dumps({"stage": "done", "assign_index_sec": assign_sec}),
+        json.dumps({"stage": "assign_done", "assign_index_sec": assign_sec}),
         file=sys.stderr, flush=True,
     )
+    if with_embed == "full":
+        # governed pairs, the r13 spill protocol (parquet before sort)
+        index = spark.read.parquet(os.path.join(tmp, "index_heapprobe"))
+        kernel = S._bucket_pairs_fn(0.85, max_pairs=4 * cap)
+        raw_path = os.path.join(tmp, "pairs_heapprobe")
+        t0 = time.time()
+        index.groupBy("bkt").applyInPandas(
+            kernel, "id_a long, id_b long, sim double"
+        ).write.mode("overwrite").parquet(raw_path)
+        raw = spark.read.parquet(raw_path)
+        raw.select(
+            "id_a", "id_b",
+            (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000))
+            .alias("sim"),
+        ).orderBy("id_a", "id_b").write.mode("overwrite").format(
+            "noop"
+        ).save()
+        print(
+            json.dumps({"stage": "pairs_done",
+                        "pairs_sec": round(time.time() - t0, 1)}),
+            file=sys.stderr, flush=True,
+        )
+    print(json.dumps({"stage": "done"}), file=sys.stderr, flush=True)
     spark.stop()
     return 0
 
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "child":
+        mode = sys.argv[4] if len(sys.argv) > 4 else ""
         return child(
             sys.argv[2], int(sys.argv[3]),
-            with_embed=(len(sys.argv) > 4 and sys.argv[4] == "embed"),
+            with_embed=("full" if mode == "full" else mode == "embed"),
         )
 
     only = os.environ.get("HEAP_CLIFF_ONLY")  # e.g. "20g:64:embed"
     out: dict = {"metric": "r14_heap_cliff", "round": 14, "configs": []}
     for heap, shuffle, with_embed in CONFIGS:
-        tag = f"{heap}:{shuffle}:{'embed' if with_embed else 'noembed'}"
+        mode = (
+            "full" if with_embed == "full"
+            else "embed" if with_embed else "noembed"
+        )
+        tag = f"{heap}:{shuffle}:{mode}"
         if only and tag != only:
             continue
         env = dict(os.environ)
@@ -145,7 +182,7 @@ def main() -> int:
         argv = [
             sys.executable, os.path.abspath(__file__), "child", heap,
             str(shuffle),
-        ] + (["embed"] if with_embed else [])
+        ] + ([mode] if mode != "noembed" else [])
         proc = subprocess.run(
             argv, env=env, capture_output=True, text=True, timeout=1800,
         )
