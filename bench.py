@@ -1061,7 +1061,15 @@ def main() -> None:
         min(par) / calibration["cpu_sec_post"], 3
     )
     par_pooled = calibration["cpu_par_pre_samples"] + calibration["cpu_par_samples"]
-    calibration["cpu_par_rel_spread"] = round(
+    # Estimator-level spread, same redefinition as the cpu axis (r14
+    # item #7, applied symmetrically): the par divisor is min-of-3-POST,
+    # so its in-run uncertainty is the pre-vs-post min-of-3 drift; the
+    # raw pooled range (this round's widest band term, 0.2161 in the
+    # r14 builder run vs 0.0826 estimator-level) stays as _raw.
+    calibration["cpu_par_rel_spread"] = estimator_rel_spread(
+        min(par_pre), min(par)
+    )
+    calibration["cpu_par_rel_spread_raw"] = round(
         (max(par_pooled) - min(par_pooled)) / min(par_pooled), 4
     )
     # Post-headline scan re-probe (r13): recorded for within-run drift
