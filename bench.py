@@ -633,12 +633,25 @@ PY_AXIS_QUERIES = {"q_udf_scalar"}  # Arrow pandas-UDF path: Python workers
 CPU_AXIS_QUERIES = PY_AXIS_QUERIES | {"q_agg_group"}
 
 
+# A 2-point estimator spread can coincide at ~0 on a lucky run while
+# the probe's true run-to-run variance is not 0 — the r10 lesson this
+# band exists for measured same-code same-round probe repeats
+# disagreeing by +2%/-5%. Floor the recorded spread at that measured
+# disagreement so a point-collapsed band can never certify ordinary
+# probe noise as an engine change (r14 review finding).
+CAL_SPREAD_FLOOR = 0.05
+
+
 def estimator_rel_spread(pre_min: float, post_min: float) -> float:
     """Estimator-level cpu-axis spread (r14 verdict item #7): the band
     divisor is a min-of-n estimator, so its in-run uncertainty is the
     relative drift between the pre- and post-headline estimators — not
-    the full raw-sample range, which a min never approaches."""
-    return round(abs(pre_min - post_min) / min(pre_min, post_min), 4)
+    the full raw-sample range, which a min never approaches. Floored at
+    CAL_SPREAD_FLOOR (see above)."""
+    return max(
+        round(abs(pre_min - post_min) / min(pre_min, post_min), 4),
+        CAL_SPREAD_FLOOR,
+    )
 
 
 def classify_axis(name: str, cores: float) -> str:

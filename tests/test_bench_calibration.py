@@ -135,7 +135,10 @@ def test_estimator_rel_spread_is_symmetric_and_matches_r13_case():
     """r14 cpu-band redefinition: the spread of the min-of-n estimator
     is the pre-vs-post estimator drift. The r13 numbers (pre 1.069,
     post 0.942) must give ~0.135, not the raw-range 0.487 that made
-    the cpu band useless."""
+    the cpu band useless. A lucky pre==post run floors at
+    CAL_SPREAD_FLOOR instead of collapsing the band to a point (the
+    probe's measured same-code run-to-run disagreement is nonzero)."""
     assert bench.estimator_rel_spread(1.069, 0.942) == 0.1348
     assert bench.estimator_rel_spread(0.942, 1.069) == 0.1348
-    assert bench.estimator_rel_spread(1.0, 1.0) == 0.0
+    assert bench.estimator_rel_spread(1.0, 1.0) == bench.CAL_SPREAD_FLOOR
+    assert bench.estimator_rel_spread(1.0, 1.01) == bench.CAL_SPREAD_FLOOR

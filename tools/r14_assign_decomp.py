@@ -201,7 +201,10 @@ def main() -> int:
         raw_path = os.path.join(tmp, "pairs_raw")
 
         def run_pairs(src_df, runs: int = 3) -> tuple:
-            # min-of-3, same reasoning as timed()
+            # min-of-3, same reasoning as timed(). PROTOCOL NOTE: the
+            # spill-before-sort + floor-round body is a frozen replica
+            # of tools/r13_semantic_e2e.py timed_pairs (the canonical
+            # copy) — see the note in tools/r14_heap_cliff.py.
             wall = float("inf")
             for _ in range(runs):
                 t0 = time.time()

@@ -132,7 +132,14 @@ def child(heap: str, shuffle: int, with_embed: bool = False) -> int:
         file=sys.stderr, flush=True,
     )
     if with_embed == "full":
-        # governed pairs, the r13 spill protocol (parquet before sort)
+        # governed pairs, the r13 spill protocol (parquet before sort).
+        # PROTOCOL NOTE: this block and tools/r14_assign_decomp.py
+        # run_pairs are frozen replicas of tools/r13_semantic_e2e.py
+        # timed_pairs (the canonical copy, which additionally counts
+        # kernel emissions via an accumulator) — frozen so each round's
+        # recorded numbers stay protocol-identical to the artifact they
+        # are compared against; a protocol change must start from the
+        # r13 copy and bump all three deliberately.
         index = spark.read.parquet(os.path.join(tmp, "index_heapprobe"))
         kernel = S._bucket_pairs_fn(0.85, max_pairs=4 * cap)
         raw_path = os.path.join(tmp, "pairs_heapprobe")
@@ -183,13 +190,21 @@ def main() -> int:
             sys.executable, os.path.abspath(__file__), "child", heap,
             str(shuffle),
         ] + ([mode] if mode != "noembed" else [])
-        proc = subprocess.run(
-            argv, env=env, capture_output=True, text=True, timeout=1800,
-        )
+        timed_out = False
+        try:
+            proc = subprocess.run(
+                argv, env=env, capture_output=True, text=True, timeout=1800,
+            )
+            returncode, stderr = proc.returncode, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            # a child GC-thrashing at the cliff instead of exiting must
+            # not abort the sweep and lose the completed configs
+            timed_out = True
+            returncode, stderr = None, (e.stderr or b"").decode(
+                "utf-8", "replace"
+            ) if isinstance(e.stderr, bytes) else (e.stderr or "")
         wall = round(time.time() - t0, 1)
-        stderr_lines = [
-            ln for ln in proc.stderr.splitlines() if ln.strip()
-        ]
+        stderr_lines = [ln for ln in stderr.splitlines() if ln.strip()]
         stages = [ln for ln in stderr_lines if ln.startswith('{"stage"')]
         oom = any(
             "OutOfMemoryError" in ln or "java heap space" in ln.lower()
@@ -199,12 +214,20 @@ def main() -> int:
             "heap": heap,
             "shuffle_partitions": shuffle,
             "embed_in_session": with_embed,
-            "exit_code": proc.returncode,
-            "ok": proc.returncode == 0,
+            "exit_code": returncode,
+            "ok": returncode == 0,
+            "timed_out": timed_out,
             "oom_seen": oom,
+            # a kernel OOM-killer SIGKILL leaves NO OutOfMemoryError on
+            # stderr — the host-RAM failure mode this probe brackets;
+            # classify it instead of hiding it behind a bare -9
+            "killed_by_signal": (
+                -returncode if returncode is not None and returncode < 0
+                else None
+            ),
             "wall_sec": wall,
             "stage_markers": stages[-3:],
-            "stderr_tail": stderr_lines[-3:] if proc.returncode != 0 else [],
+            "stderr_tail": stderr_lines[-3:] if returncode != 0 else [],
         }
         out["configs"].append(row)
         print(json.dumps({"progress": row}), file=sys.stderr, flush=True)
