@@ -1988,8 +1988,9 @@ def semantic_dedup_ingest(
 
     Index LAYOUT (r14, SCALE_SPOT_r14 assign_decomp_r14): the index
     rows deliberately CARRY the unit vectors. The measured 16M-doc
-    stage split (48g heap, warm min-of-3) is routed-argmin 17.7 s +
-    Arrow normalize ~10 s + fat parquet write ~0 — the write volume an
+    stage split (warm min-of-3) is routed-argmin 17.7 s + Arrow
+    normalize 8.1 s isolated (both LINEAR in N: 3.2x and 2.8x per
+    3.2x docs) + fat parquet write ~0 — the write volume an
     (id, bkt)-only layout would save is nil, while re-deriving vectors
     at pair time costs a corpus-wide id-join per batch probe (measured
     pair stage 54.3 s thin vs 35.3-43.8 s carried at 16M; totals 73.5
