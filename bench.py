@@ -530,9 +530,25 @@ def host_calibration(spark, sf_dir: str, n_runs: int) -> dict:
         # bar, so it could diagnose and never certify).
         "scan_sec": round(min(scan_samples), 3),
         "scan_samples": [round(s, 3) for s in scan_samples],
-        "scan_rel_spread": round(
+        # Floored at CAL_SPREAD_FLOOR since r15 (ADVICE r14 #2): the
+        # lucky-point-collapse rationale applies to 3 same-phase scan
+        # samples exactly as to the cpu/par estimators — a coincident
+        # triple must not certify ordinary probe noise as an engine
+        # change. The definition stays the PRE-phase raw range (the
+        # post phase measures warmth, see scan_probe); the unfloored
+        # value is kept as _raw. Flooring only ever WIDENS the band, so
+        # cross-round band arithmetic against unfloored prior rounds
+        # stays conservative.
+        "scan_rel_spread": max(
+            round(
+                (max(scan_samples) - min(scan_samples)) / min(scan_samples), 4
+            ),
+            CAL_SPREAD_FLOOR,
+        ),
+        "scan_rel_spread_raw": round(
             (max(scan_samples) - min(scan_samples)) / min(scan_samples), 4
         ),
+        "scan_rel_spread_def": "raw_pre_range_floored_v15",
     }
 
 
@@ -1059,6 +1075,12 @@ def main() -> None:
     calibration["cpu_rel_spread_raw"] = round(
         (max(pooled) - min(pooled)) / min(pooled), 4
     )
+    # Definition tag (ADVICE r14 #1): the key kept its name across the
+    # r14 redefinition (raw pooled range -> pre/post estimator drift,
+    # floored), so cross-round artifact consumers need a marker to know
+    # which quantity a given round recorded. Rounds without the tag are
+    # raw-range (<= r13).
+    calibration["cpu_rel_spread_def"] = "estimator_v14"
     # Multi-core probe (r11; since r12 the SECOND calibration axis in
     # shared_vs_prev): all cores running the same loop concurrently,
     # timed after the headline set. par/single ratio >> 1 = co-tenant
@@ -1085,6 +1107,7 @@ def main() -> None:
     calibration["cpu_par_rel_spread_raw"] = round(
         (max(par_pooled) - min(par_pooled)) / min(par_pooled), 4
     )
+    calibration["cpu_par_rel_spread_def"] = "estimator_v14"  # see cpu tag
     # Post-headline scan re-probe (r13): recorded for within-run drift
     # diagnosis but NOT folded into scan_rel_spread — the pre and post
     # phases sit in different cache states (the headline set touches

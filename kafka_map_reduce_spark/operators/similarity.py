@@ -1993,8 +1993,11 @@ def semantic_dedup_ingest(
     3.2x docs) + fat parquet write ~0 — the write volume an
     (id, bkt)-only layout would save is nil, while re-deriving vectors
     at pair time costs a corpus-wide id-join per batch probe (measured
-    pair stage 54.3 s thin vs 35.3-43.8 s carried at 16M; totals 73.5
-    vs 71.5, and 21.1 vs 18.2 at 5M) and re-introduces exactly the
+    pair stage 54.3 s thin vs 35.3-43.8 s carried at 16M; the totals,
+    73.5 vs 71.5 at 16M and 21.1 vs 18.2 at 5M, are WITHIN session
+    noise — the r14 drift witness moved ~19% at 16M, more than that
+    gap — so the rejection rests on the structural terms, not the
+    totals) and re-introduces exactly the
     O(corpus)-per-batch term this probe contract exists to avoid. The
     r13 note attributing the stage's scale-up residual to 'index write
     volume' was wrong: warm min-of-3 gives 8.4 -> 27.7 s per 5M -> 16M

@@ -45,21 +45,26 @@ quantifying either. This tool closes both:
 Reuses ensure_corpora from tools/r12_semantic_spot.py (same 320-replica
 .bench_semcap corpus; decade filters give 5M/10M/16M).
 
-Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/r13_semantic_e2e.py
+Usage: python tools/r13_semantic_e2e.py
 (one JSON doc on stdout; stage markers + per-point rows stream to
 stderr). ~12-20 min on an idle 32-cpu host. SEMCAP_POINTS=sf16m reruns
 one point (the cross-N attribution section then needs both; a
 single-point run still prints its rows).
 
 Heap note, CORRECTED by the r14 probes (tools/r14_heap_cliff.py,
-SCALE_SPOT_r14 heap_cliff_r14): the r13 claim here that 8g/20g heaps
-OOM the 16M assign/index exchange did not reproduce under PROCESS
-isolation — the full governed 16M pipeline runs at the default 8g in
-its own JVM. The crashes were shared-JVM residue: local-mode
-spark.stop() leaves the gateway JVM alive, so this tool's per-point
-_fresh_session never actually isolated the points (one JVM serves
-them all, heap setting and leftover state included). 48g stays in the
-usage line because THIS tool still runs multi-point in one process.
+SCALE_SPOT_r14 heap_cliff_r14) and CLOSED by the r15 refactor: the r13
+claim here that 8g/20g heaps OOM the 16M assign/index exchange did not
+reproduce under PROCESS isolation — the full governed 16M pipeline
+runs at the default 8g in its own JVM. The crashes were shared-JVM
+residue: local-mode spark.stop() leaves the gateway JVM alive, so the
+old per-point _fresh_session never actually isolated the points (one
+JVM served them all, heap setting and leftover state included). Since
+r15 this tool enforces the recorded one-JVM-per-corpus-point rule
+structurally: the parent process starts NO JVM; the corpus build and
+each corpus point run as their own subprocess (--build / --point
+<label>), so the default 8g heap suffices and the phantom cliff cannot
+be re-manufactured here. An OOM in a point child is now evidence about
+the pipeline, not the harness.
 """
 
 from __future__ import annotations
@@ -92,146 +97,211 @@ def _fresh_session(name: str):
     )
 
 
-def main() -> int:
+def _corpora_dirs() -> dict:
+    """The .bench_semcap point paths IF the build marker exists (the
+    marker-gated fast path of ensure_corpora, reproduced here so point
+    children never need a session just to resolve paths)."""
+    base = os.path.join(REPO, ".bench_semcap")
+    if not os.path.exists(os.path.join(base, "_SEMCAP_320_OK")):
+        return {}
+    return {k: os.path.join(base, k) for k in ("sf16m", "sf10m", "sf5m")}
+
+
+def run_point(label: str) -> dict:
+    """One corpus point in THIS process's one and only JVM (the
+    one-JVM-per-corpus-point rule, SCALE_SPOT_r14 heap_cliff_r14). No
+    spark.stop() at the end: process exit IS the isolation — in local
+    mode stop() would leave the gateway JVM alive anyway."""
     from pyspark.sql import functions as F
 
     from kafka_map_reduce_spark.operators import similarity as S
     from kafka_map_reduce_spark.operators.text import attach_hash_embed_arrow
 
-    sf1 = os.path.join(REPO, ".bench_sf1")
-    if not os.path.exists(os.path.join(sf1, "documents.parquet")):
-        print(json.dumps({"err": ".bench_sf1 missing — run bench.py once first"}))
-        return 1
-    spark = _fresh_session("r13-semantic-e2e-build")
+    d = _corpora_dirs()[label]
+    tmp = os.path.join(REPO, ".bench_semcap", "tmp")
+    spark = _fresh_session(f"r13-semantic-e2e-{label}")
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    print(json.dumps({"stage": "embed_start", "label": label, "t": round(time.time(), 1)}), file=sys.stderr)
+    emb_path = os.path.join(tmp, f"emb_{label}")
     t0 = time.time()
-    dirs = ensure_corpora(spark, sf1, os.path.join(REPO, ".bench_semcap"))
-    spark.stop()
+    (
+        attach_hash_embed_arrow(docs, "text", "embedding", dim=32)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .write.mode("overwrite")
+        .parquet(emb_path)
+    )
+    embed_sec = round(time.time() - t0, 1)
+    emb = spark.read.parquet(emb_path)
+    n = emb.count()
+    k, mod, cap = S.semantic_model_params(n)
+
+    # ---- stage 1: train (frozen-sample Lloyd at the k cap) --------
+    print(json.dumps({"stage": "train_start", "label": label, "t": round(time.time(), 1)}), file=sys.stderr)
+    train = S._hash_mod_filter(emb, "vec_id", mod)
+    t0 = time.time()
+    cents = S.kmeans_fit(
+        train, k, iters=3, vec_col="embedding", id_col="vec_id",
+        init="spread",
+    ).localCheckpoint(eager=True)
+    train_sec = round(time.time() - t0, 1)
+    k_eff = cents.count()
+
+    # ---- stage 2: assign + normalize + size-cap (the index face) --
+    print(json.dumps({"stage": "assign_start", "label": label, "t": round(time.time(), 1)}), file=sys.stderr)
+    empty = spark.createDataFrame([], "id long, bkt int, __vn array<double>")
+    idx_path = os.path.join(tmp, f"index_{label}")
+    t0 = time.time()
+    _, index = S.semantic_dedup_ingest(
+        emb, cents, empty, threshold=0.85, max_cluster_size=cap
+    )
+    index.write.mode("overwrite").parquet(idx_path)
+    assign_sec = round(time.time() - t0, 1)
+    index = spark.read.parquet(idx_path)
+    n_indexed = index.count()
+
+    sizes = index.groupBy("bkt").count()
+    stats = sizes.agg(
+        F.avg("count").alias("avg"),
+        F.max("count").alias("max"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("count") * F.col("count")).alias("sum_c2"),
+    ).collect()[0]
+
+    # ---- stage 3: pairs (exact in-kernel verify), governor A/B ----
+    def timed_pairs(max_pairs):
+        acc = spark.sparkContext.accumulator(0)
+        kernel = S._bucket_pairs_fn(0.85, max_pairs=max_pairs)
+
+        def counted(pdf):
+            out = kernel(pdf)
+            acc.add(len(out))
+            return out
+
+        t0 = time.time()
+        raw = index.groupBy("bkt").applyInPandas(
+            counted, "id_a long, id_b long, sim double"
+        )
+        # parquet spill BEFORE the orderBy, r12 protocol: the sort's
+        # range-sampling job would re-execute the kernel (double
+        # count), and heap checkpoints OOM at 16M-doc pair volumes.
+        raw_path = os.path.join(tmp, "pairs_raw")
+        raw.write.mode("overwrite").parquet(raw_path)
+        raw = spark.read.parquet(raw_path)
+        raw.select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("sim"),
+        ).orderBy("id_a", "id_b").write.mode("overwrite").format("noop").save()
+        return round(time.time() - t0, 1), acc.value
+
+    print(json.dumps({"stage": "pairs_start", "label": label, "t": round(time.time(), 1)}), file=sys.stderr)
+    pairs_cap_sec, n_cap = timed_pairs(4 * cap)
+    # Uncapped A/B at sf5m ONLY (the r12 protocol): the 16M uncapped
+    # emission stream crash-looped the Python workers on this host
+    # (first r13 attempt, /tmp/sem_e2e_16m.log 2026-08-16 — 48g JVM
+    # + 32 Arrow workers + a ~2x-capped pair stream exceeds host
+    # RAM; the same blowup class the r12 tiled-argmin fix removed
+    # from the assign stage). The 5M A/B prices the per-emitted-pair
+    # term with flops held constant; the governor is exactly what
+    # makes the 16M point runnable — which is itself the finding.
+    if label == "sf5m":
+        pairs_unc_sec, n_unc = timed_pairs(None)
+    else:
+        pairs_unc_sec, n_unc = None, None
+
+    row = {
+        "n_docs": n,
+        "k_requested": k,
+        "k_effective": k_eff,
+        "train_sample_mod": mod,
+        "max_cluster_size": cap,
+        "n_docs_surviving_size_cap": n_indexed,
+        "docs_dropped_by_size_cap": n - n_indexed,
+        "cluster_avg": round(float(stats["avg"]), 1),
+        "cluster_max": int(stats["max"]),
+        "n_clusters": int(stats["n_clusters"]),
+        "sum_c2": int(stats["sum_c2"]),
+        "embed_sec": embed_sec,
+        "train_sec": train_sec,
+        "assign_index_sec": assign_sec,
+        "pairs_capped_sec": pairs_cap_sec,
+        "n_pairs_capped": n_cap,
+        "pairs_uncapped_sec": pairs_unc_sec,
+        "n_pairs_uncapped": n_unc,
+        "e2e_sec_governed": round(train_sec + assign_sec + pairs_cap_sec, 1),
+    }
+    print(json.dumps({"progress": label, **row}), file=sys.stderr)
+    return row
+
+
+def _run_child(args: list[str]) -> dict:
+    """Spawn this script in a fresh process (its own JVM) and return the
+    last JSON line of its stdout; stderr (stage markers, per-point
+    progress) streams through to the parent's stderr."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)] + args,
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    last = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                last = json.loads(line)
+            except ValueError:
+                pass
+    if proc.returncode != 0 or last is None:
+        raise RuntimeError(
+            f"child {args} failed rc={proc.returncode}; "
+            f"stdout tail: {proc.stdout[-500:]!r}"
+        )
+    return last
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+
+    # ---- child: corpus build, one JVM, exits when done ----------------
+    if "--build" in argv:
+        sf1 = os.path.join(REPO, ".bench_sf1")
+        if not os.path.exists(os.path.join(sf1, "documents.parquet")):
+            print(json.dumps({"err": ".bench_sf1 missing — run bench.py once first"}))
+            return 1
+        spark = _fresh_session("r13-semantic-e2e-build")
+        t0 = time.time()
+        ensure_corpora(spark, sf1, os.path.join(REPO, ".bench_semcap"))
+        print(json.dumps({"built": True, "corpus_build_sec": round(time.time() - t0, 1)}))
+        return 0
+
+    # ---- child: one corpus point, one JVM, exits when done ------------
+    if "--point" in argv:
+        label = argv[argv.index("--point") + 1]
+        if not _corpora_dirs():
+            print(json.dumps({"err": "corpus missing — the parent runs --build first"}))
+            return 1
+        row = run_point(label)
+        print(json.dumps({"point_label": label, "point_row": row}))
+        return 0
+
+    # ---- parent: JVM-free orchestrator (one JVM per corpus point) -----
+    build = _run_child(["--build"])
+    if "err" in build:
+        print(json.dumps(build))
+        return 1
     result: dict = {
         "metric": "r13_semantic_e2e",
         "round": 13,
-        "corpus_build_sec": round(time.time() - t0, 1),
+        "isolation": "one JVM per corpus point (r15; SCALE_SPOT_r14 heap_cliff_r14)",
+        "corpus_build_sec": build["corpus_build_sec"],
     }
-    tmp = os.path.join(REPO, ".bench_semcap", "tmp")
-
     rows: dict = {}
-    points = tuple(
-        os.environ.get("SEMCAP_POINTS", "sf5m,sf16m").split(",")
-    )
+    points = tuple(os.environ.get("SEMCAP_POINTS", "sf5m,sf16m").split(","))
     for label in points:
-        d = dirs[label]
-        spark = _fresh_session(f"r13-semantic-e2e-{label}")
-        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
-        print(json.dumps({"stage": "embed_start", "label": label, "t": round(time.time(), 1)}), file=sys.stderr)
-        emb_path = os.path.join(tmp, f"emb_{label}")
-        t0 = time.time()
-        (
-            attach_hash_embed_arrow(docs, "text", "embedding", dim=32)
-            .select(F.col("doc_id").alias("vec_id"), "embedding")
-            .write.mode("overwrite")
-            .parquet(emb_path)
-        )
-        embed_sec = round(time.time() - t0, 1)
-        emb = spark.read.parquet(emb_path)
-        n = emb.count()
-        k, mod, cap = S.semantic_model_params(n)
-
-        # ---- stage 1: train (frozen-sample Lloyd at the k cap) --------
-        print(json.dumps({"stage": "train_start", "label": label, "t": round(time.time(), 1)}), file=sys.stderr)
-        train = S._hash_mod_filter(emb, "vec_id", mod)
-        t0 = time.time()
-        cents = S.kmeans_fit(
-            train, k, iters=3, vec_col="embedding", id_col="vec_id",
-            init="spread",
-        ).localCheckpoint(eager=True)
-        train_sec = round(time.time() - t0, 1)
-        k_eff = cents.count()
-
-        # ---- stage 2: assign + normalize + size-cap (the index face) --
-        print(json.dumps({"stage": "assign_start", "label": label, "t": round(time.time(), 1)}), file=sys.stderr)
-        empty = spark.createDataFrame([], "id long, bkt int, __vn array<double>")
-        idx_path = os.path.join(tmp, f"index_{label}")
-        t0 = time.time()
-        _, index = S.semantic_dedup_ingest(
-            emb, cents, empty, threshold=0.85, max_cluster_size=cap
-        )
-        index.write.mode("overwrite").parquet(idx_path)
-        assign_sec = round(time.time() - t0, 1)
-        index = spark.read.parquet(idx_path)
-        n_indexed = index.count()
-
-        sizes = index.groupBy("bkt").count()
-        stats = sizes.agg(
-            F.avg("count").alias("avg"),
-            F.max("count").alias("max"),
-            F.count(F.lit(1)).alias("n_clusters"),
-            F.sum(F.col("count") * F.col("count")).alias("sum_c2"),
-        ).collect()[0]
-
-        # ---- stage 3: pairs (exact in-kernel verify), governor A/B ----
-        def timed_pairs(max_pairs):
-            acc = spark.sparkContext.accumulator(0)
-            kernel = S._bucket_pairs_fn(0.85, max_pairs=max_pairs)
-
-            def counted(pdf):
-                out = kernel(pdf)
-                acc.add(len(out))
-                return out
-
-            t0 = time.time()
-            raw = index.groupBy("bkt").applyInPandas(
-                counted, "id_a long, id_b long, sim double"
-            )
-            # parquet spill BEFORE the orderBy, r12 protocol: the sort's
-            # range-sampling job would re-execute the kernel (double
-            # count), and heap checkpoints OOM at 16M-doc pair volumes.
-            raw_path = os.path.join(tmp, "pairs_raw")
-            raw.write.mode("overwrite").parquet(raw_path)
-            raw = spark.read.parquet(raw_path)
-            raw.select(
-                "id_a",
-                "id_b",
-                (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / F.lit(10000)).alias("sim"),
-            ).orderBy("id_a", "id_b").write.mode("overwrite").format("noop").save()
-            return round(time.time() - t0, 1), acc.value
-
-        print(json.dumps({"stage": "pairs_start", "label": label, "t": round(time.time(), 1)}), file=sys.stderr)
-        pairs_cap_sec, n_cap = timed_pairs(4 * cap)
-        # Uncapped A/B at sf5m ONLY (the r12 protocol): the 16M uncapped
-        # emission stream crash-looped the Python workers on this host
-        # (first r13 attempt, /tmp/sem_e2e_16m.log 2026-08-16 — 48g JVM
-        # + 32 Arrow workers + a ~2x-capped pair stream exceeds host
-        # RAM; the same blowup class the r12 tiled-argmin fix removed
-        # from the assign stage). The 5M A/B prices the per-emitted-pair
-        # term with flops held constant; the governor is exactly what
-        # makes the 16M point runnable — which is itself the finding.
-        if label == "sf5m":
-            pairs_unc_sec, n_unc = timed_pairs(None)
-        else:
-            pairs_unc_sec, n_unc = None, None
-
-        rows[label] = {
-            "n_docs": n,
-            "k_requested": k,
-            "k_effective": k_eff,
-            "train_sample_mod": mod,
-            "max_cluster_size": cap,
-            "n_docs_surviving_size_cap": n_indexed,
-            "docs_dropped_by_size_cap": n - n_indexed,
-            "cluster_avg": round(float(stats["avg"]), 1),
-            "cluster_max": int(stats["max"]),
-            "n_clusters": int(stats["n_clusters"]),
-            "sum_c2": int(stats["sum_c2"]),
-            "embed_sec": embed_sec,
-            "train_sec": train_sec,
-            "assign_index_sec": assign_sec,
-            "pairs_capped_sec": pairs_cap_sec,
-            "n_pairs_capped": n_cap,
-            "pairs_uncapped_sec": pairs_unc_sec,
-            "n_pairs_uncapped": n_unc,
-            "e2e_sec_governed": round(train_sec + assign_sec + pairs_cap_sec, 1),
-        }
-        print(json.dumps({"progress": label, **rows[label]}), file=sys.stderr)
-        spark.stop()
+        out = _run_child(["--point", label])
+        rows[out["point_label"]] = out["point_row"]
 
     # Per-pair emission price from the within-N A/B (flops identical on
     # both sides of each A/B by construction); flop price from the

@@ -244,8 +244,21 @@ def main() -> int:
         row["pairs_thin_sec"], fp_thin = run_pairs(rederived)
         # same-session drift witness (the r13 A/B protocol): if the
         # full layout re-run after thin lands near thin's wall, the
-        # full-vs-thin gap was session drift, not layout
-        row["pairs_full_rerun_sec"], _ = run_pairs(full_idx, runs=1)
+        # full-vs-thin gap was session drift, not layout. min-of-3
+        # since r15 (ADVICE r14 #4): the r14 artifact's single-run
+        # witness showed ~19% drift at sf16m — larger than the 71.5 vs
+        # 73.5 s totals gap it was arbitrating — so the recorded
+        # totals comparison is WITHIN NOISE; the thin-layout rejection
+        # rests on the structural arguments (fat-write volume ≈ 0 and
+        # the O(corpus)-per-batch join a thin index re-introduces into
+        # ingest), not on the totals. A future re-run's witness now
+        # uses the same estimator as the walls it arbitrates.
+        row["pairs_full_rerun_sec"], _ = run_pairs(full_idx)
+        row["totals_note"] = (
+            "carried-vs-thin totals are within session noise "
+            "(drift witness ~19% at sf16m, r14); rejection rests on "
+            "write-volume + standing-index arguments"
+        )
         row["pair_fingerprints_match"] = fp_full == fp_thin
         row["pair_fingerprint"] = fp_full
         row["totals_sec"] = {

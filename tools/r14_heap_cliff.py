@@ -196,19 +196,30 @@ def main() -> int:
                 argv, env=env, capture_output=True, text=True, timeout=1800,
             )
             returncode, stderr = proc.returncode, proc.stderr
+            stdout = proc.stdout or ""
         except subprocess.TimeoutExpired as e:
             # a child GC-thrashing at the cliff instead of exiting must
             # not abort the sweep and lose the completed configs
             timed_out = True
-            returncode, stderr = None, (e.stderr or b"").decode(
-                "utf-8", "replace"
-            ) if isinstance(e.stderr, bytes) else (e.stderr or "")
+
+            def _s(v):
+                return (
+                    v.decode("utf-8", "replace") if isinstance(v, bytes)
+                    else (v or "")
+                )
+
+            returncode, stderr, stdout = None, _s(e.stderr), _s(e.stdout)
         wall = round(time.time() - t0, 1)
         stderr_lines = [ln for ln in stderr.splitlines() if ln.strip()]
+        stdout_lines = [ln for ln in stdout.splitlines() if ln.strip()]
         stages = [ln for ln in stderr_lines if ln.startswith('{"stage"')]
+        # Scan BOTH channels (ADVICE r14 #3): JVM hs_err notices and py4j
+        # tracebacks frequently land on stdout, so a stderr-only grep can
+        # record a real OOM as oom_seen=false with only a bare nonzero
+        # exit, weakening the sweep's stage attribution.
         oom = any(
             "OutOfMemoryError" in ln or "java heap space" in ln.lower()
-            for ln in stderr_lines
+            for ln in stderr_lines + stdout_lines
         )
         row = {
             "heap": heap,
@@ -228,6 +239,7 @@ def main() -> int:
             "wall_sec": wall,
             "stage_markers": stages[-3:],
             "stderr_tail": stderr_lines[-3:] if returncode != 0 else [],
+            "stdout_tail": stdout_lines[-3:] if returncode != 0 else [],
         }
         out["configs"].append(row)
         print(json.dumps({"progress": row}), file=sys.stderr, flush=True)

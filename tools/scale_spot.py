@@ -11,6 +11,18 @@ Not part of the per-round driver bench (it would triple its wall time);
 run manually, paste the JSON into the commit/SURVEY. Usage:
 
     python tools/scale_spot.py [n_runs]
+
+Heap note (r15, from tools/r14_heap_cliff.py / SCALE_SPOT_r14
+heap_cliff_r14): this tool runs MULTIPLE corpus points in one process,
+and local-mode spark.stop() does not release the gateway JVM — heap
+state accumulates across points, which is exactly the shape that
+manufactured the phantom r13 "48 GiB cliff". The recorded rule is one
+JVM per corpus point (8 g then suffices); since this tool cannot
+subprocess-isolate its points without losing the within-session decade
+comparability its ratios are built on, main() instead defaults the
+driver heap to the 48 g multi-point belt (SPARK_GRAFT_DRIVER_MEM still
+overrides). An OOM here is a harness artifact until reproduced in a
+process-isolated single-point run.
 """
 
 from __future__ import annotations
@@ -39,6 +51,13 @@ QUERIES = [
     # (perf-weak in r5, fixed r6 — this is its 100x-scale witness) and
     # the per-source health report's digest-join/aggregate chain
     "q_dedup_embedding_lsh",
+    # added r15 (r14 verdict item #5): the embedding-LSH family's
+    # DECLARED 100 TB configuration enters the recurring battery
+    # permanently — the r14 min-of-3 recheck measured 2.63x per 10x
+    # capped vs 12.24x uncapped (SCALE_SPOT_r14), so tracking only the
+    # uncapped fixture-density outlier would miss the configuration the
+    # scale claim actually rests on
+    "q_dedup_embedding_lsh_capped",
     "q_corpus_report",
     # added r7: the ANN family's 100x witness (the one Tier C pillar
     # without one) — IVFADC's nprobe bucket restriction and SQ8's
@@ -929,6 +948,12 @@ def main() -> int:
             if unknown:
                 print(f"unknown sections: {sorted(unknown)}", file=sys.stderr)
                 return 1
+
+    # The multi-point single-process belt (module docstring): sessions
+    # built after this point inherit 48 g unless the caller overrode it.
+    # Must precede the package import — session.py reads the env var at
+    # import time into BUILD_CONFS.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from kafka_map_reduce_spark import get_session
     from kafka_map_reduce_spark.registry import all_queries
