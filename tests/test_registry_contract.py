@@ -134,3 +134,38 @@ def test_fan_out_adopters_match_plancheck_declaration():
         f"fan_out_scan adopters {sorted(adopters ^ plancheck.FAN_OUT_OK)} "
         "out of sync with tools/plancheck.py FAN_OUT_OK"
     )
+
+
+def test_scale_battery_tracks_declared_scale_configurations():
+    """r14 verdict item #5, pinned: every bucketed-dedup family whose
+    100 TB claim rests on its CAPPED configuration must have that
+    configuration in tools/scale_spot.py's recurring sf1/sf10 battery —
+    tracking only an uncapped fixture-density outlier would leave the
+    declared at-scale path without a per-round decade witness (the
+    embedding-LSH gap this closes: 2.63x/decade capped vs 12.24x
+    uncapped, SCALE_SPOT_r14). Loaded by file path like the
+    test_watermark_dedup helper; importing the tool runs no Spark."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "kmr_scale_spot_tool", os.path.join(_REPO, "tools", "scale_spot.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("kmr_scale_spot_tool", mod)
+    spec.loader.exec_module(mod)
+    required = {
+        "q_dedup_near_capped",
+        "q_dedup_simhash_capped",
+        "q_dedup_embedding_lsh_capped",
+    }
+    missing = required - set(mod.QUERIES)
+    assert not missing, (
+        "declared at-scale dedup configurations absent from the "
+        f"recurring scale battery: {sorted(missing)}"
+    )
+    # each battery query must be a registered name, or the battery
+    # dies at runtime 25 minutes in
+    assert set(mod.QUERIES) <= set(all_queries()), (
+        sorted(set(mod.QUERIES) - set(all_queries()))
+    )
