@@ -41,6 +41,13 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
+    # Multi-point single-process tool: one JVM serves every corpus
+    # point (local-mode spark.stop() is not isolation), so default the
+    # 48g heap belt — the one-JVM-per-point rule, SCALE_SPOT_r14
+    # heap_cliff_r14. Must precede the package import (session.py
+    # reads the env var at import time).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     from pyspark.sql import functions as F
 
     from kafka_map_reduce_spark import get_session
