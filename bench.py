@@ -1078,8 +1078,12 @@ def main() -> None:
     # Definition tag (ADVICE r14 #1): the key kept its name across the
     # r14 redefinition (raw pooled range -> pre/post estimator drift,
     # floored), so cross-round artifact consumers need a marker to know
-    # which quantity a given round recorded. Rounds without the tag are
-    # raw-range (<= r13).
+    # which quantity a given round recorded. Untagged-round rule: the
+    # r14 artifacts already record the estimator-v14 quantity WITHOUT
+    # the tag (it ships one round later), so key on the presence of the
+    # *_raw sibling — rounds carrying cpu_rel_spread_raw are
+    # estimator-level in the main key, rounds without it (<= r13) are
+    # raw-range.
     calibration["cpu_rel_spread_def"] = "estimator_v14"
     # Multi-core probe (r11; since r12 the SECOND calibration axis in
     # shared_vs_prev): all cores running the same loop concurrently,

@@ -67,8 +67,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The stable Tier B long-tail revisits on a ~3-round cycle while new
 # Tier C work always gets driver rows in its own round.
 #
-# Closed rounds' window compositions live in WINDOWS.md (moved out of
-# this module per the r14 verdict); only the ACTIVE window is here.
+# Ownership (r15): the _PRIORITY tuple below is the SOLE authoritative
+# window for the active round — it is what the driver executes and
+# what test_registry_contract.py machine-checks. WINDOWS.md holds the
+# prose rationale (composition notes + full spill-representative
+# mappings) for every round including this one, and must be updated in
+# the same commit as any mid-round _PRIORITY adjustment; when the
+# round closes its entry becomes archive.
 #
 # Round-15 window (executing the r14 verdict item #2, exactly the
 # queue documented at r14 close):

@@ -54,6 +54,22 @@ sys.path.insert(0, REPO)
 _ID_OFFSET = 100_000_000  # replica i lives in decade i*1e8 (scale_spot.py)
 
 
+# The corpus layout contract, shared with tools/r13_semantic_e2e.py's
+# JVM-free _corpora_dirs (which must resolve point paths WITHOUT a
+# session): one marker, one set of point keys. Changing either here
+# changes both consumers together.
+SEMCAP_MARKER = "_SEMCAP_320_OK"
+SEMCAP_POINT_KEYS = ("sf16m", "sf10m", "sf5m")
+
+
+def semcap_dirs(base: str) -> dict:
+    """Point-name -> path mapping IF the build marker exists, else {}.
+    Session-free by design (the marker IS the build receipt)."""
+    if not os.path.exists(os.path.join(base, SEMCAP_MARKER)):
+        return {}
+    return {k: os.path.join(base, k) for k in SEMCAP_POINT_KEYS}
+
+
 def ensure_corpora(spark, sf1_dir: str, base: str) -> dict:
     """Build .bench_semcap/{sf16m,sf10m,sf5m}/documents.parquet."""
     from pyspark.sql import functions as F
@@ -61,9 +77,9 @@ def ensure_corpora(spark, sf1_dir: str, base: str) -> dict:
     out16 = os.path.join(base, "sf16m")
     out10 = os.path.join(base, "sf10m")
     out5 = os.path.join(base, "sf5m")
-    marker = os.path.join(base, "_SEMCAP_320_OK")
-    if os.path.exists(marker):
-        return {"sf16m": out16, "sf10m": out10, "sf5m": out5}
+    done = semcap_dirs(base)
+    if done:
+        return done
     if os.path.exists(base):
         shutil.rmtree(base)
     for d in (out16, out10, out5):
@@ -102,9 +118,9 @@ def ensure_corpora(spark, sf1_dir: str, base: str) -> dict:
     full.filter(F.col("doc_id") < F.lit(100 * _ID_OFFSET)).repartition(32).write.mode(
         "overwrite"
     ).parquet(os.path.join(out5, "documents.parquet"))
-    with open(marker, "w") as f:
+    with open(os.path.join(base, SEMCAP_MARKER), "w") as f:
         f.write("ok\n")
-    return {"sf16m": out16, "sf10m": out10, "sf5m": out5}
+    return semcap_dirs(base)
 
 
 def main() -> int:

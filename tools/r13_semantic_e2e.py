@@ -98,13 +98,14 @@ def _fresh_session(name: str):
 
 
 def _corpora_dirs() -> dict:
-    """The .bench_semcap point paths IF the build marker exists (the
-    marker-gated fast path of ensure_corpora, reproduced here so point
-    children never need a session just to resolve paths)."""
-    base = os.path.join(REPO, ".bench_semcap")
-    if not os.path.exists(os.path.join(base, "_SEMCAP_320_OK")):
-        return {}
-    return {k: os.path.join(base, k) for k in ("sf16m", "sf10m", "sf5m")}
+    """The .bench_semcap point paths IF the build marker exists —
+    session-free, so point children never start a JVM just to resolve
+    paths. Delegates to r12_semantic_spot.semcap_dirs: ONE definition
+    of the marker + point keys shared with ensure_corpora, so a layout
+    change there cannot strand this tool's children."""
+    from r12_semantic_spot import semcap_dirs
+
+    return semcap_dirs(os.path.join(REPO, ".bench_semcap"))
 
 
 def run_point(label: str) -> dict:
@@ -253,7 +254,10 @@ def _run_child(args: list[str]) -> dict:
                 last = json.loads(line)
             except ValueError:
                 pass
-    if proc.returncode != 0 or last is None:
+    # A child that DECLARED its failure (an {"err": ...} doc + rc 1)
+    # is a contract-conformant outcome the caller handles — only a
+    # child that died without saying why raises here.
+    if last is None or (proc.returncode != 0 and "err" not in last):
         raise RuntimeError(
             f"child {args} failed rc={proc.returncode}; "
             f"stdout tail: {proc.stdout[-500:]!r}"
@@ -287,10 +291,16 @@ def main() -> int:
         return 0
 
     # ---- parent: JVM-free orchestrator (one JVM per corpus point) -----
-    build = _run_child(["--build"])
-    if "err" in build:
-        print(json.dumps(build))
-        return 1
+    # Skip the build child entirely when the marker already exists —
+    # ensure_corpora's fast path would only confirm it after paying a
+    # full Spark session start.
+    if _corpora_dirs():
+        build = {"built": False, "corpus_build_sec": 0.0}
+    else:
+        build = _run_child(["--build"])
+        if "err" in build:
+            print(json.dumps(build))
+            return 1
     result: dict = {
         "metric": "r13_semantic_e2e",
         "round": 13,
