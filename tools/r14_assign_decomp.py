@@ -70,6 +70,13 @@ def _dir_bytes(path: str) -> int:
 
 
 def main() -> int:
+    # Multi-point single-process tool (per-point get_session is NOT
+    # isolation — local-mode spark.stop() leaves the gateway JVM
+    # alive): default the 48g belt per the one-JVM-per-point rule,
+    # SCALE_SPOT_r14 heap_cliff_r14. Must precede the package import
+    # (session.py reads the env var at import time).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     from pyspark.sql import functions as F
 
     from kafka_map_reduce_spark import get_session
