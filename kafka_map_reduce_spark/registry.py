@@ -75,85 +75,87 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the same commit as any mid-round _PRIORITY adjustment; when the
 # round closes its entry becomes archive.
 #
-# Round-15 window (executing the r14 verdict item #2, exactly the
-# queue documented at r14 close):
+# Round-16 window (executing the r15 verdict item #2, exactly the
+# queue documented at r15 close):
 # (1) never-driver-checked: NONE — the inventory is frozen at 159;
-# (2) code changed in r14: NONE — r14 shipped no operator-behavior
-# diffs (bench.py/tools/tests + one similarity.py docstring only);
-# (3) the 11 r11-stale spills documented in the r14 window notes,
-# drained in full — after this window no latest row is older than r12;
-# (4) 37 of the 48 non-live r12-stale rows. The 11 that spill to the
-# r16 queue each leave an in-window or r13/r14-fresh family
-# representative (full mapping in WINDOWS.md): q_agg_approx_distinct
-# (q_hll_sketches in-window), q_agg_stats (q_agg_group r14),
-# q_array_funcs (q_json_funcs r14), q_cube (q_rollup r14),
-# q_join_inner (q_join_multiway r14), q_math_funcs (q_date_funcs r14),
-# q_multimodal_meta (q_multimodal_decode r14), q_sample_temperature
-# (q_sample_stratified r14), q_sim_cosine (q_sim_topk r14),
-# q_token_count (q_text_tokens r14), q_window_rank (q_window_frame
-# r14; q_window_lead_lag + q_window_running in-window);
+# (2) code changed in r15: NONE — r15 shipped no operator-behavior
+# diffs (registry window rotation + one similarity.py docstring only);
+# (3) the 11 r12-stale spills documented in the r15 window notes,
+# drained in full — after this window no latest row is older than r13;
+# (4) 37 of the 46 non-live r13-stale rows. The 9 that spill to the
+# r17 queue each leave an in-window or r14/r15-fresh family
+# representative (full mapping in WINDOWS.md): q_agg_collect
+# (q_string_agg r15; q_agg_global in-window), q_agg_countif
+# (q_agg_having in-window; q_agg_group r14), q_embed_quantize
+# (q_sim_sq8 + q_sim_pq in-window), q_join_cross (q_join_theta r15;
+# q_join_full in-window), q_join_semi (q_join_anti r15; q_join_left
+# in-window), q_scan_csv (q_scan_text r15; q_scan_parquet in-window),
+# q_sim_ivf (q_sim_ivf_kmeans + q_sim_ivfpq in-window),
+# q_union_distinct (q_union_all in-window; q_intersect + q_except
+# r15), q_window_dist (q_window_rank in-window; q_window_value_funcs +
+# q_window_lead_lag r15);
 # (5) the live streaming_live block, contiguous at the window edge
-# (2): the only r12-stale live rows (every other live row is
-# r13/r14-fresh).
+# (2): the only r13-stale live rows (every other live row is
+# r14/r15-fresh).
 #
-# Round-16 queue — no code-changed re-entries are known yet (r15 is a
-# rotation + hygiene round); the 11 spilled r12 rows above re-enter
-# first (oldest-first), then r13-stale oldest-first.
+# Round-17 queue — no code-changed re-entries are known yet (r16 is an
+# attribution + bench-protocol round); the 9 spilled r13 rows above
+# re-enter first (oldest-first), then r14-stale oldest-first.
 _PRIORITY: tuple[str, ...] = (
-    # (3) the 11 r11-stale spills, drained in full
-    "q_cast",
-    "q_conditional",
-    "q_except",
-    "q_funnel",
-    "q_projection",
-    "q_scan_text",
-    "q_text_chunks",
-    "q_timeseries_gapfill",
-    "q_udtf_explode",
-    "q_window_lead_lag",
-    "q_window_running",
-    # (4) r12-stale, non-live (37 of 48)
-    "q_agg_argmax",
-    "q_agg_percentile",
-    "q_audit_delivery",
-    "q_classifier_fit",
-    "q_dedup_embedding",
-    "q_dedup_keep_best",
-    "q_doc_ids",
-    "q_domain_cap",
-    "q_group_rebalance",
-    "q_histogram",
-    "q_hll_sketches",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_bucketed",
-    "q_join_null_safe",
-    "q_join_range_bucket",
-    "q_join_theta",
-    "q_orderby",
-    "q_pivot",
-    "q_quality_classifier",
-    "q_sample_hash",
-    "q_scan_orc",
-    "q_sketch_quantile",
-    "q_split_assign",
-    "q_sql_interface",
-    "q_stream_dedup",
-    "q_stream_tumbling",
-    "q_string_agg",
-    "q_subquery_correlated",
-    "q_text_bigram_logprob",
-    "q_text_boilerplate",
-    "q_text_fingerprint",
-    "q_text_repetition",
-    "q_text_tfidf",
-    "q_upsert_merge",
-    "q_window_time_range",
-    "q_window_value_funcs",
+    # (3) the 11 r12-stale spills, drained in full
+    "q_agg_approx_distinct",
+    "q_agg_stats",
+    "q_array_funcs",
+    "q_cube",
+    "q_join_inner",
+    "q_math_funcs",
+    "q_multimodal_meta",
+    "q_sample_temperature",
+    "q_sim_cosine",
+    "q_token_count",
+    "q_window_rank",
+    # (4) r13-stale, non-live (37 of 46)
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_having",
+    "q_dedup_clusters",
+    "q_dedup_editdist",
+    "q_dedup_embedding_lsh",
+    "q_dedup_embedding_lsh_capped",
+    "q_dedup_incremental",
+    "q_dedup_near",
+    "q_dedup_near_capped",
+    "q_dedup_semantic",
+    "q_dedup_semantic_ingest",
+    "q_dedup_semantic_keep_best",
+    "q_filter",
+    "q_grouping_sets",
+    "q_heavy_hitters",
+    "q_join_full",
+    "q_join_left",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_pipeline_e2e",
+    "q_sample_weighted",
+    "q_scan_binary",
+    "q_scan_parquet",
+    "q_scan_partitioned",
+    "q_sim_ivf_kmeans",
+    "q_sim_ivfpq",
+    "q_sim_pq",
+    "q_sim_sq8",
+    "q_string_funcs",
+    "q_subquery_scalar",
+    "q_text_bpe",
+    "q_text_stats",
+    "q_topk",
+    "q_udaf_grouped",
+    "q_union_all",
+    "q_zorder_rewrite",
     # (5) live streams, contiguous at the window edge (2): the only
-    # r12-stale live rows drain this round
-    "q_stream_gated_ingest",
-    "q_stream_watermark",
+    # r13-stale live rows drain this round
+    "q_stream_dedup_ingest",
+    "q_stream_mix_monitor",
 )
 
 
