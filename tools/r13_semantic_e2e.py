@@ -246,14 +246,23 @@ def _run_child(args: list[str]) -> dict:
         stdout=subprocess.PIPE,
         text=True,
     )
-    last = None
+    docs = []
     for line in proc.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
             try:
-                last = json.loads(line)
+                docs.append(json.loads(line))
             except ValueError:
                 pass
+    last = docs[-1] if docs else None
+    # On a failing rc, a declared {"err": ...} doc wins even when a
+    # later JSON-looking line (a stray library print) lands after it —
+    # keying on the LAST line only would mask the real error into the
+    # generic RuntimeError below (ADVICE r15).
+    if proc.returncode != 0:
+        for d in docs:
+            if "err" in d:
+                return d
     # A child that DECLARED its failure (an {"err": ...} doc + rc 1)
     # is a contract-conformant outcome the caller handles — only a
     # child that died without saying why raises here.
@@ -311,6 +320,13 @@ def main() -> int:
     points = tuple(os.environ.get("SEMCAP_POINTS", "sf5m,sf16m").split(","))
     for label in points:
         out = _run_child(["--point", label])
+        # Mirror the build path (ADVICE r15): a point child that exits
+        # with a declared {"err": ...} doc passes _run_child's contract
+        # check by design — surface that doc instead of crashing on an
+        # opaque KeyError at out["point_label"].
+        if "err" in out:
+            print(json.dumps({**out, "point": label}))
+            return 1
         rows[out["point_label"]] = out["point_row"]
 
     # Per-pair emission price from the within-N A/B (flops identical on
