@@ -131,6 +131,66 @@ def test_axis_assignment_thresholds():
     assert bench.classify_axis("q_agg_group", 14.0) == "par"
 
 
+def test_pinned_axis_map_is_stable_and_covers_the_headline_set():
+    """r15 verdict item #4: the certification axis must be deterministic
+    per query, not per session — two same-code r15 runs classified the
+    same 18 queries differently (cpu n=1/par n=3 vs cpu n=2/par n=2)
+    because q_agg_group and q_dedup_near_capped measure across
+    PAR_AXIS_MIN_CORES run to run. This pins the exact map; changing an
+    assignment means editing BOTH bench.QUERY_AXIS_PINNED and this test
+    in one reviewed commit."""
+    assert bench.QUERY_AXIS_PINNED == {
+        "q_agg_group": "cpu",
+        "q_udf_scalar": "cpu",
+        "q_dedup_near": "par",
+        "q_dedup_near_capped": "par",
+    }
+    # every pinned name is a real headline query (a rename would
+    # silently un-pin it back to the scan default)
+    assert set(bench.QUERY_AXIS_PINNED) <= set(bench.HEADLINE)
+    # the measured single-thread-affinity set stays consistent with
+    # the pins (q_agg_group's r14 three-session fit)
+    for q in bench.CPU_AXIS_QUERIES:
+        assert bench.pinned_axis(q) == "cpu", q
+    # everything un-pinned certifies against the scan axis
+    assert bench.pinned_axis("q_orderby") == "scan"
+    assert all(
+        bench.pinned_axis(q) in {"cpu", "par", "scan"} for q in bench.HEADLINE
+    )
+
+
+def test_compact_artifact_keeps_every_cross_round_divisor():
+    """Compact-line hygiene (r16): the detail-only exclusion sets must
+    never swallow a scalar that a future round's shared_vs_prev divides
+    by, or cross-round calibration dies one round later."""
+    divisors = {
+        "cpu_sec", "cpu_rel_spread",
+        "cpu_par_sec", "cpu_par_rel_spread",
+        "scan_sec", "scan_rel_spread",
+    }
+    assert not divisors & bench.CAL_DETAIL_ONLY
+    # per_class is the load-bearing certification; the ratio and the
+    # classed aggregate must ride the compact line
+    assert not {
+        "ratio", "ratio_calibrated", "per_class",
+        "ratio_calibrated_classed", "classed_band",
+    } & bench.SVP_DETAIL_ONLY
+
+
+def test_multi_estimator_spread_covers_a_mid_headline_excursion():
+    """r15 verdict item #3's protocol rule: the closing session's
+    pre-vs-post drift read 1.02 (spread 0.05 floor) while cpu-class
+    queries inside the headline window moved ~1.3x. With the r16 mid /
+    co-located readings folded in, a 1.3x excursion at any sampled
+    point widens the spread to cover it."""
+    # pre 0.856, post 0.873 (the r15 shape: quiet endpoints) but the
+    # mid-headline estimator caught the excursion at 1.11
+    assert bench.estimator_rel_spread(0.856, 0.873, 1.11) == 0.2967
+    # degenerates to the two-point r14 definition when only two
+    # readings exist (old artifacts / SPARK_GRAFT_BENCH_N edge cases)
+    assert bench.estimator_rel_spread(0.856, 0.873) == bench.CAL_SPREAD_FLOOR
+
+
 def test_estimator_rel_spread_is_symmetric_and_matches_r13_case():
     """r14 cpu-band redefinition: the spread of the min-of-n estimator
     is the pre-vs-post estimator drift. The r13 numbers (pre 1.069,
