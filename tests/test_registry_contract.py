@@ -164,8 +164,16 @@ def test_scale_battery_tracks_declared_scale_configurations():
         "declared at-scale dedup configurations absent from the "
         f"recurring scale battery: {sorted(missing)}"
     )
+    # r15 verdict item #6: the uncapped embedding-LSH row is a
+    # fixture-density SIDEBAR, not a headline battery member — its
+    # decade ratio measures synthetic bucket-density growth and only
+    # adds band noise next to the contract-pinned capped twin. It must
+    # stay recorded (sidebar), just not in the headline table.
+    assert "q_dedup_embedding_lsh" not in mod.QUERIES
+    assert "q_dedup_embedding_lsh" in mod.SIDEBAR_QUERIES
     # each battery query must be a registered name, or the battery
     # dies at runtime 25 minutes in
-    assert set(mod.QUERIES) <= set(all_queries()), (
-        sorted(set(mod.QUERIES) - set(all_queries()))
+    battery = set(mod.QUERIES) | set(mod.SIDEBAR_QUERIES)
+    assert battery <= set(all_queries()), (
+        sorted(battery - set(all_queries()))
     )

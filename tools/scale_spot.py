@@ -47,10 +47,6 @@ QUERIES = [
     "q_text_boilerplate",
     "q_doc_ids",
     "q_pipeline_e2e",
-    # added r6: the third dedup modality on its Arrow signature path
-    # (perf-weak in r5, fixed r6 — this is its 100x-scale witness) and
-    # the per-source health report's digest-join/aggregate chain
-    "q_dedup_embedding_lsh",
     # added r15 (r14 verdict item #5): the embedding-LSH family's
     # DECLARED 100 TB configuration enters the recurring battery
     # permanently — the r14 min-of-3 recheck measured 2.63x per 10x
@@ -67,6 +63,22 @@ QUERIES = [
     # added r7: the SemDeDup modality (k scales with the corpus to hold
     # cluster size ~250, so the within-cluster quadratic term is ~N*250)
     "q_dedup_semantic",
+]
+
+# Fixture-density sidebar (r16, executing the r15 verdict item #6):
+# the UNCAPPED embedding-LSH row left the headline battery table. Its
+# decade ratio is dominated by the synthetic corpus's bucket-density
+# growth (6.9-13.1x per 10x across rounds, vs 2.6-3.1x for the capped
+# twin — SCALE_SPOT_r14/r15), and its r15 reading of 6.94 fell BELOW
+# its own historical band on pure host/page-cache variance, adding
+# band noise every round while witnessing nothing the capped
+# configuration (the declared 100 TB path, contract-pinned above)
+# doesn't. It still runs each battery, recorded under
+# ``uncapped_sidebar`` with its documented story, so the
+# fixture-density diagnosis keeps a live number without polluting the
+# headline ratio table.
+SIDEBAR_QUERIES = [
+    "q_dedup_embedding_lsh",
 ]
 
 
@@ -1006,6 +1018,25 @@ def main() -> int:
             q: round(sf10_times[q] / sf1_times[q], 2)
             for q in QUERIES
             if sf1_times[q] > 0
+        }
+        # fixture-density sidebar (see SIDEBAR_QUERIES): recorded, not
+        # part of the headline ratio table or its historical bands
+        sb1 = run_set(sf1_dir, names=SIDEBAR_QUERIES)
+        sb10 = run_set(sf10_dir, names=SIDEBAR_QUERIES)
+        result["uncapped_sidebar"] = {
+            "note": (
+                "uncapped embedding-LSH decade ratio tracks the "
+                "synthetic corpus's bucket-density growth, not the "
+                "declared at-scale path — the capped twin in the "
+                "headline table is the 100 TB witness"
+            ),
+            "sf1": sb1,
+            "sf10": sb10,
+            "ratio_10x_data": {
+                q: round(sb10[q] / sb1[q], 2)
+                for q in SIDEBAR_QUERIES
+                if sb1[q] > 0
+            },
         }
     if "ann" in sections:
         result["ann_candidate_audit"] = {
