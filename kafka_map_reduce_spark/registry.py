@@ -75,87 +75,87 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the same commit as any mid-round _PRIORITY adjustment; when the
 # round closes its entry becomes archive.
 #
-# Round-16 window (executing the r15 verdict item #2, exactly the
-# queue documented at r15 close):
+# Round-17 window (executing the r16 verdict item #2, exactly the
+# queue documented at r16 close):
 # (1) never-driver-checked: NONE — the inventory is frozen at 159;
-# (2) code changed in r15: NONE — r15 shipped no operator-behavior
-# diffs (registry window rotation + one similarity.py docstring only);
-# (3) the 11 r12-stale spills documented in the r15 window notes,
-# drained in full — after this window no latest row is older than r13;
-# (4) 37 of the 46 non-live r13-stale rows. The 9 that spill to the
-# r17 queue each leave an in-window or r14/r15-fresh family
-# representative (full mapping in WINDOWS.md): q_agg_collect
-# (q_string_agg r15; q_agg_global in-window), q_agg_countif
-# (q_agg_having in-window; q_agg_group r14), q_embed_quantize
-# (q_sim_sq8 + q_sim_pq in-window), q_join_cross (q_join_theta r15;
-# q_join_full in-window), q_join_semi (q_join_anti r15; q_join_left
-# in-window), q_scan_csv (q_scan_text r15; q_scan_parquet in-window),
-# q_sim_ivf (q_sim_ivf_kmeans + q_sim_ivfpq in-window),
-# q_union_distinct (q_union_all in-window; q_intersect + q_except
-# r15), q_window_dist (q_window_rank in-window; q_window_value_funcs +
-# q_window_lead_lag r15);
+# (2) code changed in r16: NONE — r16 shipped no operator-behavior
+# diffs (bench-protocol hardening + the ordered attribution tool only;
+# bench.py/tools/tests diffs do not re-enter query rows);
+# (3) the 9 r13-stale spills documented in the r16 window notes,
+# drained in full — after this window no latest row is older than r14;
+# (4) 35 of the 44 non-live r14-stale rows. The 9 that spill to the
+# r18 queue each leave an in-window or r15/r16-fresh family
+# representative (full mapping in WINDOWS.md): q_date_funcs
+# (q_math_funcs + q_string_funcs r16; q_cast r15), q_distinct
+# (q_agg_distinct r16; q_union_distinct in-window), q_join_right
+# (q_join_left + q_join_full r16), q_json_funcs (q_array_funcs +
+# q_string_funcs r16), q_rollup (q_cube + q_grouping_sets r16),
+# q_subquery_in (q_subquery_scalar r16; q_subquery_correlated r15),
+# q_text_tokens (q_token_count + q_text_stats r16), q_unpivot
+# (q_pivot r15), q_window_frame (q_window_rank r16;
+# q_window_value_funcs + q_window_lead_lag r15);
 # (5) the live streaming_live block, contiguous at the window edge
-# (2): the only r13-stale live rows (every other live row is
-# r14/r15-fresh).
+# (6): ALL six r14-stale live rows drain this round (every other live
+# row is r15/r16-fresh).
 #
-# Round-17 queue — no code-changed re-entries are known yet (r16 is an
-# attribution + bench-protocol round); the 9 spilled r13 rows above
-# re-enter first (oldest-first), then r14-stale oldest-first.
+# Round-18 queue — no code-changed re-entries are known yet; the 9
+# spilled r14 rows above re-enter first (oldest-first), then r15-stale
+# oldest-first.
 _PRIORITY: tuple[str, ...] = (
-    # (3) the 11 r12-stale spills, drained in full
-    "q_agg_approx_distinct",
-    "q_agg_stats",
-    "q_array_funcs",
-    "q_cube",
-    "q_join_inner",
-    "q_math_funcs",
-    "q_multimodal_meta",
-    "q_sample_temperature",
-    "q_sim_cosine",
-    "q_token_count",
-    "q_window_rank",
-    # (4) r13-stale, non-live (37 of 46)
-    "q_agg_distinct",
-    "q_agg_global",
-    "q_agg_having",
-    "q_dedup_clusters",
-    "q_dedup_editdist",
-    "q_dedup_embedding_lsh",
-    "q_dedup_embedding_lsh_capped",
-    "q_dedup_incremental",
-    "q_dedup_near",
-    "q_dedup_near_capped",
-    "q_dedup_semantic",
-    "q_dedup_semantic_ingest",
-    "q_dedup_semantic_keep_best",
-    "q_filter",
-    "q_grouping_sets",
-    "q_heavy_hitters",
-    "q_join_full",
-    "q_join_left",
-    "q_multimodal_frames",
-    "q_multimodal_resize",
-    "q_pipeline_e2e",
-    "q_sample_weighted",
-    "q_scan_binary",
-    "q_scan_parquet",
-    "q_scan_partitioned",
-    "q_sim_ivf_kmeans",
-    "q_sim_ivfpq",
-    "q_sim_pq",
-    "q_sim_sq8",
-    "q_string_funcs",
-    "q_subquery_scalar",
-    "q_text_bpe",
-    "q_text_stats",
-    "q_topk",
-    "q_udaf_grouped",
-    "q_union_all",
-    "q_zorder_rewrite",
-    # (5) live streams, contiguous at the window edge (2): the only
-    # r13-stale live rows drain this round
-    "q_stream_dedup_ingest",
-    "q_stream_mix_monitor",
+    # (3) the 9 r13-stale spills, drained in full
+    "q_agg_collect",
+    "q_agg_countif",
+    "q_embed_quantize",
+    "q_join_cross",
+    "q_join_semi",
+    "q_scan_csv",
+    "q_sim_ivf",
+    "q_union_distinct",
+    "q_window_dist",
+    # (4) r14-stale, non-live (35 of 44)
+    "q_agg_group",
+    "q_audit_double_write",
+    "q_compact_cluster",
+    "q_corpus_mix",
+    "q_corpus_report",
+    "q_dedup_clusters_star",
+    "q_dedup_exact",
+    "q_dedup_exact_incremental",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_simhash_capped",
+    "q_epoch_order",
+    "q_join_asof",
+    "q_join_multiway",
+    "q_line_index_incremental",
+    "q_multimodal_decode",
+    "q_pack_sequences",
+    "q_sample_stratified",
+    "q_scan_json_lines",
+    "q_shard_manifest",
+    "q_sim_text_topk",
+    "q_sim_topk",
+    "q_skipping_prune",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_text_compressibility",
+    "q_text_decontaminate",
+    "q_text_decontaminate_spans",
+    "q_text_hash_embed",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_redact",
+    "q_text_repeated_spans",
+    "q_text_unigram_logprob",
+    "q_udf_scalar",
+    # (5) live streams, contiguous at the window edge (6): all six
+    # r14-stale live rows drain this round
+    "q_sink_jsonl",
+    "q_stream_dedup_watermark",
+    "q_stream_dlq",
+    "q_stream_enrich",
+    "q_stream_join",
+    "q_stream_stateful",
 )
 
 
