@@ -86,17 +86,108 @@ def history() -> list[dict]:
 
 def fit_no_intercept(points: list[tuple[float, float]]) -> dict:
     """Least-squares slope of wall = slope * cpu_sec through the origin
-    (the r14 q_agg_group fit shape) + per-point residuals."""
+    (the r14 q_agg_group fit shape) + per-point residuals.
+
+    Existence checks are explicit (ADVICE r16 #2): a slope that
+    computes to exactly 0.0 is a real (degenerate) fit and must be
+    reported as 0.0 with its residuals, not collapsed to null by a
+    truthiness guard. Residuals are undefined where slope * x == 0."""
     sxx = sum(x * x for x, _ in points)
     sxy = sum(x * y for x, y in points)
     slope = sxy / sxx if sxx > 0 else None
-    resid = [
-        round((y - slope * x) / (slope * x), 4) for x, y in points
-    ] if slope else []
-    return {"slope": round(slope, 4) if slope else None, "residuals": resid}
+    resid = []
+    if slope is not None:
+        resid = [
+            round((y - slope * x) / (slope * x), 4) if slope * x != 0 else None
+            for x, y in points
+        ]
+    return {
+        "slope": round(slope, 4) if slope is not None else None,
+        "residuals": resid,
+    }
+
+
+def loo_residuals(points: list[tuple[float, float]]) -> list:
+    """Per-point leave-one-out residuals (ADVICE r16 #1): each point is
+    judged against a fit over the OTHER points only, so an excursion
+    under test cannot inflate the slope and shrink its own residual —
+    the bias the in-sample fit carries by construction."""
+    out = []
+    for i, (x, y) in enumerate(points):
+        rest = [p for j, p in enumerate(points) if j != i]
+        fit = fit_no_intercept(rest)
+        s = fit["slope"]
+        if s is None or s * x == 0:
+            out.append(None)
+        else:
+            out.append(round((y - s * x) / (s * x), 4))
+    return out
+
+
+def _fit_only() -> dict:
+    """Recompute the attribution arithmetic from on-disk artifacts only
+    (no Spark, no re-measure): the cross-session fits over history()
+    with per-point LEAVE-ONE-OUT residuals (ADVICE r16 #1), plus the
+    idle min-of-7 walls already recorded in SCALE_SPOT_r16.json judged
+    against LOO fits they did not influence. This is the mode the r17
+    verification ran; the measured inputs are pinned artifacts, so the
+    output is deterministic."""
+    hist = history()
+    out: dict = {"metric": "cpu_axis_attrib_fit_only", "history_files": [
+        h["file"] for h in hist
+    ], "fits": {}}
+    try:
+        spot = json.load(open(os.path.join(REPO, "SCALE_SPOT_r16.json")))
+        idle7 = spot["cpu_axis_attribution_r16"]["idle_rerun_min_of_7"]
+        idle = {
+            "q_agg_group": {
+                "min_wall": idle7["q_agg_group_wall"],
+                "min_cpu": idle7["colocated_cpu_min"]["q_agg_group"],
+            },
+            "q_agg_percentile": {
+                "min_wall": idle7["q_agg_percentile_wall"],
+                "min_cpu": idle7["colocated_cpu_min"]["q_agg_percentile"],
+            },
+        }
+    except (OSError, KeyError, json.JSONDecodeError):
+        idle = {}
+    for name in TARGETS:
+        pts = [(h["cpu_sec"], h[name]) for h in hist]
+        fit = fit_no_intercept(pts)
+        loo = loo_residuals(pts)
+        entry = {
+            **fit,
+            "loo_residuals": loo,
+            "by_file": {
+                h["file"]: {"in_sample": fit["residuals"][i], "loo": loo[i]}
+                for i, h in enumerate(hist)
+            },
+            "n_points": len(pts),
+        }
+        if name in idle:
+            # the idle point is out-of-sample by construction (not a
+            # BENCH artifact), so the full-history fit is already a fit
+            # it did not influence
+            pred = (
+                round(fit["slope"] * idle[name]["min_cpu"], 3)
+                if fit["slope"] is not None
+                else None
+            )
+            entry["idle_predicted_wall"] = pred
+            entry["idle_measured_wall"] = idle[name]["min_wall"]
+            entry["idle_residual"] = (
+                round((idle[name]["min_wall"] - pred) / pred, 4)
+                if pred
+                else None
+            )
+        out["fits"][name] = entry
+    return out
 
 
 def main() -> int:
+    if "--fit-only" in sys.argv[1:]:
+        print(json.dumps(_fit_only()))
+        return 0
     with open("/proc/loadavg") as fh:
         load1 = float(fh.read().split()[0])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,11 +235,14 @@ def main() -> int:
         this = idle[name]
         pred = (
             round(fit["slope"] * this["min_cpu"], 3)
-            if fit["slope"]
+            if fit["slope"] is not None
             else None
         )
         out["fits"][name] = {
             **fit,
+            # each artifact point judged against a fit it did not
+            # influence (ADVICE r16 #1)
+            "loo_residuals": loo_residuals(pts),
             "n_points": len(pts),
             "idle_predicted_wall": pred,
             "idle_measured_wall": this["min_wall"],
