@@ -731,6 +731,11 @@ CAL_DETAIL_ONLY = frozenset(
         "scan_rel_spread_raw",
         "cpu_par_over_single",
         "scan_sec_post",
+        # the r17 divisor decision rides the compact line as
+        # per_class.cpu.divisor (next to the drift it describes); this
+        # long-form tag is redundant with it and the compact line sits
+        # ~70 bytes under the driver's 2000-byte tail window
+        "cpu_class_divisor_def",
     }
 )
 SVP_DETAIL_ONLY = frozenset(
@@ -967,15 +972,46 @@ def shared_vs_prev(
                 if query_axis and calibration:
                     axis_drift: dict[str, float] = {}
                     axis_band: dict[str, float] = {}
+                    axis_divisor: dict[str, str] = {}
                     if prev_cal.get("scan_sec") and scan_band is not None:
                         axis_drift["scan"] = (
                             calibration["scan_sec"] / prev_cal["scan_sec"]
                         )
                         axis_band["scan"] = scan_band
-                    if prev_cal.get("cpu_sec"):
+                    # cpu-class divisor promotion (r17, executing the
+                    # r16 verdict item #3): the co-located min — the
+                    # minimum over the LCG samples taken immediately
+                    # before each rep of each cpu-pinned query — becomes
+                    # the cpu-class drift divisor when BOTH rounds
+                    # recorded it (r16 introduced it record-only, the
+                    # standing introduction convention). Decided on
+                    # BENCH_r16's live witness: the co-located readings
+                    # predicted q_agg_group's wall within 3% of the r14
+                    # cross-session fit (slope x 0.88 co-located) while
+                    # the session-min pre-probe (0.749) predicted 17%
+                    # low — the probe measured AT the moment the
+                    # cpu-class queries ran is the right divisor for
+                    # them. Rounds <= r15 carry no co-located field, so
+                    # comparisons against them fall back to cpu_sec
+                    # (same-definition on both sides either way); the
+                    # chosen divisor is recorded per_class so every
+                    # artifact names what it divided by. The band term
+                    # stays the quad-pooled cpu_rel_spread, whose
+                    # estimator set includes the co-located min.
+                    if calibration.get("cpu_colocated_min") and prev_cal.get(
+                        "cpu_colocated_min"
+                    ):
+                        axis_drift["cpu"] = (
+                            calibration["cpu_colocated_min"]
+                            / prev_cal["cpu_colocated_min"]
+                        )
+                        axis_divisor["cpu"] = "colocated_min"
+                    elif prev_cal.get("cpu_sec"):
                         axis_drift["cpu"] = (
                             calibration["cpu_sec"] / prev_cal["cpu_sec"]
                         )
+                        axis_divisor["cpu"] = "cpu_sec"
+                    if "cpu" in axis_drift:
                         axis_band["cpu"] = (
                             calibration.get("cpu_rel_spread") or 0.0
                         ) + (prev_cal.get("cpu_rel_spread") or 0.0)
@@ -1010,6 +1046,8 @@ def shared_vs_prev(
                                 round(r * (1.0 + b) / d, 3),
                             ],
                         }
+                        if axis in axis_divisor:
+                            per_class[axis]["divisor"] = axis_divisor[axis]
                         num += s_now
                         den += s_prev * d
                         lo_den += s_prev * d * (1.0 + b)
@@ -1076,10 +1114,12 @@ def main() -> None:
     # measured AT the moment those queries ran — the r15 closing
     # session's single pre-headline probe measured drift 1.02 in a
     # session where the cpu-class queries (positions 1 and 7 of 18)
-    # moved ~1.3x. RECORD-ONLY this round (the r9/r11 introduction
-    # convention: the artifact carries the number one round before
-    # shared_vs_prev may divide by it); the mins DO feed cpu_rel_spread
-    # below, which only widens the band (conservative).
+    # moved ~1.3x. Introduced record-only in r16 (the r9/r11
+    # convention); PROMOTED in r17 to the cpu-class drift divisor in
+    # shared_vs_prev's per_class (see the promotion comment there — the
+    # r16 live witness showed the co-located readings predict cpu-class
+    # walls within 3% where the session min predicts 17% low). The mins
+    # also feed cpu_rel_spread, which only widens the band.
     cpu_colocated: dict[str, list] = {}
     mid_samples: list = []
     for i, name in enumerate(HEADLINE):
@@ -1168,6 +1208,10 @@ def main() -> None:
         # per-query co-located lists: detail-only (the _samples strip)
         calibration["cpu_colocated_samples"] = cpu_colocated
         cpu_estimators.append(calibration["cpu_colocated_min"])
+        # the r17 decision record (r16 verdict item #3): this round's
+        # cpu-class drift divides co-located min by co-located min
+        # whenever the prior artifact carries one (see shared_vs_prev)
+        calibration["cpu_class_divisor_def"] = "colocated_min_v17"
     calibration["cpu_rel_spread"] = estimator_rel_spread(*cpu_estimators)
     calibration["cpu_rel_spread_raw"] = round(
         (max(pooled) - min(pooled)) / min(pooled), 4

@@ -162,11 +162,14 @@ def test_pinned_axis_map_is_stable_and_covers_the_headline_set():
 def test_compact_artifact_keeps_every_cross_round_divisor():
     """Compact-line hygiene (r16): the detail-only exclusion sets must
     never swallow a scalar that a future round's shared_vs_prev divides
-    by, or cross-round calibration dies one round later."""
+    by, or cross-round calibration dies one round later.
+    cpu_colocated_min joined the divisor set in r17 (the cpu-class
+    promotion)."""
     divisors = {
         "cpu_sec", "cpu_rel_spread",
         "cpu_par_sec", "cpu_par_rel_spread",
         "scan_sec", "scan_rel_spread",
+        "cpu_colocated_min",
     }
     assert not divisors & bench.CAL_DETAIL_ONLY
     # per_class is the load-bearing certification; the ratio and the
@@ -175,6 +178,69 @@ def test_compact_artifact_keeps_every_cross_round_divisor():
         "ratio", "ratio_calibrated", "per_class",
         "ratio_calibrated_classed", "classed_band",
     } & bench.SVP_DETAIL_ONLY
+
+
+def test_cpu_class_divisor_promotes_colocated_min_when_both_rounds_carry_it(
+    tmp_path, monkeypatch
+):
+    """r17 decision (r16 verdict item #3): when BOTH rounds record
+    cpu_colocated_min, the cpu-class drift divides co-located by
+    co-located — the probe measured AT the moment the cpu-pinned
+    queries ran, which BENCH_r16's live witness showed predicts their
+    walls within 3% where the session-min probe predicts 17% low. The
+    whole-set legacy ratio_calibrated stays cpu_sec-based."""
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    _write_prev(
+        tmp_path,
+        {"c": 1.0, "s": 1.0},
+        {
+            "cpu_sec": 1.0, "cpu_rel_spread": 0.0,
+            "cpu_colocated_min": 0.8,
+            "scan_sec": 1.0, "scan_rel_spread": 0.0,
+        },
+    )
+    # host: co-located axis says cpu-moment 2x slower; the session-min
+    # probe says unchanged (the r15 shape: quiet endpoints, busy
+    # cpu-query window). The cpu-class query's wall doubled with it.
+    now_cal = {
+        "cpu_sec": 1.0, "cpu_rel_spread": 0.0,
+        "cpu_colocated_min": 1.6,
+        "scan_sec": 1.0, "scan_rel_spread": 0.0,
+    }
+    out = bench.shared_vs_prev(
+        {"c": 2.0, "s": 1.0}, 91, 0.1, now_cal, {"c": "cpu", "s": "scan"}
+    )
+    pc = out["per_class"]["cpu"]
+    assert pc["divisor"] == "colocated_min"
+    assert pc["drift"] == 2.0
+    assert pc["ratio_calibrated"] == 1.0  # excursion fully attributed
+    # the legacy whole-set calibration still divides by cpu_sec
+    assert out["host_cpu_drift"] == 1.0
+    # scan class untouched by the promotion
+    assert out["per_class"]["scan"]["ratio_calibrated"] == 1.0
+
+
+def test_cpu_class_divisor_falls_back_to_cpu_sec_for_pre_r16_artifacts(
+    tmp_path, monkeypatch
+):
+    """Rounds <= r15 carry no co-located field: the comparison must
+    fall back to the same-definition cpu_sec pair on both sides and
+    say so in the divisor record."""
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    _write_prev(
+        tmp_path,
+        {"c": 1.0},
+        {"cpu_sec": 1.0, "cpu_rel_spread": 0.0},
+    )
+    now_cal = {
+        "cpu_sec": 2.0, "cpu_rel_spread": 0.0,
+        "cpu_colocated_min": 1.6,  # this round has one; prev does not
+    }
+    out = bench.shared_vs_prev({"c": 2.0}, 91, 0.1, now_cal, {"c": "cpu"})
+    pc = out["per_class"]["cpu"]
+    assert pc["divisor"] == "cpu_sec"
+    assert pc["drift"] == 2.0
+    assert pc["ratio_calibrated"] == 1.0
 
 
 def test_multi_estimator_spread_covers_a_mid_headline_excursion():
