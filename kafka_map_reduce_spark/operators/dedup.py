@@ -612,7 +612,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # hundreds of py4j round trips plus eager re-analysis per
     # transformation — which the r12 watch-item profile had misread as
     # executor signature work (the cores instrument showed 0.3 task-sec
-    # under a 2.0 s wall; tools/r13_simhash_fanout.py's exchange fix
+    # under a 2.0 s wall; the r13 fan-out probe's exchange fix
+    # (tool retired r17; numbers pinned in SCALE_SPOT_r13)
     # rightly lost because no exchange touches plan-build time). One
     # F.expr parse builds the identical trees JVM-side: build 1.092 ->
     # 0.100 s, full capped query wall 1.997 -> 0.890 s (min-of-3, idle),

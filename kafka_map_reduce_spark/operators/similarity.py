@@ -1724,7 +1724,8 @@ def _bucket_pairs_fn(threshold: float, max_pairs: int | None = None):
     "auto" sizing (4 x max_cluster_size ≥ 4 x nodes) can never reach
     this regime.
 
-    fp32 BLAS: measured and REJECTED (r12, tools/r12_fp32_micro.py).
+    fp32 BLAS: measured and REJECTED (r12 micro-benchmark; the one-off
+    tool was retired in r17, the numbers are pinned here).
     The float32 gemm is only 1.7-2.1x faster than float64 at cluster
     sizes 500-2000 and the gemm is <10% of kernel wall (triu extraction,
     masking and frame assembly dominate; the stage residual beyond the

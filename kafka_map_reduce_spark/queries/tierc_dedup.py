@@ -169,7 +169,7 @@ def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan_out_scan: REJECTED twice, second time on an idle host (r13,
     executing the r12 verdict item #5 after the r12 profile showed 1.84 s
     of the 3.37 s wall in single-task JVM signature work). Idle min-of-3
-    at sf0.1 (tools/r13_simhash_fanout.py, SCALE_SPOT_r13): head 2.533 s
+    at sf0.1 (r13 fan-out probe, retired r17; SCALE_SPOT_r13): head 2.533 s
     vs fanned 2.923 s — the fanned side is 15% SLOWER with a stable head
     re-run (2.549 s), outputs hash-identical. One xxhash64 per token is
     too cheap for the full-text exchange to amortize even at 32 idle

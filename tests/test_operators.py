@@ -1770,8 +1770,8 @@ def test_pre_barrier_signature_subtrees_stay_one_scan_one_shuffle(spark, tmp_pat
     in the signature-aggregation subtree BEHIND it would be invisible to
     both that pin and tools/plancheck.py's exchange budgets. Capture the
     exact frames handed to ``localCheckpoint(eager=False)`` (instance-
-    class patch — pyspark.sql.classic.dataframe, same technique as
-    tools/r12_dedup_onepass.py; patching the base class is a silent
+    class patch — pyspark.sql.classic.dataframe, same technique as the
+    r12 one-pass probe (retired r17); patching the base class is a silent
     no-op in Spark 4) and pin their executed plans to the corpus-scale
     minimum: ONE parquet scan, ONE exchange for the per-doc signature
     aggregation (partial+final HashAggregate pair), and a map-only
