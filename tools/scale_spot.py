@@ -947,6 +947,23 @@ def ensure_relational(spark, out_dir: str, replicas: int) -> None:
 # correlation). Reads the pinned BENCH_r*.json artifacts; no Spark.
 
 
+def host_probe_snapshot() -> dict:
+    """One single-thread + one 32-way par sample (bench.cpu_probe /
+    cpu_par_probe): the capacity readout the r17 heavy-hitters
+    attribution showed the battery's 100x walls track
+    (SCALE_SPOT_r17 capacity_correlation: wall/par constant at k~46-51
+    across a 1.9x capacity swing, while neither the r9 nor the r16
+    battery session recorded any probe). Stamped at battery start/end
+    and before each heavy section so every cross-round wall comparison
+    carries its own capacity context."""
+    import bench
+
+    return {
+        "cpu": round(bench.cpu_probe(1)[0], 3),
+        "par": round(bench.cpu_par_probe(1)[0], 3),
+    }
+
+
 def attribution_history(query: str, axis_key: str) -> list[dict]:
     """(file, probe, wall) from every sf0.1 BENCH_r*.json carrying both
     ``calibration[axis_key]`` and ``queries[query]`` — fit inputs read
@@ -1106,7 +1123,10 @@ def main() -> int:
         "table_build_sec": build_s,
         "sections": sorted(sections),
     }
+    # capacity context per section (see host_probe_snapshot)
+    probes = result["host_probes"] = {"battery_start": host_probe_snapshot()}
     if "queries" in sections:
+        probes["queries"] = host_probe_snapshot()
         sf1_times = run_set(sf1_dir)
         sf10_times = run_set(sf10_dir)
         result["sf1"] = sf1_times
@@ -1136,6 +1156,7 @@ def main() -> int:
             },
         }
     if "ann" in sections:
+        probes["ann"] = host_probe_snapshot()
         result["ann_candidate_audit"] = {
             "sf1": ann_candidate_audit(spark, sf1_dir),
             "sf10": ann_candidate_audit(spark, sf10_dir),
@@ -1191,6 +1212,7 @@ def main() -> int:
     # answers the judge's actual question). Build cost is reported so
     # the artifact is honest about what a run pays.
     if "maintenance100" in sections:
+        probes["maintenance100"] = host_probe_snapshot()
         sf100_dir = os.path.join(REPO, ".bench_sf100")
         t0 = time.time()
         ensure_sf10(spark, sf1_dir, sf100_dir, replicas=100)
@@ -1203,6 +1225,7 @@ def main() -> int:
     # r9: the capped dedup family + pipeline staples at 100x (see
     # QUERIES_100X for the selection rationale)
     if "queries100" in sections:
+        probes["queries100"] = host_probe_snapshot()
         sf100_dir = os.path.join(REPO, ".bench_sf100")
         ensure_sf10(spark, sf1_dir, sf100_dir, replicas=100)
         result["queries100"] = {
@@ -1213,6 +1236,7 @@ def main() -> int:
     # within-session decade ratios are the comparable numbers — sf1
     # carries JIT warmup, see the semantic100 methodology note)
     if "text100" in sections:
+        probes["text100"] = host_probe_snapshot()
         sf100_dir = os.path.join(REPO, ".bench_sf100")
         ensure_sf10(spark, sf1_dir, sf100_dir, replicas=100)
         result["text100"] = {
@@ -1225,6 +1249,7 @@ def main() -> int:
     # lineitem rows) — facts replicated, dims verbatim (see
     # ensure_relational); same warm-session methodology as the others
     if "relational100" in sections:
+        probes["relational100"] = host_probe_snapshot()
         sf100_dir = os.path.join(REPO, ".bench_sf100")
         ensure_sf10(spark, sf1_dir, sf100_dir, replicas=100)
         rel = {"replicas_of_sf01": {"sf1": 10, "sf10": 100, "sf100": 1000}}
@@ -1238,6 +1263,7 @@ def main() -> int:
         result["relational100"] = rel
     # r9: event/stream analytics at 1x/10x/100x (events 1M/10M/100M)
     if "events100" in sections:
+        probes["events100"] = host_probe_snapshot()
         sf100_dir = os.path.join(REPO, ".bench_sf100")
         ensure_sf10(spark, sf1_dir, sf100_dir, replicas=100)
         result["events100"] = {
@@ -1250,6 +1276,7 @@ def main() -> int:
     # — the measured alternative closing the events100 stream_dedup
     # spill-cliff diagnosis
     if "watermark_dedup100" in sections:
+        probes["watermark_dedup100"] = host_probe_snapshot()
         sf100_dir = os.path.join(REPO, ".bench_sf100")
         ensure_sf10(spark, sf1_dir, sf100_dir, replicas=100)
         result["watermark_dedup100"] = {
@@ -1270,6 +1297,7 @@ def main() -> int:
             / max(result["watermark_dedup100"]["sf10"]["wall_sec"], 1e-9),
             2,
         )
+    probes["battery_end"] = host_probe_snapshot()
     print(json.dumps(result))
     return 0
 
