@@ -501,6 +501,120 @@ def train_slice(
     return _hash_mod_filter(corpus, id_col, mod)
 
 
+# r17 (optimization guide §1.2 order-of-operations + §5 driver rules):
+# when the TRAINING input is provably bounded — which the train_slice /
+# semantic_model_params sizing makes true by construction for every
+# quantizer below the semantic k-cap regime — the Lloyd loop runs on
+# the driver over the collected sample instead of as per-iteration
+# Spark jobs. The r17 profile showed the trainers driver-bound: q_sim_pq
+# spends 5.5 s of 7.8 s and q_sim_ivfpq ~9 s of 12.6 s in per-iteration
+# plan construction + job latency while moving KB-sized model state
+# (init passes + Lloyd iterations over a <= 2048-vector sample). That
+# is the faiss train-on-sample practice completed: the sample is
+# bounded, so training belongs where the sample lives. The budget is
+# CELLS (rows x dims), so the collect is model-scale by construction
+# (<= 32 MB of doubles); anything larger — the semantic family's
+# capped-k regime trains on 50*k vectors up to 1.6M — keeps the
+# distributed Spark loop unchanged.
+_LOCAL_TRAIN_MAX_CELLS = 1 << 22
+
+
+def _collect_bounded_train(vecs: DataFrame):
+    """Collect a training projection iff it fits the cell budget.
+
+    One dim-probe job + one limit-capped collect; returns the row list,
+    or None when the input exceeds the budget (the caller then runs the
+    distributed path — at that scale one extra partial pass over the
+    sample is noise against the iterations it keeps distributed).
+    Expects the vector column to be named ``__v``."""
+    first = vecs.limit(1).collect()
+    if not first:
+        return []
+    dim = max(len(first[0]["__v"]), 1)
+    row_cap = max(1, _LOCAL_TRAIN_MAX_CELLS // dim)
+    rows = vecs.limit(row_cap + 1).collect()
+    if len(rows) > row_cap:
+        return None
+    return rows
+
+
+def _lloyd_local(rows, n_clusters: int, iters: int, init: str):
+    """Driver-side twin of the Spark Lloyd loop: same seeds (lowest-id /
+    hash-spread via the collected xxhash64), same lexicographic
+    (distance, id) farthest-first tie-breaks, same lowest-cluster-id
+    argmin ties (cids ascending, first minimum wins), same drop of
+    empty clusters. Distances use the same |v|^2 - 2 v.C^T + |c|^2
+    float64 matmul as the Arrow assignment kernels, whose documented
+    semantics (knife-edge last-ulp ties may differ from the JVM fold)
+    already cover every rows-only trained-model operator; the recall
+    floors, codebook-structure and determinism pins in tests/test_pq.py,
+    test_sq8.py, test_recall_floors.py and test_semantic_dedup.py hold
+    unchanged. ``rows``: (vid, vec, xxhash64(vid)) tuples.
+
+    Float-semantics note: for k <= _ARROW_ASSIGN_MIN_K the Spark loop
+    assigns with the JVM zip_with+fold (sequential over dims), and the
+    planted-pair pins in test_semantic_dedup sit close enough to
+    cluster boundaries that a pairwise-summed numpy distance flips one
+    assignment — so this twin accumulates distances sequentially over
+    dims (bit-matching the fold's add order) in that regime and only
+    uses the gemm form above it, exactly mirroring the Spark path's own
+    kernel split (_nearest below _ARROW_ASSIGN_MIN_K, Arrow matmul
+    above). Means accumulate members in ascending-id order."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    vids = np.array([r[0] for r in rows], dtype="int64")
+    V = np.array([list(r[1]) for r in rows], dtype="float64")
+    hs = [r[2] for r in rows]
+
+    def dist_matrix(C: "np.ndarray") -> "np.ndarray":
+        if len(C) > _ARROW_ASSIGN_MIN_K:
+            cn = (C * C).sum(axis=1)
+            return (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
+        # sequential fold over dims: acc += (x_t - y_t)^2, t ascending —
+        # the JVM _l2sq add order, reproduced elementwise
+        d2 = np.zeros((len(V), len(C)))
+        for t in range(V.shape[1]):
+            diff = V[:, t, None] - C[None, :, t]
+            d2 += diff * diff
+        return d2
+    if init == "spread":
+        # per hash-bucket, the member with the smallest xxhash64(vid)
+        # (ties on vid for determinism; Spark's min_by tie is unordered
+        # but hash ties over distinct ids are ~impossible)
+        best: dict = {}
+        for i, (vid, h) in enumerate(zip(vids.tolist(), hs)):
+            b = h % n_clusters
+            cur = best.get(b)
+            if cur is None or (h, vid) < cur[:2]:
+                best[b] = (h, vid, i)
+        cents = {b: V[i].copy() for b, (_h, _vid, i) in best.items()}
+    elif init == "farthest":
+        cents = {0: V[0].copy()}
+        dmin = dist_matrix(V[0:1])[:, 0]
+        for i in range(1, n_clusters):
+            cand = np.nonzero(dmin == dmin.max())[0]
+            pick = cand[-1]  # vids ascending -> max vid among ties
+            cents[i] = V[pick].copy()
+            dmin = np.minimum(dmin, dist_matrix(V[pick : pick + 1])[:, 0])
+    else:
+        raise ValueError(f"unknown init {init!r}")
+    for _ in range(iters):
+        cids = sorted(cents)
+        a = np.argmin(dist_matrix(np.stack([cents[c] for c in cids])), axis=1)
+        cents = {}
+        for j, cid in enumerate(cids):
+            members = np.nonzero(a == j)[0]
+            if len(members):
+                acc = np.zeros(V.shape[1])
+                for i in members:  # ascending-vid sequential sum
+                    acc += V[i]
+                cents[cid] = acc / float(len(members))
+    return [
+        (int(c), [float(x) for x in cents[c]]) for c in sorted(cents)
+    ]
+
+
 def kmeans_fit(
     corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -529,6 +643,20 @@ def kmeans_fit(
     vecs = corpus.select(
         F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
     )
+    # Bounded-sample fast path (r17): train where the sample lives —
+    # see _LOCAL_TRAIN_MAX_CELLS. Over-budget inputs (the semantic
+    # k-cap regime) fall through to the distributed loop below.
+    local = _collect_bounded_train(
+        vecs.select("__vid", "__v", F.xxhash64("__vid").alias("__h"))
+    )
+    if local is not None:
+        fitted = _lloyd_local(
+            [(r["__vid"], r["__v"], r["__h"]) for r in local],
+            n_clusters, iters, init,
+        )
+        return corpus.sparkSession.createDataFrame(
+            fitted, schema="cluster_id int, centroid array<double>"
+        )
     if init == "spread":
         # One-pass hash-spread init for LARGE k (PQ codebooks: m x k
         # trainings, where farthest-first's k-1 sequential passes per
@@ -778,6 +906,26 @@ def kmeans_fit_grouped(
         F.col(id_col).alias("__vid"),
         _as_double(F.col(vec_col)).alias("__v"),
     )
+    # Bounded-sample fast path (r17): same gate as kmeans_fit — the
+    # whole (group, subvector) table is collected once and each group's
+    # Lloyd runs on the driver; numerics per group replicate the Spark
+    # loop the same way _lloyd_local documents.
+    local = _collect_bounded_train(
+        vecs.select("__g", "__vid", "__v", F.xxhash64("__vid").alias("__h"))
+    )
+    if local is not None:
+        by_g: dict = {}
+        for r in local:
+            by_g.setdefault(r["__g"], []).append((r["__vid"], r["__v"], r["__h"]))
+        fitted = [
+            (int(g), cid, cent)
+            for g in sorted(by_g)
+            for cid, cent in _lloyd_local(by_g[g], n_clusters, iters, init)
+        ]
+        return sub.sparkSession.createDataFrame(
+            fitted,
+            schema=f"{group_col} int, cluster_id int, centroid array<double>",
+        )
 
     def book_row(cents: DataFrame):
         """One broadcastable row: array indexed by group of

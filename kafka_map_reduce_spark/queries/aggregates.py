@@ -70,7 +70,10 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     a no-op (splits >= slots) and the plan is unchanged."""
     from kafka_map_reduce_spark.sources import fan_out_scan
 
-    li = fan_out_scan(load_table(spark, sf_dir, "lineitem"))
+    li = fan_out_scan(
+        load_table(spark, sf_dir, "lineitem"),
+        key=("l_orderkey", "l_linenumber"),
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -277,7 +280,10 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_map_reduce_spark.sources import fan_out_scan
 
     return (
-        fan_out_scan(load_table(spark, sf_dir, "lineitem"))
+        fan_out_scan(
+            load_table(spark, sf_dir, "lineitem"),
+            key=("l_orderkey", "l_linenumber"),
+        )
         .groupBy("l_returnflag")
         .agg(
             round4(F.percentile("l_quantity", F.lit(0.5))).alias("p50_qty"),

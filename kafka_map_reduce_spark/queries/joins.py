@@ -54,17 +54,38 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join (TPC-H Q5 shape): fact table joins only broadcast
-    dims, so the single shuffle is the final group-by."""
+    dims, so the single shuffle is the final group-by.
+
+    r17 (guide §3 join shaping): the customer -> nation -> region
+    snowflake is PRE-JOINED into one (c_custkey, n_name, r_name)
+    broadcast dimension, so every fact row probes 2 hash tables
+    (orders, the pre-joined dim) instead of 4. Inner equi-joins are
+    associative, so the result is identical (oracle hash-checked); the
+    dim-side extra work is dimension-sized. Broadcast-ability is
+    unchanged — the pre-join is exactly the customer table already
+    being broadcast, narrowed to 3 columns. The lineitem scan is fanned
+    out (keyed fan_out_scan, no-op at corpus scale) because the probe +
+    decimal partial-aggregate pipeline otherwise runs on the
+    one-row-group bench scan's single task — the r11 round-robin A/B
+    read neutral (0.98) against the 4-probe chain; with 2 probes and
+    the sort-free keyed exchange the interleaved A/B reads 1.437 ->
+    1.274 s min-of-5."""
+    from kafka_map_reduce_spark.sources import fan_out_scan
+
     t = Tables(spark, sf_dir)
+    cnr = (
+        t.customer.select("c_custkey", "c_nationkey")
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    li = fan_out_scan(t.lineitem, key=("l_orderkey", "l_linenumber"))
     return (
-        # lineitem ⋈ orders is fact-fact: shuffle hash join on the key;
-        # everything after joins only broadcast dimensions.
-        t.lineitem.join(t.orders.select("o_orderkey", "o_custkey"),
-                        F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        # lineitem ⋈ orders is fact-fact: shuffle hash join on the key
+        # at corpus scale; everything after joins only broadcast dims.
+        li.join(t.orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cnr), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
             dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),

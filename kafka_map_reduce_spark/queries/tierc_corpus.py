@@ -322,7 +322,7 @@ def q_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU wall and ran on one task over the one-row-group bench table
     # (2.027 -> 0.931 s); md5 span hashes are per-row deterministic so
     # the output is partition-invariant; corpus-scale no-op by the gate
-    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"), key=("doc_id",))
     return repeated_spans(
         d, "text", "doc_id", span_tokens=_SPAN_TOKENS, stride=1, hasher="md5"
     ).withColumnRenamed("id", "doc_id")

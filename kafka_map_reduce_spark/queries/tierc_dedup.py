@@ -109,9 +109,25 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents file caps the CPU-heavy shingle+64-hash pipeline at the
     scan's split count (1 task on local[32] at bench scale — measured
     2.977 -> 1.433 s, bit-identical pairs); the gate is a no-op at
-    corpus scale where splits already exceed task slots."""
-    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
-    shingled = D.word_shingles(docs, "text", "doc_id", k=3)
+    corpus scale where splits already exceed task slots.
+
+    Shingle barrier (r17, guide §2 consume-once pattern): the
+    (id, shingle) explode feeds THREE plan branches — the minhash
+    aggregate and both verification sides — and Catalyst shares no
+    subtrees across join branches, so without a barrier the
+    tokenize+slice+array_distinct pass over the corpus text runs 3x
+    (measured 25-30% of this query's executor CPU at sf0.1:
+    interleaved min-of-4, 12.9 -> 8.8 executor-cpu-sec). This query
+    always verifies against the FULL shingle table (prune off — the
+    oracle-parity form), so the lazy localCheckpoint strictly replaces
+    two full recomputations with one disk-spilling materialization of
+    the same rows the verify join already shuffles; blocks are
+    ContextCleaner-reclaimed (same lifecycle as lsh_candidates'
+    banded barrier)."""
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), key=("doc_id",))
+    shingled = D.word_shingles(docs, "text", "doc_id", k=3).localCheckpoint(
+        eager=False
+    )
     sigs = D.minhash_signatures(shingled, num_perm=64)
     cands = D.lsh_candidates(sigs, num_perm=64, bands=16)
     return D.jaccard_verify(cands, shingled, min_jaccard=0.5).orderBy("id_a", "id_b")
@@ -131,10 +147,22 @@ def q_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     default with zero extra jobs, at corpus scale the shingle table is
     semi-joined down to candidate ids first. Scan fanned out like
     q_dedup_near (r11: 4.122 -> 2.036 s at bench scale, identical
-    pairs; corpus-scale no-op by the gate)."""
+    pairs; corpus-scale no-op by the gate).
+
+    Shingle barrier (r17): same consume-once rationale as q_dedup_near,
+    but gated to the below-prune-floor regime — above the floor the
+    adaptive prune semi-joins the verification sides down to candidate
+    ids, so recompute-and-filter moves less than a full corpus-text
+    materialization would; below it verification reads the full
+    shingle table twice and the barrier strictly replaces those two
+    recomputes (the same corpus-size-adaptive split the prune
+    heuristic itself encodes)."""
     raw = load_table(spark, sf_dir, "documents")
-    docs = fan_out_scan(raw)
+    corpus_count = raw.count()  # parquet-metadata count, no exchange
+    docs = fan_out_scan(raw, key=("doc_id",))
     shingled = D.word_shingles(docs, "text", "doc_id", k=3)
+    if corpus_count < D.AUTO_PRUNE_MIN_CORPUS:
+        shingled = shingled.localCheckpoint(eager=False)
     sigs = D.minhash_signatures(shingled, num_perm=64)
     cands = D.lsh_candidates(sigs, num_perm=64, bands=16, max_bucket_size=16)
     return D.jaccard_verify(
@@ -144,7 +172,7 @@ def q_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         prune_to_candidates=None,
         # counted on the RAW scan (parquet metadata count, no exchange),
         # not the fanned-out frame
-        corpus_count=raw.count(),
+        corpus_count=corpus_count,
     ).orderBy("id_a", "id_b")
 
 
@@ -600,7 +628,12 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_hash_embed_arrow,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # fanned out (r17): the operator's consume-once checkpoints freeze
+    # the scan's partitioning, so the one-row-group bench scan pinned the
+    # Arrow hash-embed + signature matmuls AND the candidate/verify
+    # stages at 1 task (r17 profile: two 1-task 1.1-cpu-sec stages);
+    # keyed fan-out, corpus-scale no-op by the gate
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"), key=("doc_id",))
     emb = attach_hash_embed_arrow(d, "text", "embedding", dim=32).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
@@ -626,7 +659,12 @@ def q_dedup_embedding_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_hash_embed_arrow,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # fanned out (r17): the operator's consume-once checkpoints freeze
+    # the scan's partitioning, so the one-row-group bench scan pinned the
+    # Arrow hash-embed + signature matmuls AND the candidate/verify
+    # stages at 1 task (r17 profile: two 1-task 1.1-cpu-sec stages);
+    # keyed fan-out, corpus-scale no-op by the gate
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"), key=("doc_id",))
     emb = attach_hash_embed_arrow(d, "text", "embedding", dim=32).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
@@ -669,7 +707,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_map_reduce_spark.operators.similarity import semantic_dedup
     from kafka_map_reduce_spark.operators.text import attach_hash_embed_arrow
 
-    d = load_table(spark, sf_dir, "documents")
+    # fanned out (r17): the eager emb checkpoint below otherwise
+    # freezes the one-row-group scan's single partition into every
+    # consumer (hash-embed, training collect, assignment); no-op at
+    # corpus scale
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"), key=("doc_id",))
     # materialize the embedding ONCE: count (the k probe), training,
     # assignment and both verify sides all consume it — without the
     # eager checkpoint each would re-run the hash-embed fold.
@@ -730,7 +772,11 @@ def q_dedup_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = (
         attach_hash_embed_arrow(
-            load_table(spark, sf_dir, "documents"),
+            # fanned out (r17): same single-partition-checkpoint freeze
+            # as q_dedup_semantic; no-op at corpus scale
+            fan_out_scan(
+                load_table(spark, sf_dir, "documents"), key=("doc_id",)
+            ),
             "text",
             "embedding",
             dim=32,

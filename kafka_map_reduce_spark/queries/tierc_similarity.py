@@ -76,7 +76,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate."""
     from kafka_map_reduce_spark.sources import fan_out_scan
 
-    e = fan_out_scan(load_table(spark, sf_dir, "embeddings"))
+    e = fan_out_scan(load_table(spark, sf_dir, "embeddings"), key=("vec_id",))
     return S.brute_force_topk(
         e.filter(F.col("vec_id") < 20), e.filter(F.col("vec_id") >= 20), k=5
     )

@@ -92,7 +92,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex-heavy per-row scoring is CPU-bound on the one-row-group bench
     table, 0.413 -> 0.330 s; per-row output, partition-invariant;
     corpus-scale no-op by the gate)."""
-    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"), key=("doc_id",))
     return d.select(
         "doc_id",
         (
@@ -158,7 +158,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fanned out (r11): the stopword-profile regex battery is pure
     # per-row CPU — 0.688 -> 0.347 s on the one-row-group bench table;
     # partition-invariant; corpus-scale no-op by the gate
-    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"), key=("doc_id",))
     return d.select("doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang"))
 
 
@@ -196,8 +196,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured min-of-3 at sf0.1: 4.01 s single-projection -> 1.48 s
     staged (2.7x). xxhash64-ing grams before array_distinct was measured
     too (1.39 s) and REJECTED: 6% more for a 64-bit collision risk that
-    would silently desync n_distinct from the string-exact oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    would silently desync n_distinct from the string-exact oracle.
+
+    Fanned out (r17): the staged gram build is pure per-row CPU on the
+    one-row-group bench scan's single task (the same class as
+    q_text_quality/q_text_langid); keyed fan-out, corpus-scale no-op by
+    the gate, per-row output so partition-invariant. Interleaved A/B at
+    sf0.1: 3.35 -> 0.98 s min-of-4 (3.4x)."""
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"), key=("doc_id",))
     staged = (
         d.withColumn("__g", X.word_ngrams(F.col("text"), 3))
         .withColumn("__n", F.size("__g"))
@@ -272,7 +278,7 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan+explode otherwise — 1.901 -> 0.735 s on the one-row-group
     # bench table; corpus-scale no-op by the gate
     docs = fan_out_scan(
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents"), key=("doc_id",)
     ).select("doc_id", "text")
     bench_sh = (
         D.word_shingles(docs.filter(F.col("doc_id") % 97 == 0), "text", "doc_id")
@@ -348,12 +354,21 @@ def q_text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: eval shingles broadcast (an eval suite is tiny by
     definition); the only shuffle is the per-doc matched-position
     aggregate, bounded by contamination volume; the cut itself is an
-    index-aware JVM array filter at scan speed."""
+    index-aware JVM array filter at scan speed.
+
+    Fanned out (r17): the r17 stage profile showed the ENTIRE query on
+    one task — 6.0 of 6.4 executor-cpu-sec in the single-row-group
+    scan's shingle + position-filter surgery (the same profile that
+    won its sibling q_text_decontaminate the r11 fan-out at 1.901 ->
+    0.735 s); keyed fan-out, corpus-scale no-op by the gate,
+    hash-verified identical at sf0.01/sf0.1 (the surgery is per-row)."""
     from kafka_map_reduce_spark.operators.text import (
         remove_contaminated_spans,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out_scan(
+        load_table(spark, sf_dir, "documents"), key=("doc_id",)
+    ).select("doc_id", "text")
     return remove_contaminated_spans(
         docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter(F.col("doc_id") % 97 == 0),

@@ -64,7 +64,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut is correct under ANY partitioning of the input."""
     from kafka_map_reduce_spark.sources import fan_out_scan
 
-    li = fan_out_scan(load_table(spark, sf_dir, "lineitem"))
+    li = fan_out_scan(
+        load_table(spark, sf_dir, "lineitem"), key=("l_orderkey", "l_linenumber")
+    )
     w = Window.partitionBy("l_returnflag").orderBy(
         F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
     )

@@ -1664,6 +1664,47 @@ def test_fan_out_scan_gate_and_identity(spark, monkeypatch):
     assert T.fan_out_scan(mem) is mem
 
 
+def test_fan_out_scan_keyed_path(spark, monkeypatch):
+    """r17: fan_out_scan(key=...) repartitions by the deterministic
+    xxhash64('fan-out', key) instead of round-robin — no
+    sort-before-repartition on the serial scan task (SPARK-23207), and
+    retried tasks reproduce the same assignment by construction. Pins:
+    (a) same gates as the round-robin form (floor / already-parallel /
+    non-file no-ops); (b) the engaged plan carries hashpartitioning on
+    the marker hash, NOT round-robin; (c) the MinHash pipeline output
+    is identical to the un-fanned run (partition-invariance contract,
+    same as the round-robin pin above)."""
+    from kafka_map_reduce_spark.operators import dedup as D
+    from kafka_map_reduce_spark.sources import tables as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert T.fan_out_scan(docs, key=("doc_id",)) is docs  # bytes floor
+
+    monkeypatch.setattr(T, "FAN_OUT_MIN_BYTES", 0)
+    slots = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(slots)
+    assert T.fan_out_scan(wide, key=("doc_id",)) is wide
+
+    fanned = T.fan_out_scan(docs, key=("doc_id",))
+    assert fanned is not docs
+    assert fanned.rdd.getNumPartitions() == slots
+    plan = fanned._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(xxhash64(fan-out, doc_id" in plan
+    assert "roundrobinpartitioning" not in plan.lower()
+
+    def pairs(d):
+        sh = D.word_shingles(d, "text", "doc_id", k=3)
+        sigs = D.minhash_signatures(sh, num_perm=64)
+        cands = D.lsh_candidates(sigs, num_perm=64, bands=16)
+        out = D.jaccard_verify(cands, sh, min_jaccard=0.5)
+        return {(r.id_a, r.id_b, r.jaccard) for r in out.collect()}
+
+    assert pairs(fanned) == pairs(docs)
+
+    mem = spark.range(5).toDF("doc_id").coalesce(1)
+    assert T.fan_out_scan(mem, key=("doc_id",)) is mem
+
+
 def test_simhash_packed_lanes_match_naive_bit_sums(spark):
     """The r12 packed-lane SimHash aggregation (two 32-bit ones-counters
     per 64-bit sum lane, operators/dedup.py simhash) must be

@@ -74,20 +74,35 @@ PUSHDOWN_REQUIRED = {
 PARTITION_PRUNE_REQUIRED = {"q_scan_partitioned"}
 
 # Queries whose registration calls fan_out_scan (sources/tables.py):
-# their plans may carry round-robin exchanges when the checked SF's
+# their plans may carry the fan-out exchange when the checked SF's
 # scan is coarser than the session's slots (sf0.1's one-row-group
 # files). Keyed-exchange budgets still apply to them unchanged; only
-# the fan-out's own signature — roundrobinpartitioning(defaultParallelism)
-# tagged REPARTITION_BY_NUM — is exempt, so a stray .repartition(n) at
-# any other width is flagged even inside this set, and ANY round-robin
-# exchange elsewhere is flagged.
+# the fan-out's own signature is exempt. Since r17 the fan-out
+# repartitions by the self-identifying deterministic key
+# xxhash64('fan-out', <table key>) instead of round-robin (skips the
+# mandatory sort-before-repartition on the serial scan task,
+# SPARK-23207; guide §2.5's deterministic-key rule), so the exempt
+# signature is hashpartitioning(xxhash64(fan-out, ...), slots) tagged
+# REPARTITION_BY_NUM — a stray .repartition(n) at any other width or
+# key is flagged even inside this set, and ANY round-robin exchange
+# anywhere is flagged (no registered plan round-robins any more).
 FAN_OUT_OK = {
     "q_agg_group",
+    "q_join_multiway",  # r17 adoption (pre-joined dim + keyed fan-out)
     "q_agg_percentile",  # r12 adoption (r11 A/B 0.90)
     "q_dedup_near",
     "q_dedup_near_capped",
+    # r17 adoptions: the operators' consume-once checkpoints freeze the
+    # scan's partitioning, so the one-row-group bench scan serialized
+    # the Arrow embed/signature/assignment stages at 1 task
+    "q_dedup_embedding_lsh",
+    "q_dedup_embedding_lsh_capped",
+    "q_dedup_semantic",
+    "q_dedup_semantic_ingest",
     "q_sim_topk",
     "q_text_decontaminate",
+    "q_text_decontaminate_spans",  # r17 adoption (profile: 6.0 of 6.4 cpu-sec on one task)
+    "q_text_repetition",  # r17 adoption (interleaved A/B 3.35 -> 0.98 s)
     "q_text_langid",
     "q_text_quality",
     "q_text_repeated_spans",
@@ -320,38 +335,46 @@ def main() -> int:
             problems.append("no predicates pushed to scan")
         if name in PARTITION_PRUNE_REQUIRED and "PartitionFilters: []" in plan:
             problems.append("partition filter not pruned to directories")
-        # fan_out_scan (sources/tables.py, r11) adds a ROUND-ROBIN
-        # exchange when the scan has fewer splits than slots (the
-        # one-row-group small-file regime; structurally absent at
+        # fan_out_scan (sources/tables.py, r11; keyed since r17) adds
+        # ONE gated exchange when the scan has fewer splits than slots
+        # (the one-row-group small-file regime; structurally absent at
         # corpus scale where splits >= slots). Catalyst replicates it
         # into every consumer branch of the scan subtree, so it can
         # appear several times. The shuffle budget polices KEYED
         # (hash/range) exchanges — the corpus-scale cost — so ONLY the
-        # fan-out's exact signature (round-robin at defaultParallelism,
-        # REPARTITION_BY_NUM) is excluded from the count, and only for
-        # queries that declare fan-out; any other round-robin exchange
-        # — including a stray .repartition(n) at a different width
-        # inside a fan-out query — is still the regression this check
+        # fan-out's exact signature (hashpartitioning over the
+        # self-identifying xxhash64('fan-out', ...) at
+        # defaultParallelism, REPARTITION_BY_NUM) is excluded from the
+        # count, and only for queries that declare fan-out; any other
+        # repartition — a different width, a different key, or any
+        # round-robin anywhere — is still the regression this check
         # exists to catch.
         slots = spark.sparkContext.defaultParallelism
         n_rr_all = len(re.findall(r"Arguments: roundrobinpartitioning", plan, re.I))
-        n_rr_fan = len(
+        if n_rr_all:
+            problems.append(
+                f"{n_rr_all} round-robin exchange(s) — no registered plan "
+                "round-robins (the r17 fan-out is keyed)"
+            )
+        n_fan = len(
             re.findall(
-                rf"Arguments: RoundRobinPartitioning\({slots}\), REPARTITION_BY_NUM",
+                rf"Arguments: hashpartitioning\(xxhash64\(fan-out, [^)]*\), "
+                rf"{slots}\), REPARTITION_BY_NUM",
                 plan,
                 re.I,
             )
         )
-        n_rr_stray = n_rr_all - (n_rr_fan if name in FAN_OUT_OK else 0)
-        if n_rr_stray:
+        n_fan_stray = n_fan if name not in FAN_OUT_OK else 0
+        if n_fan_stray:
             problems.append(
-                f"{n_rr_stray} round-robin exchange(s) outside the fan-out contract"
+                f"{n_fan_stray} fan-out exchange(s) in a query outside the "
+                "declared fan-out set"
             )
         if name in MAX_EXCHANGES:
             # formatted explain lists each node twice (tree + details);
             # count the numbered detail headers only
             n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
-            n_keyed = n_ex - (n_rr_fan if name in FAN_OUT_OK else 0)
+            n_keyed = n_ex - (n_fan if name in FAN_OUT_OK else 0)
             if n_keyed > MAX_EXCHANGES[name]:
                 problems.append(
                     f"{n_keyed} keyed shuffles in plan, budget {MAX_EXCHANGES[name]}"
