@@ -1240,8 +1240,10 @@ def _check_pq_dim(df: DataFrame, vec_col: str, m: int, d_sub: int, what: str):
 def pq_encode(
     corpus: DataFrame, codebooks: DataFrame, m: int = 4,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>): nearest-centroid code per subspace.
+    """(id, codes array<int>[, *carry]): nearest-centroid code per
+    subspace.
 
     Shuffle-free: the full codebook set rides along as ONE broadcast row
     (m x n_codes x d_sub doubles — KBs), the per-subspace argmin is the
@@ -1250,7 +1252,13 @@ def pq_encode(
 
     d_sub comes from the CODEBOOK (with an m*d_sub == dim assertion),
     not floor(dim/m): externally-supplied codebooks with a non-divisible
-    dim must fail loudly, not silently truncate the trailing dims."""
+    dim must fail loudly, not silently truncate the trailing dims.
+
+    ``carry`` (r17, guide §2.4 remove-shuffles): extra input columns to
+    pass through to the output row. ivfpq_index previously re-attached
+    the bucket id with a full id-keyed shuffle join of the code table
+    against a SECOND evaluation of the residual pipeline; carrying the
+    column through the same projection removes both."""
     d_sub = _codebook_d_sub(codebooks)
     _check_pq_dim(corpus, vec_col, m, d_sub, "corpus")
     book_row = _codebook_row(codebooks)
@@ -1267,6 +1275,7 @@ def pq_encode(
                     F.col("__books")[j],
                 )["cid"],
             ).alias("codes"),
+            *[F.col(c) for c in carry],
         )
     )
 
@@ -1383,7 +1392,7 @@ def ivfpq_index(
     train_sample_n: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the IVFADC layout: returns (coarse_centroids, codebooks,
-    encoded) where encoded = (id, bkt, codes) — the persistable triple
+    encoded) where encoded = (id, codes, bkt) — the persistable triple
     (coarse KBs, codebooks KBs, codes m bytes/vector). ``centroids``
     skips coarse training, the per-epoch production shape; passing
     ``codebooks`` too freezes BOTH quantizers, which is the incremental
@@ -1460,6 +1469,16 @@ def ivfpq_index(
             ),
         )
         .select(id_col, "bkt", "__resid")
+        # consume-once barrier (r17, guide §2.4 / §3 plan-truncation):
+        # the residual pipeline feeds residual-codebook TRAINING, the
+        # encode pass, and (pre-r17) a second full evaluation just to
+        # re-attach bkt — without a barrier Catalyst re-evaluates the
+        # broadcast-argmin + zip_with subtraction per consumer and each
+        # consumer's analysis re-walks the large resid expression tree.
+        # Lazily materialized, ContextCleaner-reclaimed; at corpus scale
+        # this is the (id, bkt, residual) table the index build scans
+        # anyway.
+        .localCheckpoint(eager=False)
     )
     books = (
         codebooks
@@ -1468,8 +1487,12 @@ def ivfpq_index(
                     m=m, n_codes=n_codes, iters=iters,
                     vec_col="__resid", id_col=id_col)
     )
-    encoded = pq_encode(resid, books, m=m, vec_col="__resid", id_col=id_col).join(
-        resid.select(F.col(id_col).alias("id"), "bkt"), "id"
+    # bkt rides through the encode projection (carry=) instead of the
+    # pre-r17 id-keyed shuffle join against a second evaluation of
+    # resid: one full pass and zero keyed exchanges in the code-table
+    # build (plan: 2 full resid evaluations + 1 join -> 1 evaluation).
+    encoded = pq_encode(
+        resid, books, m=m, vec_col="__resid", id_col=id_col, carry=("bkt",)
     )
     return cents, books, encoded
 
