@@ -174,8 +174,14 @@ def bpe_train(
             (list(r["word"]) + [END], r["cnt"]) for r in words.collect()
         ]
         merges = _bpe_train_local(vocab, n_merges)
+    # model-sized frame: bound the slice count — the default
+    # defaultParallelism-way parallelize makes every consumer (the
+    # bpe_encode rank-dict collect, checkpoints) pay ~32 near-idle
+    # Python tasks for rows that fit in one (r17 profile: 6.2
+    # executor-run-sec at 0.07 cpu-sec on the encode-side collect)
     return spark.createDataFrame(
-        merges, "rank int, left string, right string"
+        spark.sparkContext.parallelize(merges, 4),
+        "rank int, left string, right string",
     )
 
 

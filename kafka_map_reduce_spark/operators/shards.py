@@ -85,7 +85,9 @@ def write_shards(
                 f"shard {r.shard} id range [{r.first_id}, {r.last_id}] is not "
                 f"contiguous for {r.n_rows} rows"
             )
-    manifest_df = spark.createDataFrame(rows, manifest.schema)
+    manifest_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), manifest.schema
+    )
     manifest_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "_manifest")
     )

@@ -654,8 +654,16 @@ def kmeans_fit(
             [(r["__vid"], r["__v"], r["__h"]) for r in local],
             n_clusters, iters, init,
         )
-        return corpus.sparkSession.createDataFrame(
-            fitted, schema="cluster_id int, centroid array<double>"
+        # model-sized frame: bound the slice count at the RDD level —
+        # the default 32-way parallelize makes every downstream
+        # checkpoint/broadcast pay 32 near-idle Python tasks (r17
+        # profile on q_sim_ivfpq: four 32-task stages of 6-8
+        # executor-run-sec at ~0.2 cpu-sec). A plan-level coalesce(1)
+        # was measured instead and REJECTED: q_sim_ivfpq 6.5 -> 21.9 s.
+        sess = corpus.sparkSession
+        return sess.createDataFrame(
+            sess.sparkContext.parallelize(fitted, 4),
+            schema="cluster_id int, centroid array<double>",
         )
     if init == "spread":
         # One-pass hash-spread init for LARGE k (PQ codebooks: m x k
@@ -922,8 +930,10 @@ def kmeans_fit_grouped(
             for g in sorted(by_g)
             for cid, cent in _lloyd_local(by_g[g], n_clusters, iters, init)
         ]
-        return sub.sparkSession.createDataFrame(
-            fitted,
+        # bounded slices, same rationale as kmeans_fit's local return
+        sess = sub.sparkSession
+        return sess.createDataFrame(
+            sess.sparkContext.parallelize(fitted, 4),
             schema=f"{group_col} int, cluster_id int, centroid array<double>",
         )
 

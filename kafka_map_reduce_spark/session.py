@@ -26,6 +26,19 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing is parallelism-first, so its floor is
+    # minPartitionSize (default 1 MB), not the advisory size. The dedup
+    # families' candidate/verify stages are compute-dense per shuffled
+    # byte (a ~2 MB pair shuffle fans out to c^2 BLAS work), and the
+    # 1 MB floor was measured collapsing them to 1-2 serial tasks at
+    # bench scale (q_dedup_embedding_lsh: two 1-task ~1 s stages, r17
+    # profile). 64 KB keeps small compute-dense shuffles parallel; at
+    # production scale every partition clears either floor, so this
+    # only governs the small-shuffle regime. Env-overridable like the
+    # partition count above.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_MIN_PARTITION", "64k"
+    ),
     # Arrow transfer for pandas UDFs / applyInPandas (Tier C operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Shuffle parallelism is runtime-settable and MUST be: an external

@@ -118,6 +118,65 @@ class FileTopic:
         shutil.rmtree(tmp, ignore_errors=True)
         return offset
 
+    def produce_many(
+        self, df: DataFrame, partition_col: str, batch_col: str
+    ) -> None:
+        """Produce every (partition, batch) group of ``df`` as one record
+        file each, in ``batch_col`` order within each partition — the
+        batching producer (r17, guide §1.2 fewer passes): ONE partitioned
+        Spark write replaces one write job per batch, then each part
+        file claims its offset through the same exclusive-link loop as
+        :meth:`produce`, so ordering, offset assignment and the
+        no-clobber contract are byte-identical to a sequential
+        produce-per-batch loop (pinned in tests/test_group_rebalance.py).
+        12 produce jobs -> 1 for q_group_rebalance's fixture."""
+        tmp = os.path.join(self.path, f".produce-{uuid.uuid4().hex[:8]}")
+        (
+            df.repartition(partition_col, batch_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col, batch_col)
+            .parquet(tmp)
+        )
+        groups: dict[int, list[tuple[int, str]]] = {}
+        for pdir in os.listdir(tmp):
+            if not pdir.startswith(f"{partition_col}="):
+                continue
+            p = int(pdir.split("=", 1)[1])
+            for bdir in os.listdir(os.path.join(tmp, pdir)):
+                if not bdir.startswith(f"{batch_col}="):
+                    continue
+                b = int(bdir.split("=", 1)[1])
+                d = os.path.join(tmp, pdir, bdir)
+                part_file = os.path.join(
+                    d,
+                    next(
+                        f for f in os.listdir(d) if f.endswith(".parquet")
+                    ),
+                )
+                groups.setdefault(p, []).append((b, part_file))
+        for p, batches in sorted(groups.items()):
+            for _b, part_file in sorted(batches):
+                offset = self.end_offset(p)
+                while True:
+                    dst = os.path.join(
+                        self._pdir(p), f"{offset:06d}.parquet"
+                    )
+                    try:
+                        os.link(part_file, dst)
+                        break
+                    except FileExistsError:
+                        offset += 1
+                    except OSError:
+                        try:
+                            with open(part_file, "rb") as src, open(
+                                dst, "xb"
+                            ) as out:
+                                shutil.copyfileobj(src, out)
+                            break
+                        except FileExistsError:
+                            offset += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 class GroupCoordinator:
     """The group's shared commit log (lib.rs:944-994): per-partition

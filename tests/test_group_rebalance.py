@@ -257,3 +257,40 @@ def test_registered_rebalance_query_delivers_each_record_once(spark):
         by_part.setdefault(r.partition, set()).add(r.offset)
     assert set(by_part) == {0, 1, 2}
     assert all(offs == {0, 1, 2, 3} for offs in by_part.values())
+
+
+def test_produce_many_matches_sequential_produce(spark, tmp_path):
+    """The batching producer (ONE partitioned write + per-file offset
+    claims) yields byte-equivalent topic state to a sequential
+    produce-per-batch loop: same files per partition, same offsets,
+    same rows at each (partition, offset)."""
+    rows = spark.range(0, 18).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("int").alias("pk"),
+        ((F.col("id") / 3) % 2).cast("int").alias("fi"),
+    ).localCheckpoint(eager=True)
+
+    seq = FileTopic(str(tmp_path / "seq"), 3)
+    for p in range(3):
+        for i in range(2):
+            seq.produce(
+                rows.filter(
+                    (F.col("pk") == p) & (F.col("fi") == i)
+                ).drop("pk", "fi"),
+                p,
+            )
+    bat = FileTopic(str(tmp_path / "bat"), 3)
+    bat.produce_many(rows, "pk", "fi")
+
+    for p in range(3):
+        assert bat.end_offset(p) == seq.end_offset(p) == 2
+        for off, (fs, fb) in enumerate(
+            zip(seq.files(p), bat.files(p))
+        ):
+            ids_seq = {
+                r.event_id for r in spark.read.parquet(fs).collect()
+            }
+            ids_bat = {
+                r.event_id for r in spark.read.parquet(fb).collect()
+            }
+            assert ids_bat == ids_seq, (p, off)
