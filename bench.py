@@ -234,7 +234,9 @@ def bench_star_convergence(spark, sf1_dir: str) -> dict:
     stats: dict = {}
     t0 = _time.time()
     comp = D.connected_components_star(
-        pairs, docs.select("doc_id"), stats=stats
+        # this witness exists to measure the DISTRIBUTED star loop's
+        # round count — disable the driver-local union-find gate (r17)
+        pairs, docs.select("doc_id"), stats=stats, local_max_edges=0
     )
     n_clusters = comp.select("cluster_id").distinct().count()
     sec = _time.time() - t0

@@ -737,11 +737,74 @@ def hamming_pairs(
     )
 
 
+# Driver-local union-find gate for the connected-components variants
+# (r17, guide §1.2 "the distributed algorithm" — the same treatment as
+# kmeans_fit's _lloyd_local twin): the registered cluster fixtures are
+# _bounded_subset graphs (<= 1000 nodes), yet the label-propagation /
+# star loops ran O(rounds) join+checkpoint+count SPARK JOBS on KB-sized
+# state — measured 2.2-3.5 s of driver plan-build per query for < 6
+# task-seconds of work. Inputs at or under this gate (probed with a
+# LIMIT-bounded collect, so an over-gate graph costs one truncated probe
+# and falls through to the distributed loop) are solved with a local
+# min-root union-find — the same (id, min reachable id) fixpoint both
+# loops converge to. Callers that exist to WITNESS the distributed loop
+# (the sf1 star-convergence battery, the non-convergence contract test)
+# pass local_max_edges=0 to force it.
+_CC_LOCAL_MAX = 100_000
+
+
+def _uf_min_labels(edge_rows, node_filter=None):
+    """Union-find with the component-minimum as representative.
+
+    ``edge_rows``: iterable of (a, b); ``node_filter``: optional set —
+    edges with an endpoint outside it are DROPPED, replicating the
+    label-propagation semantics where only ids present in ``nodes``
+    relay labels. Returns {node: min_reachable_id} for every node that
+    appears in a kept edge."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        if a == b:
+            continue
+        if node_filter is not None and (
+            a not in node_filter or b not in node_filter
+        ):
+            continue
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return {n: find(n) for n in parent}
+
+
+def _probe_local(df: DataFrame, limit: int):
+    """LIMIT-bounded collect: the row list if the frame holds at most
+    ``limit`` rows, else None (having read only limit+1 rows)."""
+    if limit <= 0:
+        return None
+    rows = df.limit(limit + 1).collect()
+    return rows if len(rows) <= limit else None
+
+
+_CC_LOCAL_TYPES = ("int", "bigint", "smallint")
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
     max_iter: int = 20,
     stats: dict | None = None,
+    local_max_edges: int = _CC_LOCAL_MAX,
 ) -> DataFrame:
     """Cluster duplicate-pair output into components: every node gets the
     minimum reachable id as ``cluster_id`` (the canonical document).
@@ -759,8 +822,39 @@ def connected_components(
 
     ``stats`` (optional dict) records ``rounds`` = label-propagation
     rounds to convergence — the measured witness of the O(diameter)
-    claim (same convention as ``connected_components_star``).
+    claim (same convention as ``connected_components_star``); 0 means
+    the graph was solved by the driver-local union-find twin (see
+    ``_CC_LOCAL_MAX``), which ``local_max_edges=0`` disables.
     """
+    id_col = nodes.columns[0]
+    if (
+        pairs.schema["id_a"].dataType.simpleString() in _CC_LOCAL_TYPES
+        and pairs.schema["id_b"].dataType.simpleString() in _CC_LOCAL_TYPES
+        and nodes.schema[0].dataType.simpleString() in _CC_LOCAL_TYPES
+    ):
+        p_rows = _probe_local(
+            pairs.select("id_a", "id_b"), local_max_edges
+        )
+        n_rows = (
+            _probe_local(nodes.select(id_col).distinct(), local_max_edges)
+            if p_rows is not None
+            else None
+        )
+        if p_rows is not None and n_rows is not None:
+            node_ids = {r[0] for r in n_rows}
+            labels = _uf_min_labels(
+                ((r[0], r[1]) for r in p_rows), node_filter=node_ids
+            )
+            if stats is not None:
+                stats["rounds"] = 0
+            sess = nodes.sparkSession
+            dt = nodes.schema[0].dataType.simpleString()
+            return sess.createDataFrame(
+                sess.sparkContext.parallelize(
+                    [(n, labels.get(n, n)) for n in sorted(node_ids)], 4
+                ),
+                schema=f"id {dt}, cluster_id {dt}",
+            )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -871,6 +965,7 @@ def connected_components_star(
     nodes: DataFrame,
     max_iter: int = 20,
     stats: dict | None = None,
+    local_max_edges: int = _CC_LOCAL_MAX,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -897,8 +992,46 @@ def connected_components_star(
     convergence the edges form stars rooted at each component's min id;
     singletons from ``nodes`` label themselves. Returns (id, cluster_id);
     pass ``stats`` (a dict) to receive ``{"rounds": N}`` — bench.py
-    records it at sf1 to substantiate the O(log n) convergence claim.
+    records it at sf1 to substantiate the O(log n) convergence claim
+    (that caller passes ``local_max_edges=0`` so the witness always
+    exercises the distributed loop; rounds == 0 means the driver-local
+    union-find twin answered, see ``_CC_LOCAL_MAX``).
     """
+    id_col0 = nodes.columns[0]
+    if (
+        pairs.schema["id_a"].dataType.simpleString() in _CC_LOCAL_TYPES
+        and pairs.schema["id_b"].dataType.simpleString() in _CC_LOCAL_TYPES
+    ):
+        p_rows = _probe_local(
+            pairs.select("id_a", "id_b"), local_max_edges
+        )
+        if p_rows is not None:
+            # star contraction spans ALL edge endpoints (contrast the
+            # label-propagation variant, which only relays through ids
+            # present in ``nodes``) — no node filter here, and the
+            # converged star edges are reproduced as (member -> root)
+            # rows feeding the SAME left-join + coalesce attach the
+            # distributed loop ends with.
+            labels = _uf_min_labels((r[0], r[1]) for r in p_rows)
+            if stats is not None:
+                stats["rounds"] = 0
+            sess = nodes.sparkSession
+            dt = pairs.schema["id_a"].dataType.simpleString()
+            roots = sess.createDataFrame(
+                sess.sparkContext.parallelize(
+                    sorted((n, r) for n, r in labels.items() if n != r),
+                    4,
+                ),
+                schema=f"id {dt}, cluster_id {dt}",
+            )
+            return (
+                nodes.select(F.col(id_col0).alias("id"))
+                .distinct()
+                .join(roots, "id", "left")
+                .select(
+                    "id", F.coalesce("cluster_id", "id").alias("cluster_id")
+                )
+            )
 
     edges = _star_canon(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

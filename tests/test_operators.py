@@ -568,9 +568,11 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
     nodes = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    # non-convergence is a property of the DISTRIBUTED loop; force past
+    # the driver-local union-find gate (which has no iteration bound)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, nodes, max_iter=2)
-    ok = connected_components(chain, nodes, max_iter=20)
+        connected_components(chain, nodes, max_iter=2, local_max_edges=0)
+    ok = connected_components(chain, nodes, max_iter=20, local_max_edges=0)
     assert {r.cluster_id for r in ok.collect()} == {0}
 
 
@@ -784,6 +786,72 @@ def test_star_cc_equals_label_propagation_on_seeded_random_graphs(spark):
         assert got == want, f"seed {seed}: star != label propagation"
 
 
+def test_cc_local_twin_equals_distributed_loops(spark):
+    """The r17 driver-local union-find gate must return exactly what the
+    distributed loops (forced via local_max_edges=0) return — for both
+    variants, on the seeded pseudo-random graphs."""
+    from kafka_map_reduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed, n_nodes, n_edges in ((1, 60, 40), (2, 80, 90), (3, 50, 25)):
+        raw = [
+            (
+                (seed * 7919 + e * 104729) % n_nodes,
+                (seed * 15485863 + e * 32452843) % n_nodes,
+            )
+            for e in range(n_edges)
+        ]
+        raw = [(a, b) for a, b in raw if a != b]
+        edges = spark.createDataFrame(raw, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+        for fn in (connected_components, connected_components_star):
+            stats_l: dict = {}
+            local = {
+                r.id: r.cluster_id
+                for r in fn(edges, nodes, max_iter=60, stats=stats_l).collect()
+            }
+            dist = {
+                r.id: r.cluster_id
+                for r in fn(
+                    edges, nodes, max_iter=60, local_max_edges=0
+                ).collect()
+            }
+            assert stats_l["rounds"] == 0, "gate did not take the local path"
+            assert local == dist, f"seed {seed}: {fn.__name__} local != dist"
+
+
+def test_cc_local_twin_matches_distributed_on_missing_relay_node(spark):
+    """Contract corner pinned: label propagation only relays through ids
+    present in ``nodes`` — an a-b, b-c path with b missing from nodes
+    must NOT merge a and c in the plain variant (local or distributed),
+    while the star variant contracts over all edge endpoints and does.
+    The local twins must reproduce each variant's own semantics."""
+    from kafka_map_reduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame([(1, 5), (5, 3)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (3,)], "id long")  # 5 missing
+    for lme in (100_000, 0):
+        plain = {
+            r.id: r.cluster_id
+            for r in connected_components(
+                edges, nodes, local_max_edges=lme
+            ).collect()
+        }
+        assert plain == {1: 1, 3: 3}, f"local_max_edges={lme}"
+        star = {
+            r.id: r.cluster_id
+            for r in connected_components_star(
+                edges, nodes, local_max_edges=lme
+            ).collect()
+        }
+        assert star == {1: 1, 3: 1}, f"local_max_edges={lme}"
+
+
 def test_star_cc_converges_on_long_chain_where_label_propagation_cannot(spark):
     """The scale claim itself: a 300-node chain has diameter 300, so
     min-label propagation cannot converge in 20 rounds (it raises, by
@@ -800,9 +868,13 @@ def test_star_cc_converges_on_long_chain_where_label_propagation_cannot(spark):
         [(i, i + 1) for i in range(300)], "id_a long, id_b long"
     )
     nodes = spark.createDataFrame([(i,) for i in range(301)], "id long")
+    # both variants forced past the driver-local gate: the claim under
+    # test is the DISTRIBUTED loops' convergence behavior
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, nodes, max_iter=20)
-    got = connected_components_star(chain, nodes, max_iter=20).collect()
+        connected_components(chain, nodes, max_iter=20, local_max_edges=0)
+    got = connected_components_star(
+        chain, nodes, max_iter=20, local_max_edges=0
+    ).collect()
     assert {r.cluster_id for r in got} == {0} and len(got) == 301
 
 
