@@ -53,6 +53,13 @@ def parquet_file_stats(spark: SparkSession, path: str) -> dict:
     return {"n_files": n, "total_bytes": total}
 
 
+def _rmtree(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete of an unpublished temp dir."""
+    fs, hpath, _ = _fs_for(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def _swap(spark: SparkSession, tmp: str, path: str) -> None:
     fs, dest, jvm = _fs_for(spark, path)
     trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
@@ -140,26 +147,40 @@ def merge_upsert_parquet(
 
     ``updates`` must not contain duplicate keys (latest-wins among
     duplicates would be nondeterministic); violations raise."""
-    dup = (
-        updates.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(f"updates contain duplicate keys on {keys}")
+    from concurrent.futures import ThreadPoolExecutor
+
     base = spark.read.parquet(path)
     key_set = updates.select(*keys).distinct()
     survivors = base.join(F.broadcast(key_set), keys, "left_anti")
     merged = survivors.unionByName(updates.select(*base.columns))
     tmp = path.rstrip("/") + "__compact_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    # Overlap the dup-key validation with the (invisible) tmp write
+    # (r17, guide §2.6): publish still happens only after the check
+    # passes, so a violation raises with the table untouched — the same
+    # observable contract as the sequential form, minus one serial job
+    # latency. Same overlap for the two model-sized audit counts below.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_dup = pool.submit(
+            lambda: updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        f_write = pool.submit(
+            lambda: merged.write.mode("overwrite").parquet(tmp)
+        )
+        dup = f_dup.result()
+        if dup:
+            f_write.result()
+            _rmtree(spark, tmp)
+            raise ValueError(f"updates contain duplicate keys on {keys}")
+        f_write.result()
     _swap(spark, tmp, path)
-    return {
-        "n_rows": spark.read.parquet(path).count(),
-        "n_updates": updates.count(),
-    }
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_rows = pool.submit(lambda: spark.read.parquet(path).count())
+        f_upd = pool.submit(updates.count)
+        return {"n_rows": f_rows.result(), "n_updates": f_upd.result()}
 
 
 def _zvalue(cols: list[str], bits: int = 16):

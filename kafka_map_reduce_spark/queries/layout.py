@@ -90,8 +90,17 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_orderkey"
     )
-    B.write_bucketed(cust, cust_t, ["custkey"], 8)
-    B.write_bucketed(orders, ord_t, ["custkey"], 8)
+    # the two fixture writes are independent jobs — submit them
+    # concurrently so the small write's tail backfills the other's idle
+    # slots (r17, guide §2.6 overlap independent jobs; results
+    # unaffected: different tables, deterministic content)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc = pool.submit(B.write_bucketed, cust, cust_t, ["custkey"], 8)
+        fo = pool.submit(B.write_bucketed, orders, ord_t, ["custkey"], 8)
+        fc.result()
+        fo.result()
     joined = B.bucketed_join(
         spark, cust_t, ord_t, ["custkey"], force_sort_merge=True
     )

@@ -183,7 +183,12 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-unchanged there (no-op parity pinned, tests/test_pq.py), and
     ENCODING stays a full single pass so the code table covers every
     vector regardless."""
-    e = load_table(spark, sf_dir, "embeddings")
+    from kafka_map_reduce_spark.sources import fan_out_scan
+
+    # fanned out (r17): the full-pass PQ encode reads the one-row-group
+    # scan serially; 5-rep interleaved A/B min/med 3.62/4.67 ->
+    # 3.30/3.73. Corpus-scale no-op by the gate.
+    e = fan_out_scan(load_table(spark, sf_dir, "embeddings"), key=("vec_id",))
     corpus = e.filter(F.col("vec_id") >= 20)
     probes = e.filter(F.col("vec_id") < 20)
     books = S.pq_fit(
@@ -212,6 +217,10 @@ def q_sim_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE dim-keyed narrow aggregate (map-side combine -> dim x
     partitions rows), encode/score are shuffle-free broadcast
     expressions, re-rank join candidate-sized."""
+    # fan_out_scan measured and REJECTED here (r17, 5-rep interleaved
+    # A/B: plain 1.71/2.34 min/med vs fanned 2.05/2.83) — sq8's encode
+    # fold is too cheap to amortize the exchange, unlike its pq/ivfpq
+    # siblings whose full-pass residual encodes win from it
     e = load_table(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") >= 20)
     probes = e.filter(F.col("vec_id") < 20)
@@ -243,7 +252,12 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample mod rounds to 1 and this query's output is unchanged
     (no-op parity pinned, tests/test_pq.py); the sampled regime has its
     own recall floor pinned there."""
-    e = load_table(spark, sf_dir, "embeddings")
+    from kafka_map_reduce_spark.sources import fan_out_scan
+
+    # fanned out (r17): the residual encode is a full narrow pass over
+    # the one-row-group scan; 5-rep interleaved A/B min/med 5.06/5.24
+    # -> 4.66/4.88. Corpus-scale no-op by the gate.
+    e = fan_out_scan(load_table(spark, sf_dir, "embeddings"), key=("vec_id",))
     corpus = e.filter(F.col("vec_id") >= 20)
     probes = e.filter(F.col("vec_id") < 20)
     coarse, books, encoded = S.ivfpq_index(
