@@ -107,6 +107,10 @@ FAN_OUT_OK = {
     "q_text_quality",
     "q_text_repeated_spans",
     "q_window_rank",  # r12 adoption (r11 A/B 0.75)
+    # r17 adoptions (5-rep interleaved A/B, OPTIMIZATION_r17.md #11):
+    # full-pass PQ/residual encodes above the serial one-row-group scan
+    "q_sim_pq",
+    "q_sim_ivfpq",
 }
 
 # Shuffle budgets: the number of Exchange nodes these plans are DESIGNED
