@@ -129,11 +129,19 @@ def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
     costs more than the (id, shingle) exchange it avoids — Tungsten's
     shuffle of narrow rows is cheaper than non-codegen expression
     evaluation. The aggregate stays; revisit only if Spark gains codegen
-    for HOFs."""
-    aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}") for i in range(num_perm)
-    ]
-    return shingled.groupBy("id").agg(*aggs, F.count(F.lit(1)).alias("n"))
+    for HOFs.
+
+    SQL-string face of the min-hash aggregates (r17, the SimHash
+    treatment from r13): the Column-object loop
+    (``F.min(F.xxhash64(F.col("s"), F.lit(i)))`` x num_perm) cost
+    ~0.35 s of DRIVER time per plan build in ~300 py4j round trips;
+    one parsed expr per aggregate builds the identical tree JVM-side
+    (0.53 -> 0.14 s construction measured; outputs and schema
+    bit-identical — the SQL integer literal is IntegerType exactly like
+    F.lit(i)). Fixed cost in data volume — irrelevant at 100 TB,
+    ~0.5 s/plan at bench SF across the two LSH headline queries."""
+    aggs = [F.expr(f"min(xxhash64(s, {i})) AS mh{i}") for i in range(num_perm)]
+    return shingled.groupBy("id").agg(*aggs, F.expr("count(1) AS n"))
 
 
 def _drop_hot_buckets(
@@ -175,23 +183,29 @@ def lsh_banded(
     This IS the persistable LSH index format for incremental corpus
     building: append each ingest batch's banded rows to a parquet table
     and probe new batches against it with ``lsh_candidates_against`` —
-    no re-banding of the historical corpus, index growth = write rate."""
+    no re-banding of the historical corpus, index growth = write rate.
+
+    The explode(array(struct(band, bh)...)) tree is built as ONE parsed
+    expr (r17, same rationale as minhash_signatures): the Column-object
+    loop cost ~0.27 s of driver time per plan build; the SQL face is
+    bit-identical (integer literals are IntegerType on both paths,
+    verified on the sf0.1 corpus)."""
     rows_per_band = num_perm // bands
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
-        ).alias(f"b{b}")
+    parts = ", ".join(
+        "struct({b} AS band, xxhash64({b}, {mhs}) AS bh)".format(
+            b=b,
+            mhs=", ".join(
+                f"mh{b * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
         for b in range(bands)
-    ]
+    )
     carry_n = "n" in signatures.columns
     n_cols = [F.col("n")] if carry_n else []
     return signatures.select(
         "id",
         *n_cols,
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b].alias("bh"))
-                      for b in range(bands)])
-        ).alias("e"),
+        F.expr(f"explode(array({parts}))").alias("e"),
     ).select(
         "id", *n_cols, F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
