@@ -117,6 +117,18 @@ def fan_out_scan(df: DataFrame, key: tuple[str, ...] | None = None) -> DataFrame
     return df.repartition(slots)
 
 
+# Per-process parquet schema memo (r17, guide §1.2 fixed driver costs):
+# schema INFERENCE reads parquet footers on every spark.read.parquet —
+# measured 0.12-0.16 s per call vs 0.02-0.06 s with an explicit schema,
+# and every query pays it once per table it touches (q_join_multiway:
+# five tables, ~0.4 s/rep). The memo holds METADATA only (StructType by
+# resolved path) — every run still scans the parquet data; nothing
+# result-shaped is cached. Keyed by full path; the testdata tables are
+# read-only and the bench's sf1 replicas are built before any read, so
+# a stale entry cannot occur within a process.
+_SCHEMA_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table.
 
@@ -126,7 +138,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sees after CAST(ts AS TIMESTAMP). Oracle SQL casts accordingly.
     """
     configure(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
