@@ -130,6 +130,26 @@ def _l2sq(a: Column, b: Column) -> Column:
     return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
 
 
+def _l2sq_sql(a: str, b: str) -> str:
+    """SQL-string face of :func:`_l2sq` (r17 parsed-expr treatment —
+    see minhash_signatures): builds the identical zip_with/aggregate
+    tree in one parser call instead of per-lambda py4j round trips.
+    `0.0D` is the same DoubleType literal as F.lit(0.0)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _nearest_sql(vec: str, cents: str) -> str:
+    """SQL-string face of :func:`_nearest` — identical struct(d, cid)
+    argmin tree, parsed in one call."""
+    return (
+        f"array_min(transform({cents}, c -> "
+        f"struct({_l2sq_sql(vec, 'c.centroid')} AS d, c.cluster_id AS cid)))"
+    )
+
+
 def _nearest(vec: Column, cents: Column) -> Column:
     """struct(d, cid) of the nearest centroid from a broadcast centroid
     array — argmin computed INLINE per row (array_min over k candidates),
@@ -1272,21 +1292,21 @@ def pq_encode(
     d_sub = _codebook_d_sub(codebooks)
     _check_pq_dim(corpus, vec_col, m, d_sub, "corpus")
     book_row = _codebook_row(codebooks)
-    return (
-        corpus.join(F.broadcast(book_row))
-        .select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: _nearest(
-                    F.slice(
-                        _as_double(F.col(vec_col)), j * F.lit(d_sub) + 1, d_sub
-                    ),
-                    F.col("__books")[j],
-                )["cid"],
-            ).alias("codes"),
-            *[F.col(c) for c in carry],
-        )
+    # parsed-expr face (r17): the per-subspace argmin tree built as ONE
+    # SQL string — identical expressions (slice bounds, struct field
+    # order, double literals), ~0.2 s less py4j per plan build.
+    sub = (
+        f"slice(transform(`{vec_col}`, x -> CAST(x AS DOUBLE)), "
+        f"j * {d_sub} + 1, {d_sub})"
+    )
+    codes = (
+        f"transform(sequence(0, {m - 1}), "
+        f"j -> {_nearest_sql(sub, '__books[j]')}['cid'])"
+    )
+    return corpus.join(F.broadcast(book_row)).selectExpr(
+        f"`{id_col}` AS id",
+        f"{codes} AS codes",
+        *[f"`{c}`" for c in carry],
     )
 
 
@@ -1322,48 +1342,33 @@ def pq_topk(
     d_sub = _codebook_d_sub(codebooks)
     _check_pq_dim(probes, vec_col, m, d_sub, "probes")
     book_row = _codebook_row(codebooks)
+    # parsed-expr face (r17) of the per-subspace LUT: keyed by
+    # cluster_id, not position — kmeans_fit drops clusters that lose
+    # every point, so codes need not be contiguous, and a positional
+    # lookup would silently read the wrong centroid's distance.
+    lut = (
+        f"transform(sequence(0, {m - 1}), j -> map_from_entries("
+        f"transform(__books[j], c -> struct(c.cluster_id AS k, "
+        f"{_l2sq_sql(f'slice(__pv, j * {d_sub} + 1, {d_sub})', 'c.centroid')}"
+        f" AS v))))"
+    )
     p = (
         probes.select(
             F.col(id_col).alias("probe_id"),
             _as_double(F.col(vec_col)).alias("__pv"),
         )
         .join(F.broadcast(book_row))
-        .select(
-            "probe_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                # keyed by cluster_id, not position: kmeans_fit drops
-                # clusters that lose every point, so codes need not be
-                # contiguous — a positional lookup would silently read
-                # the wrong centroid's distance
-                lambda j: F.map_from_entries(
-                    F.transform(
-                        F.col("__books")[j],
-                        lambda c: F.struct(
-                            c["cluster_id"].alias("k"),
-                            _l2sq(
-                                F.slice(
-                                    F.col("__pv"), j * F.lit(d_sub) + 1, d_sub
-                                ),
-                                c["centroid"],
-                            ).alias("v"),
-                        ),
-                    )
-                ),
-            ).alias("__lut"),
-        )
+        .selectExpr("probe_id", f"{lut} AS __lut")
     )
     scored = (
         encoded.select(F.col("id").alias("neighbor_id"), "codes")
         .join(F.broadcast(p))
         .withColumn(
             "sim",
-            -_fold_sum(
-                F.zip_with(
-                    F.col("codes"),
-                    F.col("__lut"),
-                    lambda code, lut: F.element_at(lut, code),
-                )
+            F.expr(
+                "-aggregate(zip_with(codes, __lut, "
+                "(code, lut) -> element_at(lut, code)), "
+                "0.0D, (acc, x) -> acc + x)"
             ),
         )
         .drop("codes", "__lut")
@@ -1455,30 +1460,25 @@ def ivfpq_index(
     cent_row = cents.agg(
         F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
     )
+    # parsed-expr face (r17): assignment + residual as two selectExpr
+    # steps (bkt must be a named column before the residual lookup
+    # references it, exactly like the withColumn chain it replaces).
     resid = (
         corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
         .join(F.broadcast(cent_row))
-        .withColumn("__near", _nearest(F.col("__v"), F.col("__cents")))
-        .withColumn("bkt", F.col("__near")["cid"])
-        .withColumn(
-            "__resid",
-            F.zip_with(
-                F.col("__v"),
-                F.element_at(
-                    F.map_from_entries(
-                        F.transform(
-                            F.col("__cents"),
-                            lambda c: F.struct(
-                                c["cluster_id"].alias("k"), c["centroid"].alias("v")
-                            ),
-                        )
-                    ),
-                    F.col("bkt"),
-                ),
-                lambda a, b: a - b,
-            ),
+        .selectExpr(
+            f"`{id_col}`",
+            "__v",
+            "__cents",
+            f"{_nearest_sql('__v', '__cents')} AS __near",
         )
-        .select(id_col, "bkt", "__resid")
+        .selectExpr(
+            f"`{id_col}`",
+            "__near['cid'] AS bkt",
+            "zip_with(__v, element_at(map_from_entries(transform(__cents, "
+            "c -> struct(c.cluster_id AS k, c.centroid AS v))), "
+            "__near['cid']), (a, b) -> a - b) AS __resid",
+        )
         # consume-once barrier (r17, guide §2.4 / §3 plan-truncation):
         # the residual pipeline feeds residual-codebook TRAINING, the
         # encode pass, and (pre-r17) a second full evaluation just to
@@ -1524,80 +1524,46 @@ def ivfpq_topk(
         F.collect_list(F.struct("cluster_id", "centroid")).alias("__cents")
     )
     book_row = _codebook_row(codebooks)
+    # parsed-expr faces (r17): nprobe nearest coarse buckets, then the
+    # residual vs EACH bucket, then the per-(probe, bucket) LUT — the
+    # identical trees the withColumn/lambda chain built, in 3 parses.
+    cand = (
+        f"slice(array_sort(transform(__cents, c -> struct("
+        f"{_l2sq_sql('__pv', 'c.centroid')} AS d, c.cluster_id AS cid, "
+        f"c.centroid AS cent))), 1, {nprobe})"
+    )
+    dsub_i = f"CAST(FLOOR(size(__presid) / {m}) AS INT)"
+    lut = (
+        f"transform(sequence(0, {m - 1}), j -> map_from_entries("
+        f"transform(__books[j], c -> struct(c.cluster_id AS k, "
+        + _l2sq_sql(
+            f"slice(__presid, j * {dsub_i} + 1, {dsub_i})", "c.centroid"
+        )
+        + " AS v))))"
+    )
     p = (
         probes.select(
             F.col(id_col).alias("probe_id"), _as_double(F.col(vec_col)).alias("__pv")
         )
         .join(F.broadcast(cent_row))
-        # nprobe nearest coarse buckets, then the residual vs EACH bucket
-        .withColumn(
-            "__cand",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        F.col("__cents"),
-                        lambda c: F.struct(
-                            _l2sq(F.col("__pv"), c["centroid"]).alias("d"),
-                            c["cluster_id"].alias("cid"),
-                            c["centroid"].alias("cent"),
-                        ),
-                    )
-                ),
-                1,
-                nprobe,
-            ),
-        )
-        .select(
+        .selectExpr("probe_id", "__pv", f"explode({cand}) AS __c")
+        .selectExpr(
             "probe_id",
-            "__pv",
-            F.explode("__cand").alias("__c"),
-        )
-        .withColumn("bkt", F.col("__c")["cid"])
-        .withColumn(
-            "__presid", F.zip_with("__pv", F.col("__c")["cent"], lambda a, b: a - b)
+            "__c['cid'] AS bkt",
+            "zip_with(__pv, __c['cent'], (a, b) -> a - b) AS __presid",
         )
         .join(F.broadcast(book_row))
-        .select(
-            "probe_id",
-            "bkt",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.map_from_entries(
-                    F.transform(
-                        F.col("__books")[j],
-                        lambda c: F.struct(
-                            c["cluster_id"].alias("k"),
-                            _l2sq(
-                                F.slice(
-                                    F.col("__presid"),
-                                    j
-                                    * F.floor(F.size("__presid") / F.lit(m)).cast(
-                                        "int"
-                                    )
-                                    + 1,
-                                    F.floor(F.size("__presid") / F.lit(m)).cast(
-                                        "int"
-                                    ),
-                                ),
-                                c["centroid"],
-                            ).alias("v"),
-                        ),
-                    )
-                ),
-            ).alias("__lut"),
-        )
+        .selectExpr("probe_id", "bkt", f"{lut} AS __lut")
     )
     scored = (
         encoded.select(F.col("id").alias("neighbor_id"), "bkt", "codes")
         .join(F.broadcast(p), "bkt")
         .withColumn(
             "sim",
-            -_fold_sum(
-                F.zip_with(
-                    F.col("codes"),
-                    F.col("__lut"),
-                    lambda code, lut: F.element_at(lut, code),
-                )
+            F.expr(
+                "-aggregate(zip_with(codes, __lut, "
+                "(code, lut) -> element_at(lut, code)), "
+                "0.0D, (acc, x) -> acc + x)"
             ),
         )
         .drop("codes", "__lut")
