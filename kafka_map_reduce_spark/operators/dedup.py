@@ -695,23 +695,17 @@ def hamming_pairs(
             f"for max_dist in [0, 3]; got {max_dist}. For larger radii use "
             f"more blocks (block count must exceed max_dist)."
         )
-    blocks = sim.select(
-        "id",
-        "simhash",
-        *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * b)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias(f"blk{b}")
-            for b in range(4)
-        ],
+    # parsed-expr face (r17, the minhash/lsh_banded treatment): the
+    # 4-block shift/mask/struct tree as ONE parse — identical
+    # expressions, ~0.13 s less py4j per plan build.
+    parts = ", ".join(
+        f"struct({b} AS b, shiftrightunsigned(simhash, {16 * b}) & 65535 AS v)"
+        for b in range(4)
     )
-    exploded = blocks.select(
+    exploded = sim.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"blk{b}").alias("v"))
-                      for b in range(4)])
-        ).alias("e"),
+        F.expr(f"explode(array({parts}))").alias("e"),
     ).select("id", "simhash", F.col("e.b").alias("b"), F.col("e.v").alias("v"))
     # Consume-once barrier, same rationale as lsh_candidates: the block
     # frame feeds the hot-bucket count, the cap join, and both pair-join
