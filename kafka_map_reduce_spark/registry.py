@@ -98,9 +98,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (6): ALL six r14-stale live rows drain this round (every other live
 # row is r15/r16-fresh).
 #
-# Round-18 queue — no code-changed re-entries are known yet; the 9
-# spilled r14 rows above re-enter first (oldest-first), then r15-stale
-# oldest-first.
+# Round-18 queue — 22 r17 code-changed re-entries first (the r17
+# OPTIMIZATION round's operator diffs, each output-verified in-round;
+# full list and convention notes in WINDOWS.md "Round-18 queue"), then
+# the 9 spilled r14 rows (oldest-first), then r15-stale oldest-first.
 _PRIORITY: tuple[str, ...] = (
     # (3) the 9 r13-stale spills, drained in full
     "q_agg_collect",
