@@ -836,13 +836,23 @@ def connected_components(
     """
     id_col = nodes.columns[0]
     if (
-        pairs.schema["id_a"].dataType.simpleString() in _CC_LOCAL_TYPES
+        local_max_edges > 0
+        and pairs.schema["id_a"].dataType.simpleString() in _CC_LOCAL_TYPES
         and pairs.schema["id_b"].dataType.simpleString() in _CC_LOCAL_TYPES
         and nodes.schema[0].dataType.simpleString() in _CC_LOCAL_TYPES
     ):
-        p_rows = _probe_local(
-            pairs.select("id_a", "id_b"), local_max_edges
-        )
+        # Barrier the pair stream BEFORE probing (r18): the probe's
+        # LIMIT-bounded collect truncates RESULT rows, not upstream
+        # work — unbarriered, an over-gate graph paid the candidate
+        # pipeline's shuffle map stages in the probe and then re-paid
+        # the WHOLE pipeline in the distributed loop (twice, via the
+        # union's two branches). The lazy localCheckpoint materializes
+        # pairs exactly once at the probe's first action; the probe,
+        # the loop's union, and the per-round joins all read the
+        # checkpoint. Evaluate-once pinned by
+        # tests/test_operators.py::test_cc_over_gate_single_evaluation.
+        pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+        p_rows = _probe_local(pairs, local_max_edges)
         n_rows = (
             _probe_local(nodes.select(id_col).distinct(), local_max_edges)
             if p_rows is not None
@@ -1007,12 +1017,16 @@ def connected_components_star(
     """
     id_col0 = nodes.columns[0]
     if (
-        pairs.schema["id_a"].dataType.simpleString() in _CC_LOCAL_TYPES
+        local_max_edges > 0
+        and pairs.schema["id_a"].dataType.simpleString() in _CC_LOCAL_TYPES
         and pairs.schema["id_b"].dataType.simpleString() in _CC_LOCAL_TYPES
     ):
-        p_rows = _probe_local(
-            pairs.select("id_a", "id_b"), local_max_edges
-        )
+        # Same probe barrier as connected_components (r18): materialize
+        # the pair stream once; an over-gate fall-through feeds
+        # _star_canon from the checkpoint instead of re-running the
+        # candidate pipeline.
+        pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+        p_rows = _probe_local(pairs, local_max_edges)
         if p_rows is not None:
             # star contraction spans ALL edge endpoints (contrast the
             # label-propagation variant, which only relays through ids

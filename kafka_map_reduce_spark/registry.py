@@ -75,88 +75,83 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the same commit as any mid-round _PRIORITY adjustment; when the
 # round closes its entry becomes archive.
 #
-# Round-17 window (executing the r16 verdict item #2, exactly the
-# queue documented at r16 close):
+# Round-18 window (executing the r17 verdict item #2: drain the r18
+# re-entry queue exactly as WINDOWS.md documents it):
 # (1) never-driver-checked: NONE — the inventory is frozen at 159;
-# (2) code changed in r16: NONE — r16 shipped no operator-behavior
-# diffs (bench-protocol hardening + the ordered attribution tool only;
-# bench.py/tools/tests diffs do not re-enter query rows);
-# (3) the 9 r13-stale spills documented in the r16 window notes,
-# drained in full — after this window no latest row is older than r14;
-# (4) 35 of the 44 non-live r14-stale rows. The 9 that spill to the
-# r18 queue each leave an in-window or r15/r16-fresh family
-# representative (full mapping in WINDOWS.md): q_date_funcs
-# (q_math_funcs + q_string_funcs r16; q_cast r15), q_distinct
-# (q_agg_distinct r16; q_union_distinct in-window), q_join_right
-# (q_join_left + q_join_full r16), q_json_funcs (q_array_funcs +
-# q_string_funcs r16), q_rollup (q_cube + q_grouping_sets r16),
-# q_subquery_in (q_subquery_scalar r16; q_subquery_correlated r15),
-# q_text_tokens (q_token_count + q_text_stats r16), q_unpivot
-# (q_pivot r15), q_window_frame (q_window_rank r16;
-# q_window_value_funcs + q_window_lead_lag r15);
+# (2) code changed in r17 (the OPTIMIZATION round's operator diffs,
+# each output-verified in-round; this is the round's correctness
+# debt): the 22 re-entries listed in WINDOWS.md "Round-18 queue" —
+# 21 non-live at the window head plus the live q_stream_dedup_ingest
+# inside the live edge block;
+# (3) the 9 r14-stale spills documented in the r17 window notes,
+# drained in full — after this window no latest row is older than r15;
+# (2b) code changed in r18, swapped in mid-round (r11 precedent,
+# same-commit WINDOWS.md mapping): q_dedup_clusters_star;
+# (4) 16 of the 41 non-live not-already-re-entering r15-stale rows.
+# The 25 that spill to the r19 queue each leave an in-window or
+# r16/r17-fresh family representative (full mapping in WINDOWS.md);
 # (5) the live streaming_live block, contiguous at the window edge
-# (6): ALL six r14-stale live rows drain this round (every other live
-# row is r15/r16-fresh).
-#
-# Round-18 queue — 22 r17 code-changed re-entries first (the r17
-# OPTIMIZATION round's operator diffs, each output-verified in-round;
-# full list and convention notes in WINDOWS.md "Round-18 queue"), then
-# the 9 spilled r14 rows (oldest-first), then r15-stale oldest-first.
+# (3): the code-changed q_stream_dedup_ingest plus the only two
+# r15-stale live rows (q_stream_gated_ingest, q_stream_watermark);
+# every other live row is r16/r17-fresh.
 _PRIORITY: tuple[str, ...] = (
-    # (3) the 9 r13-stale spills, drained in full
-    "q_agg_collect",
-    "q_agg_countif",
-    "q_embed_quantize",
-    "q_join_cross",
-    "q_join_semi",
-    "q_scan_csv",
-    "q_sim_ivf",
-    "q_union_distinct",
-    "q_window_dist",
-    # (4) r14-stale, non-live (35 of 44)
-    "q_agg_group",
-    "q_audit_double_write",
-    "q_compact_cluster",
-    "q_corpus_mix",
-    "q_corpus_report",
+    # (2) code changed in r17, non-live (21)
+    "q_agg_percentile",
+    "q_dedup_near",
+    "q_dedup_near_capped",
+    "q_dedup_embedding_lsh",
+    "q_dedup_embedding_lsh_capped",
+    "q_dedup_semantic",
+    "q_dedup_semantic_ingest",
+    "q_sim_pq",
+    "q_sim_ivfpq",
+    "q_text_repetition",
+    "q_window_rank",
+    "q_classifier_fit",
+    "q_sim_ivf_kmeans",
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    "q_dedup_semantic_keep_best",
+    "q_dedup_incremental",
+    "q_text_bpe",
+    "q_group_rebalance",
+    "q_join_bucketed",
+    "q_upsert_merge",
+    # (3) the 9 r14-stale spills, drained in full
+    "q_date_funcs",
+    "q_distinct",
+    "q_join_right",
+    "q_json_funcs",
+    "q_rollup",
+    "q_subquery_in",
+    "q_text_tokens",
+    "q_unpivot",
+    "q_window_frame",
+    # (2b) code changed in r18 so far (mid-round swaps per the r11
+    # late-window-swap precedent; displaced rows + family reps in
+    # WINDOWS.md): connected_components probe barrier
     "q_dedup_clusters_star",
-    "q_dedup_exact",
-    "q_dedup_exact_incremental",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_dedup_simhash_capped",
-    "q_epoch_order",
-    "q_join_asof",
-    "q_join_multiway",
-    "q_line_index_incremental",
-    "q_multimodal_decode",
-    "q_pack_sequences",
-    "q_sample_stratified",
-    "q_scan_json_lines",
-    "q_shard_manifest",
-    "q_sim_text_topk",
-    "q_sim_topk",
-    "q_skipping_prune",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_text_compressibility",
-    "q_text_decontaminate",
-    "q_text_decontaminate_spans",
-    "q_text_hash_embed",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_redact",
-    "q_text_repeated_spans",
-    "q_text_unigram_logprob",
-    "q_udf_scalar",
-    # (5) live streams, contiguous at the window edge (6): all six
-    # r14-stale live rows drain this round
-    "q_sink_jsonl",
-    "q_stream_dedup_watermark",
-    "q_stream_dlq",
-    "q_stream_enrich",
-    "q_stream_join",
-    "q_stream_stateful",
+    # (4) r15-stale, non-live (16 of 41)
+    "q_funnel",
+    "q_audit_delivery",
+    "q_orderby",
+    "q_stream_tumbling",
+    "q_sql_interface",
+    "q_histogram",
+    "q_dedup_embedding",
+    "q_quality_classifier",
+    "q_agg_argmax",
+    "q_cast",
+    "q_scan_text",
+    "q_join_theta",
+    "q_window_value_funcs",
+    "q_string_agg",
+    "q_text_tfidf",
+    "q_sample_hash",
+    # (5) live streams, contiguous at the window edge (3)
+    "q_stream_dedup_ingest",
+    "q_stream_gated_ingest",
+    "q_stream_watermark",
 )
 
 

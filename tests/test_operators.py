@@ -822,6 +822,44 @@ def test_cc_local_twin_equals_distributed_loops(spark):
             assert local == dist, f"seed {seed}: {fn.__name__} local != dist"
 
 
+def test_cc_over_gate_single_evaluation(spark):
+    """r18 (r17 verdict item #1): the local-twin gate probe must not
+    double-pay the pair pipeline. The probe's LIMIT-bounded collect
+    truncates result rows, not upstream work, so an over-gate graph
+    used to execute the candidate pipeline once for the probe and then
+    again (twice, via the union's branches) in the distributed loop.
+    With the entry barrier the pipeline is evaluated EXACTLY once —
+    witnessed by an accumulator-ticking UDF on the pair stream."""
+    from kafka_map_reduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 40  # path graph 0-1-...-40: one component, diameter > probe gate
+    base = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "id long")
+    for fn in (connected_components, connected_components_star):
+        acc = spark.sparkContext.accumulator(0)
+
+        @F.udf("long")
+        def tick(x, _acc=acc):
+            _acc.add(1)
+            return x
+
+        pairs = base.select(tick("a").alias("id_a"), F.col("b").alias("id_b"))
+        got = {
+            r.id: r.cluster_id
+            for r in fn(
+                pairs, nodes, max_iter=60, local_max_edges=5
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(n + 1)}, fn.__name__
+        assert acc.value == n, (
+            f"{fn.__name__}: pair pipeline evaluated {acc.value / n:.1f}x "
+            f"(expected once) on an over-gate graph"
+        )
+
+
 def test_cc_local_twin_matches_distributed_on_missing_relay_node(spark):
     """Contract corner pinned: label propagation only relays through ids
     present in ``nodes`` — an a-b, b-c path with b missing from nodes
