@@ -557,13 +557,22 @@ def jaccard_verify(
         else shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     )
     if prune_to_candidates:
+        # Candidate-bounded barrier (r18, r17 verdict item #4): the
+        # pruned shingle table feeds BOTH sides of the intersection
+        # join, and Catalyst shares no subtrees across join branches —
+        # without a barrier each side re-runs the semi-joined
+        # tokenize+explode pipeline. The localCheckpoint is bounded by
+        # the candidate id set by construction (the same bound that
+        # justified pruning in the first place), so unlike a full
+        # shingle-table barrier it stays candidate-sized at any scale:
+        # one pruned evaluation, materialized once, read twice.
         shingled = shingled.join(
             candidates.select(F.col("id_a").alias("id"))
             .union(candidates.select(F.col("id_b").alias("id")))
             .distinct(),
             "id",
             "left_semi",
-        )
+        ).localCheckpoint(eager=False)
     a = shingled.select(F.col("id").alias("id_a"), "s")
     b = shingled.select(F.col("id").alias("id_b2"), F.col("s").alias("s_b"))
     pair_keys = ["id_a", "id_b"] + (["na", "nb"] if carried else [])

@@ -1702,6 +1702,63 @@ def hyperplane_buckets_all(
     return buckets
 
 
+def attach_hash_embed_with_buckets(
+    df: DataFrame,
+    text_col: str,
+    dim: int,
+    bits: int = 16,
+    n_tables: int = 8,
+    out_col: str = "embedding",
+    buckets_col: str = "__buckets",
+) -> DataFrame:
+    """Fused embed + all-tables-signature face: ONE Arrow stage (r18,
+    guide §4.1 — every JVM↔Python stage pays the per-task worker
+    round trip the r17 profile quantified at ~130-200 ms/task, so the
+    registered embedding-LSH composition collapses its two Python
+    stages into one). Computes the md5 hash-embedding via the EXACT
+    kernel :func:`operators.text._hash_embed_batch` (the one
+    ``attach_hash_embed_arrow`` runs) and the ``n_tables`` hyperplane
+    bucket signatures via the EXACT matmul+pack
+    :func:`hyperplane_buckets_all` runs — from the same in-memory
+    float64 matrix, so both outputs are bit-identical to the two-stage
+    composition (float64 array values round-trip Arrow exactly;
+    pinned in tests/test_embedding_lsh.py). The per-operator faces
+    stay, individually tested; this is composition-level fusion only."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from kafka_map_reduce_spark.operators.text import _hash_embed_batch
+
+    H = _hyperplane_sign_matrix(dim, bits, n_tables)
+    pow2 = (2 ** np.arange(bits, dtype=np.int64))[None, None, :]
+
+    @pandas_udf("struct<emb: array<double>, bkts: array<long>>")
+    def both(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        V, null = _hash_embed_batch(texts, dim)
+        # strict > 0, matching hyperplane_buckets_all / the JVM face
+        b = (V @ H) > 0
+        packed = (
+            (b.reshape(len(V), n_tables, bits) * pow2)
+            .sum(axis=2)
+            .astype(np.int64)
+        )
+        emb = pd.Series([row.tolist() for row in V])
+        bkts = pd.Series([row.tolist() for row in packed])
+        emb[null] = None
+        bkts[null] = None
+        return pd.DataFrame({"emb": emb, "bkts": bkts})
+
+    fused = both(F.col(text_col))
+    return (
+        df.withColumn("__eb", fused)
+        .withColumn(out_col, F.col("__eb").getField("emb"))
+        .withColumn(buckets_col, F.col("__eb").getField("bkts"))
+        .drop("__eb")
+    )
+
+
 def cosine_pairs_arrow() -> "object":
     """Vectorized pairwise cosine for candidate VERIFICATION: one numpy
     pass per Arrow batch instead of three interpreted folds per row.
@@ -1724,7 +1781,13 @@ def cosine_pairs_arrow() -> "object":
         nb = np.sqrt((B * B).sum(axis=1))
         return pd.Series(dot / np.maximum(na * nb, 1e-12))
 
-    return cos
+    # asNondeterministic (r18, guide §4.4): embedding_near_dup filters
+    # on the UDF-computed sim and then projects it — the optimizer's
+    # filter pushdown DUPLICATED the ArrowEvalPython node (plan-verified:
+    # two ArrowEvalPython for one cosine in plans/r18/*_before.txt), so
+    # every candidate pair paid the numpy pass twice. The function is
+    # pure; the flag only stops the optimizer from cloning it.
+    return cos.asNondeterministic()
 
 
 def embedding_near_dup(
@@ -1736,6 +1799,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket_size: int | None = 64,
+    buckets_col: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b, sim) pairs with cosine >= threshold, candidates from
     T hyperplane-LSH tables — the embedding dedup that scales: per table
@@ -1744,28 +1808,51 @@ def embedding_near_dup(
     verify join fetches vectors for candidate ids only (semi-join-sized,
     like jaccard_verify's pushdown). ``max_bucket_size`` drops over-full
     buckets before the self-join — over-threshold mega-clusters route to
-    exact dedup, identical policy to the text-LSH/SimHash caps."""
-    # Materialize the (id, vector) projection once: three consumers
-    # (signatures + both verify-side vector fetches) would otherwise
-    # each re-evaluate the upstream — expensive when the input is a
-    # computed embedding like attach_hash_embed. At corpus scale this
-    # is the persisted embedding table.
-    base = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
-    ).localCheckpoint(eager=False)
-    # All T signatures in ONE Arrow batch per row (numpy matmul) — the
-    # per-table JVM fold explode this replaced was the operator's
-    # dominant cost (see hyperplane_buckets_all's measured numbers).
-    all_b = hyperplane_buckets_all(dim, bits, n_tables)
-    sigs = base.select(
-        "id",
-        F.posexplode(all_b(_as_double(F.col("__v")))).alias("tbl", "bkt"),
-    )
-    # Materialize the signatures once: three consumers (bucket-count cap,
-    # both sides of the candidate self-join) would otherwise each re-run
-    # the Arrow signature stage. At corpus scale this is the table you
-    # PERSIST anyway (the LSH band-index pattern of the text pipeline).
-    sigs = sigs.localCheckpoint(eager=False)
+    exact dedup, identical policy to the text-LSH/SimHash caps.
+
+    ``buckets_col`` (r18): the corpus already carries the hyperplane
+    signatures as an array<long> column (one bucket per table, the
+    :func:`attach_hash_embed_with_buckets` /
+    :func:`hyperplane_buckets_all` layout — the caller's bits/n_tables
+    must match the args here). The operator then skips its own Arrow
+    signature stage AND the separate signature materialization: the
+    single base checkpoint carries (id, vector, buckets), and the
+    signature table is a cheap JVM posexplode over it. Same
+    candidates, same pairs (fused-vs-unfused parity pinned)."""
+    if buckets_col is not None:
+        # One materialization carries vectors AND signatures: the cap
+        # count + both self-join sides re-read the checkpoint and pay
+        # only a posexplode each (JVM, no Python round trip), so the
+        # separate sigs checkpoint below is unnecessary here.
+        base = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            F.col(buckets_col).alias("__b"),
+        ).localCheckpoint(eager=False)
+        sigs = base.select("id", F.posexplode("__b").alias("tbl", "bkt"))
+    else:
+        # Materialize the (id, vector) projection once: three consumers
+        # (signatures + both verify-side vector fetches) would otherwise
+        # each re-evaluate the upstream — expensive when the input is a
+        # computed embedding like attach_hash_embed. At corpus scale this
+        # is the persisted embedding table.
+        base = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+        ).localCheckpoint(eager=False)
+        # All T signatures in ONE Arrow batch per row (numpy matmul) — the
+        # per-table JVM fold explode this replaced was the operator's
+        # dominant cost (see hyperplane_buckets_all's measured numbers).
+        all_b = hyperplane_buckets_all(dim, bits, n_tables)
+        sigs = base.select(
+            "id",
+            F.posexplode(all_b(_as_double(F.col("__v")))).alias("tbl", "bkt"),
+        )
+        # Materialize the signatures once: three consumers (bucket-count
+        # cap, both sides of the candidate self-join) would otherwise each
+        # re-run the Arrow signature stage. At corpus scale this is the
+        # table you PERSIST anyway (the LSH band-index pattern of the
+        # text pipeline).
+        sigs = sigs.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         # Anti-join the HOT buckets (the dedup._drop_hot_buckets r12
         # form): the small-bucket list is nearly the whole bucket table

@@ -470,6 +470,77 @@ def attach_hash_embed(
 _EMBED_MD5_CACHE: dict = {}
 
 
+def _hash_embed_batch(texts: pd.Series, dim: int):
+    """Shared vectorized md5 hash-embed kernel: returns ``(V, null)`` —
+    the L2-normalized ``(n, dim)`` float64 matrix and the null-row mask.
+
+    Extracted from :func:`attach_hash_embed_arrow`'s UDF body (r18) so
+    the fused embed+signature face in operators/similarity.py
+    (``attach_hash_embed_with_buckets``) can compute hyperplane
+    signatures from the SAME in-memory matrix instead of paying a
+    second Arrow stage; the bit-parity pins (Arrow == JVM exact
+    equality, tests/test_operators.py) are unchanged — this is the
+    identical arithmetic, relocated. The md5 cache import seam is
+    narrowed to ImportError (ADVICE r17): any other failure inside the
+    kernel should surface, not silently fall back to a cold cache.
+    The 2^18-entry bound is PER DIM (dim is fixed per deployment, so
+    the global footprint matches the per-worker sizing note below)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    try:  # reused-worker path: the imported module's global cache
+        from kafka_map_reduce_spark.operators.text import _EMBED_MD5_CACHE
+
+        _cache = _EMBED_MD5_CACHE.setdefault(dim, {})
+    except ImportError:  # import seam absent: task-local fallback
+        _cache = {}
+
+    ws = re.compile(r"\s+", re.ASCII)
+    n = len(texts)
+    V = np.zeros((n, dim), dtype="float64")
+    null = np.zeros(n, dtype=bool)
+    all_toks: list = []
+    doc_idx: list = []
+    for i, t in enumerate(texts):
+        if t is None:
+            null[i] = True
+            continue
+        for tok in ws.split(t.lower()):
+            if tok:
+                all_toks.append(tok)
+                doc_idx.append(i)
+    if all_toks:
+        codes, uniques = pd.factorize(pd.array(all_toks))
+        bucket = np.empty(len(uniques), dtype="int64")
+        sign = np.empty(len(uniques), dtype="float64")
+        for j, u in enumerate(uniques):
+            c = _cache.get(u)
+            if c is None:
+                h = hashlib.md5(u.encode("utf-8")).hexdigest()
+                c = (
+                    int(h[:4], 16) % dim,
+                    1.0 if int(h[4], 16) % 2 == 0 else -1.0,
+                )
+                # Bounded per-worker cache, sized from vocabulary
+                # shape rather than generosity (ADVICE r10): token
+                # frequencies are Zipfian, so the top 2^18 distinct
+                # tokens cover the overwhelming share of token
+                # OCCURRENCES while costing ~250 B/entry ≈ 64 MB
+                # per Python worker — times ~32 workers/executor
+                # that is a named ~2 GB/executor ceiling, vs the
+                # hundreds of MB PER WORKER the old 4M bound
+                # allowed. Tail tokens just recompute one md5 —
+                # the cache is a speedup, not a correctness state.
+                if len(_cache) < 262_144:
+                    _cache[u] = c
+            bucket[j], sign[j] = c
+        np.add.at(V, (np.asarray(doc_idx), bucket[codes]), sign[codes])
+    norms = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-12)
+    return V / norms[:, None], null
+
+
 def attach_hash_embed_arrow(
     df: DataFrame,
     text_col: str,
@@ -514,64 +585,7 @@ def attach_hash_embed_arrow(
 
     @pandas_udf("array<double>")
     def embed(texts: pd.Series) -> pd.Series:
-        import hashlib
-        import re
-
-        import numpy as np
-
-        try:  # reused-worker path: the imported module's global cache
-            from kafka_map_reduce_spark.operators.text import (
-                _EMBED_MD5_CACHE,
-            )
-
-            _cache = _EMBED_MD5_CACHE.setdefault(dim, {})
-        except Exception:  # noqa: BLE001 — import seam absent: task-local
-            _cache = {}
-
-        ws = re.compile(r"\s+", re.ASCII)
-        n = len(texts)
-        V = np.zeros((n, dim), dtype="float64")
-        null = np.zeros(n, dtype=bool)
-        all_toks: list = []
-        doc_idx: list = []
-        for i, t in enumerate(texts):
-            if t is None:
-                null[i] = True
-                continue
-            for tok in ws.split(t.lower()):
-                if tok:
-                    all_toks.append(tok)
-                    doc_idx.append(i)
-        if all_toks:
-            codes, uniques = pd.factorize(pd.array(all_toks))
-            bucket = np.empty(len(uniques), dtype="int64")
-            sign = np.empty(len(uniques), dtype="float64")
-            for j, u in enumerate(uniques):
-                c = _cache.get(u)
-                if c is None:
-                    h = hashlib.md5(u.encode("utf-8")).hexdigest()
-                    c = (
-                        int(h[:4], 16) % dim,
-                        1.0 if int(h[4], 16) % 2 == 0 else -1.0,
-                    )
-                    # Bounded per-worker cache, sized from vocabulary
-                    # shape rather than generosity (ADVICE r10): token
-                    # frequencies are Zipfian, so the top 2^18 distinct
-                    # tokens cover the overwhelming share of token
-                    # OCCURRENCES while costing ~250 B/entry ≈ 64 MB
-                    # per Python worker — times ~32 workers/executor
-                    # that is a named ~2 GB/executor ceiling, vs the
-                    # hundreds of MB PER WORKER the old 4M bound
-                    # allowed. Tail tokens just recompute one md5 —
-                    # the cache is a speedup, not a correctness state.
-                    if len(_cache) < 262_144:
-                        _cache[u] = c
-                bucket[j], sign[j] = c
-            np.add.at(
-                V, (np.asarray(doc_idx), bucket[codes]), sign[codes]
-            )
-        norms = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-12)
-        V = V / norms[:, None]
+        V, null = _hash_embed_batch(texts, dim)
         out = pd.Series([row.tolist() for row in V])
         out[null] = None
         return out

@@ -623,9 +623,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     speed, candidates from bucket equi-joins across 8 tables with the
     shared hot-bucket cap, one candidate-sized cosine verify — never
     all-pairs."""
-    from kafka_map_reduce_spark.operators.similarity import embedding_near_dup
-    from kafka_map_reduce_spark.operators.text import (
-        attach_hash_embed_arrow,
+    from kafka_map_reduce_spark.operators.similarity import (
+        attach_hash_embed_with_buckets,
+        embedding_near_dup,
     )
 
     # fanned out (r17): the operator's consume-once checkpoints freeze
@@ -634,12 +634,17 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages at 1 task (r17 profile: two 1-task 1.1-cpu-sec stages);
     # keyed fan-out, corpus-scale no-op by the gate
     d = fan_out_scan(load_table(spark, sf_dir, "documents"), key=("doc_id",))
-    emb = attach_hash_embed_arrow(d, "text", "embedding", dim=32).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
+    # fused embed+signature (r18, guide §4.1): one Arrow stage computes
+    # the embedding AND all 8 hyperplane signatures (bit-identical to
+    # the two-stage attach_hash_embed_arrow -> hyperplane_buckets_all
+    # composition, parity-pinned); embedding_near_dup consumes the
+    # precomputed buckets and skips its own Python signature stage.
+    emb = attach_hash_embed_with_buckets(d, "text", dim=32).select(
+        F.col("doc_id").alias("vec_id"), "embedding", "__buckets"
     )
-    return embedding_near_dup(emb, dim=32, threshold=0.95).orderBy(
-        "id_a", "id_b"
-    )
+    return embedding_near_dup(
+        emb, dim=32, threshold=0.95, buckets_col="__buckets"
+    ).orderBy("id_a", "id_b")
 
 
 @query("q_dedup_embedding_lsh_capped", oracle=None, tags=("approx",))
@@ -654,9 +659,9 @@ def q_dedup_embedding_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2.6x) by routing dense template clusters to exact dedup — the same
     policy the text-LSH hot-band cap implements (SURVEY §6 r6
     scale-spot analysis)."""
-    from kafka_map_reduce_spark.operators.similarity import embedding_near_dup
-    from kafka_map_reduce_spark.operators.text import (
-        attach_hash_embed_arrow,
+    from kafka_map_reduce_spark.operators.similarity import (
+        attach_hash_embed_with_buckets,
+        embedding_near_dup,
     )
 
     # fanned out (r17): the operator's consume-once checkpoints freeze
@@ -665,11 +670,12 @@ def q_dedup_embedding_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages at 1 task (r17 profile: two 1-task 1.1-cpu-sec stages);
     # keyed fan-out, corpus-scale no-op by the gate
     d = fan_out_scan(load_table(spark, sf_dir, "documents"), key=("doc_id",))
-    emb = attach_hash_embed_arrow(d, "text", "embedding", dim=32).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
+    # fused embed+signature (r18): see q_dedup_embedding_lsh
+    emb = attach_hash_embed_with_buckets(d, "text", dim=32).select(
+        F.col("doc_id").alias("vec_id"), "embedding", "__buckets"
     )
     return embedding_near_dup(
-        emb, dim=32, threshold=0.95, max_bucket_size=16
+        emb, dim=32, threshold=0.95, max_bucket_size=16, buckets_col="__buckets"
     ).orderBy("id_a", "id_b")
 
 

@@ -86,9 +86,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (3) the 9 r14-stale spills documented in the r17 window notes,
 # drained in full — after this window no latest row is older than r15;
 # (2b) code changed in r18, swapped in mid-round (r11 precedent,
-# same-commit WINDOWS.md mapping): q_dedup_clusters_star;
-# (4) 16 of the 41 non-live not-already-re-entering r15-stale rows.
-# The 25 that spill to the r19 queue each leave an in-window or
+# same-commit WINDOWS.md mapping): q_dedup_clusters_star,
+# q_text_hash_embed, q_sim_text_topk, q_dedup_ngram_jaccard;
+# (4) 13 of the 41 non-live not-already-re-entering r15-stale rows.
+# The 28 that spill to the r19 queue each leave an in-window or
 # r16/r17-fresh family representative (full mapping in WINDOWS.md);
 # (5) the live streaming_live block, contiguous at the window edge
 # (3): the code-changed q_stream_dedup_ingest plus the only two
@@ -129,9 +130,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_frame",
     # (2b) code changed in r18 so far (mid-round swaps per the r11
     # late-window-swap precedent; displaced rows + family reps in
-    # WINDOWS.md): connected_components probe barrier
+    # WINDOWS.md): connected_components probe barrier; hash-embed
+    # kernel extraction + fused embed/signature face; jaccard_verify
+    # pruned-shingle barrier
     "q_dedup_clusters_star",
-    # (4) r15-stale, non-live (16 of 41)
+    "q_text_hash_embed",
+    "q_sim_text_topk",
+    "q_dedup_ngram_jaccard",
+    # (4) r15-stale, non-live (13 of 41)
     "q_funnel",
     "q_audit_delivery",
     "q_orderby",
@@ -143,11 +149,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_argmax",
     "q_cast",
     "q_scan_text",
-    "q_join_theta",
     "q_window_value_funcs",
-    "q_string_agg",
     "q_text_tfidf",
-    "q_sample_hash",
     # (5) live streams, contiguous at the window edge (3)
     "q_stream_dedup_ingest",
     "q_stream_gated_ingest",

@@ -106,6 +106,69 @@ def test_signature_is_deterministic(spark, planted):
     assert sorted(r.b for r in c) != sorted(r.b for r in b)
 
 
+def test_fused_embed_buckets_bit_parity(spark):
+    """r18 fusion pin: attach_hash_embed_with_buckets (ONE Arrow stage)
+    must be bit-identical to the two-stage composition —
+    attach_hash_embed_arrow for the embedding, hyperplane_buckets_all
+    over that embedding for the signatures — and embedding_near_dup fed
+    the precomputed buckets must return exactly the pairs the unfused
+    path returns."""
+    from kafka_map_reduce_spark.operators.similarity import (
+        attach_hash_embed_with_buckets,
+        hyperplane_buckets_all,
+    )
+    from kafka_map_reduce_spark.operators.text import attach_hash_embed_arrow
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta tok{i} gamma delta tok{i * 7 % 13} end")
+            for i in range(60)
+        ]
+        # planted near-dups: same text twice -> identical embeddings
+        + [(1000 + i, f"alpha beta tok{i} gamma delta tok{i * 7 % 13} end")
+           for i in range(0, 60, 5)],
+        "doc_id long, text string",
+    )
+    dim, bits, n_tables = 32, 16, 8
+    fused = attach_hash_embed_with_buckets(
+        docs, "text", dim=dim, bits=bits, n_tables=n_tables
+    )
+    two_stage = attach_hash_embed_arrow(docs, "text", "embedding", dim=dim)
+    two_stage = two_stage.select(
+        "doc_id",
+        "embedding",
+        hyperplane_buckets_all(dim, bits, n_tables)(
+            F.col("embedding")
+        ).alias("__buckets"),
+    )
+    a = {
+        r["doc_id"]: (r["embedding"], r["__buckets"])
+        for r in fused.collect()
+    }
+    b = {
+        r["doc_id"]: (r["embedding"], r["__buckets"])
+        for r in two_stage.collect()
+    }
+    assert a == b  # bit-identical embeddings AND signatures
+
+    emb = fused.select(
+        F.col("doc_id").alias("vec_id"), "embedding", "__buckets"
+    )
+    got_fused = {
+        tuple(r)
+        for r in embedding_near_dup(
+            emb, dim=dim, threshold=0.95, buckets_col="__buckets"
+        ).collect()
+    }
+    got_plain = {
+        tuple(r)
+        for r in embedding_near_dup(
+            emb.drop("__buckets"), dim=dim, threshold=0.95
+        ).collect()
+    }
+    assert got_fused == got_plain and len(got_fused) >= 12
+
+
 def test_arrow_buckets_match_jvm_expression(spark, planted):
     """The vectorized Arrow signature (one numpy matmul for all T
     tables) must be bit-identical to the per-table JVM fold expression —
