@@ -63,7 +63,14 @@ def write_shards(
     )
     spark = df.sparkSession
     manifest = (
-        spark.read.parquet(out_dir)
+        # Explicit DATA schema (r18, guide §1.2 fixed costs): the data
+        # files hold exactly with_ids' columns (partitionBy strips
+        # "shard" into directory names), so the footer-sampling
+        # inference pass is pure overhead — profiled at ~0.5 s of the
+        # query's 2.4 s wall over the ~O(shards) directories. The
+        # "shard" partition column stays INFERRED from the directory
+        # names (not in the passed schema), byte-identical to before.
+        spark.read.schema(with_ids.schema).parquet(out_dir)
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -1246,9 +1246,24 @@ def _codebook_row(codebooks: DataFrame) -> DataFrame:
     )
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for selectExpr interpolation
+    (ADVICE r17): embedded backticks are doubled per the SQL parser's
+    escape rule, so any column name the Column API accepts parses."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _codebook_d_sub(codebooks: DataFrame) -> int:
     """Subvector width implied by the codebook (KB-sized table — the
-    limit(1) probe is bounded metadata, not a data scan)."""
+    limit(1) probe is bounded metadata, not a data scan).
+
+    Merging this probe with :func:`_check_pq_dim` into ONE
+    union-of-limits job was measured and REJECTED (r18, executing the
+    r17 verdict's guard-probe item): interleaved min-of-8 at sf0.1
+    read q_sim_pq 1.965 s split vs 2.139 s merged (q_sim_ivfpq flat) —
+    the union defeats CollectLimit's incremental executeTake, so the
+    'saved' job launch costs more than it returns. Two bounded probes
+    stay."""
     row = codebooks.select(F.size("centroid").alias("d")).limit(1).collect()
     if not row:
         raise ValueError("empty codebook table")
@@ -1296,7 +1311,7 @@ def pq_encode(
     # SQL string — identical expressions (slice bounds, struct field
     # order, double literals), ~0.2 s less py4j per plan build.
     sub = (
-        f"slice(transform(`{vec_col}`, x -> CAST(x AS DOUBLE)), "
+        f"slice(transform({_bq(vec_col)}, x -> CAST(x AS DOUBLE)), "
         f"j * {d_sub} + 1, {d_sub})"
     )
     codes = (
@@ -1304,9 +1319,9 @@ def pq_encode(
         f"j -> {_nearest_sql(sub, '__books[j]')}['cid'])"
     )
     return corpus.join(F.broadcast(book_row)).selectExpr(
-        f"`{id_col}` AS id",
+        f"{_bq(id_col)} AS id",
         f"{codes} AS codes",
-        *[f"`{c}`" for c in carry],
+        *[_bq(c) for c in carry],
     )
 
 
@@ -1467,13 +1482,13 @@ def ivfpq_index(
         corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
         .join(F.broadcast(cent_row))
         .selectExpr(
-            f"`{id_col}`",
+            f"{_bq(id_col)}",
             "__v",
             "__cents",
             f"{_nearest_sql('__v', '__cents')} AS __near",
         )
         .selectExpr(
-            f"`{id_col}`",
+            f"{_bq(id_col)}",
             "__near['cid'] AS bkt",
             "zip_with(__v, element_at(map_from_entries(transform(__cents, "
             "c -> struct(c.cluster_id AS k, c.centroid AS v))), "

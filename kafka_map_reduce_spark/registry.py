@@ -87,9 +87,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # drained in full — after this window no latest row is older than r15;
 # (2b) code changed in r18, swapped in mid-round (r11 precedent,
 # same-commit WINDOWS.md mapping): q_dedup_clusters_star,
-# q_text_hash_embed, q_sim_text_topk, q_dedup_ngram_jaccard;
-# (4) 13 of the 41 non-live not-already-re-entering r15-stale rows.
-# The 28 that spill to the r19 queue each leave an in-window or
+# q_text_hash_embed, q_sim_text_topk, q_dedup_ngram_jaccard,
+# q_shard_manifest;
+# (4) 12 of the 41 non-live not-already-re-entering r15-stale rows.
+# The 29 that spill to the r19 queue each leave an in-window or
 # r16/r17-fresh family representative (full mapping in WINDOWS.md);
 # (5) the live streaming_live block, contiguous at the window edge
 # (3): the code-changed q_stream_dedup_ingest plus the only two
@@ -137,7 +138,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_hash_embed",
     "q_sim_text_topk",
     "q_dedup_ngram_jaccard",
-    # (4) r15-stale, non-live (13 of 41)
+    "q_shard_manifest",
+    # (4) r15-stale, non-live (12 of 41)
     "q_funnel",
     "q_audit_delivery",
     "q_orderby",
@@ -149,7 +151,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_argmax",
     "q_cast",
     "q_scan_text",
-    "q_window_value_funcs",
     "q_text_tfidf",
     # (5) live streams, contiguous at the window edge (3)
     "q_stream_dedup_ingest",

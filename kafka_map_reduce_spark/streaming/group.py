@@ -39,7 +39,6 @@ import os
 import shutil
 import tempfile
 import uuid
-from functools import reduce as _reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -244,8 +243,21 @@ class GroupConsumer:
         each partition's committed offset, as ONE batch DataFrame tagged
         with (partition, offset). Returns None when fully caught up.
         Progress is pending until ``commit`` — the reference's
-        in-flight window."""
-        reads: list[DataFrame] = []
+        in-flight window.
+
+        One Spark read per poll (r18, guide §1.2 fixed costs /
+        r17-verdict item #7): the per-file ``spark.read.parquet`` +
+        unionByName chain paid one driver-side schema inference and
+        plan per record file (the q_group_rebalance profile read 97%
+        driver wall for <1 task-second). All polled files go into a
+        single multi-path read, and the (partition, offset) tags are
+        recovered from each row's file path — which IS the offset
+        claim (``pNNN/OFFSET.parquet``, see FileTopic.produce), so the
+        tags are byte-equal to the per-file literals they replace
+        (equivalence pinned in tests/test_group_rebalance.py). The
+        poll/commit/revoke seams — what this simulation exists to
+        demonstrate — are untouched: batching is WITHIN one poll."""
+        paths: list[str] = []
         self._pending = {}
         for p in sorted(self.assigned):
             start = self.coord.committed(p)
@@ -254,18 +266,24 @@ class GroupConsumer:
             ]
             if not files:
                 continue
-            for i, f in enumerate(files):
-                reads.append(
-                    self.spark.read.parquet(f)
-                    .withColumn("partition", F.lit(p).cast("int"))
-                    .withColumn(
-                        "offset", F.lit(start + i).cast("long")
-                    )
-                )
+            paths.extend(files)
             self._pending[p] = start + len(files)
-        if not reads:
+        if not paths:
             return None
-        return _reduce(DataFrame.unionByName, reads)
+        src = F.input_file_name()
+        return (
+            self.spark.read.parquet(*paths)
+            .withColumn(
+                "partition",
+                F.regexp_extract(src, r"p(\d+)/\d+\.parquet$", 1).cast(
+                    "int"
+                ),
+            )
+            .withColumn(
+                "offset",
+                F.regexp_extract(src, r"/(\d+)\.parquet$", 1).cast("long"),
+            )
+        )
 
     def commit(self) -> dict[int, int]:
         """Advance the group log to the last poll's end positions."""
