@@ -1933,6 +1933,53 @@ def _normalize_arrow():
     return norm
 
 
+def attach_hash_embed_with_unit(
+    df: DataFrame,
+    text_col: str,
+    dim: int,
+    out_col: str = "embedding",
+    unit_col: str = "__unit",
+) -> DataFrame:
+    """Fused embed + L2-normalize face for the SemDeDup compositions
+    (r18, guide §4.1 — the attach_hash_embed_with_buckets treatment for
+    the semantic family): ONE Arrow stage computes the md5
+    hash-embedding (text.py:_hash_embed_batch, the exact
+    attach_hash_embed_arrow kernel) AND its re-normalized unit vector
+    (the exact arithmetic _normalize_arrow applies downstream) from the
+    same in-memory float64 matrix. Both outputs are bit-identical to
+    the two-stage composition (float64 round-trips Arrow exactly;
+    pinned in tests/test_semantic_dedup.py), so the hash-oracled
+    q_dedup_semantic_keep_best row cannot move. The raw embedding stays
+    in the output because training/assignment consume it; the unit
+    column is what the verify kernel (and the persisted semantic index)
+    carries anyway."""
+    from pyspark.sql.functions import pandas_udf
+
+    from kafka_map_reduce_spark.operators.text import _hash_embed_batch
+
+    @pandas_udf("struct<emb: array<double>, unit: array<double>>")
+    def both(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        V, null = _hash_embed_batch(texts, dim)
+        # the exact _normalize_arrow ops, applied to the same matrix
+        n = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-12)
+        U = V / n[:, None]
+        emb = pd.Series([row.tolist() for row in V])
+        un = pd.Series([row.tolist() for row in U])
+        emb[null] = None
+        un[null] = None
+        return pd.DataFrame({"emb": emb, "unit": un})
+
+    fused = both(F.col(text_col))
+    return (
+        df.withColumn("__eu", fused)
+        .withColumn(out_col, F.col("__eu").getField("emb"))
+        .withColumn(unit_col, F.col("__eu").getField("unit"))
+        .drop("__eu")
+    )
+
+
 def _bucket_pairs_fn(threshold: float, max_pairs: int | None = None):
     """applyInPandas kernel: ALL over-threshold pairs of one cluster via
     a single U @ U.T BLAS call on the bucket's unit vectors. The reason
@@ -2040,6 +2087,7 @@ def semantic_dedup(
     init: str = "farthest",
     train_sample_mod: int = 1,
     max_pairs_per_cluster: int | None | str = "auto",
+    unit_col: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b, sim) pairs with cosine >= threshold, candidates
     bounded by trained k-means clusters — the SemDeDup shape (Abbas et
@@ -2079,10 +2127,17 @@ def semantic_dedup(
     dot product (per-pair norms would redo each vector's sqrt
     ~cluster-size times); ONE equi-self-join on cluster id bounds the
     candidates. Iterative training => rows-only declaration, like every
-    trained-model operator here."""
-    base = corpus.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
-    ).localCheckpoint(eager=False)
+    trained-model operator here.
+
+    ``unit_col`` (r18): the corpus already carries the L2-normalized
+    vector (the :func:`attach_hash_embed_with_unit` fused-face layout —
+    must equal ``_normalize_arrow`` of ``vec_col``, which the fused
+    face guarantees bit-exactly). The operator then skips its own
+    Arrow normalize stage; same pairs, same sims (parity-pinned)."""
+    cols = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")]
+    if unit_col is not None:
+        cols.append(F.col(unit_col).alias("__u"))
+    base = corpus.select(*cols).localCheckpoint(eager=False)
     train = (
         # salted like _hash_mod_filter (r12): an unsalted filter on the
         # same hash the spread-init seeder buckets with restricts the
@@ -2114,11 +2169,18 @@ def semantic_dedup(
         assigned = base.join(F.broadcast(cent_row)).withColumn(
             "bkt", _nearest(F.col("__v"), F.col("__cents"))["cid"]
         )
-    # unit vectors once per row => verify is dot-only
-    unit = _normalize_arrow()
-    assigned = assigned.select(
-        "id", "bkt", unit(F.col("__v")).alias("__vn")
-    ).localCheckpoint(eager=False)  # cap-count + both join sides consume
+    # unit vectors once per row => verify is dot-only; with unit_col the
+    # caller's fused embed stage already produced them (bit-equal), so
+    # the separate Arrow normalize stage disappears (r18)
+    if unit_col is not None:
+        assigned = assigned.select(
+            "id", "bkt", F.col("__u").alias("__vn")
+        ).localCheckpoint(eager=False)  # cap-count + join sides consume
+    else:
+        unit = _normalize_arrow()
+        assigned = assigned.select(
+            "id", "bkt", unit(F.col("__v")).alias("__vn")
+        ).localCheckpoint(eager=False)  # cap-count + join sides consume
     if max_cluster_size is not None:
         counts = assigned.groupBy("bkt").agg(F.count(F.lit(1)).alias("__n"))
         assigned = assigned.join(
@@ -2198,6 +2260,7 @@ def semantic_dedup_ingest(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster_size: int | None = None,
+    unit_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental ingest for the SemDeDup modality — the symmetry
     partner of the LSH band index / digest index / IVFADC append paths:
@@ -2254,9 +2317,13 @@ def semantic_dedup_ingest(
     (3.3x per 3.2x N, linear); the r13 43.3 s carried first-execution
     cost."""
     n_cents = centroids.count()
-    base = batch.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
-    )
+    cols = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")]
+    if unit_col is not None:
+        # fused-face layout (r18, see semantic_dedup's unit_col): the
+        # batch already carries the bit-exact unit vector — skip the
+        # Arrow normalize stage below
+        cols.append(F.col(unit_col).alias("__u"))
+    base = batch.select(*cols)
     if n_cents > _ARROW_ASSIGN_MIN_K:
         assign = _assign_model(
             centroids.collect(), sc=batch.sparkSession.sparkContext
@@ -2271,10 +2338,15 @@ def semantic_dedup_ingest(
         assigned = base.join(F.broadcast(cent_row)).withColumn(
             "bkt", _nearest(F.col("__v"), F.col("__cents"))["cid"]
         )
-    unit = _normalize_arrow()
-    new_rows = assigned.select(
-        "id", "bkt", unit(F.col("__v")).alias("__vn")
-    ).localCheckpoint(eager=False)
+    if unit_col is not None:
+        new_rows = assigned.select(
+            "id", "bkt", F.col("__u").alias("__vn")
+        ).localCheckpoint(eager=False)
+    else:
+        unit = _normalize_arrow()
+        new_rows = assigned.select(
+            "id", "bkt", unit(F.col("__v")).alias("__vn")
+        ).localCheckpoint(eager=False)
     touched = new_rows.select("bkt").distinct()
     old_rows = index.join(F.broadcast(touched), "bkt").select(
         "id", "bkt", "__vn"

@@ -710,8 +710,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     when k scales with the corpus (the paper's regime), and over-full
     clusters drop to exact dedup via max_cluster_size — the same
     governor as every other modality's cap."""
-    from kafka_map_reduce_spark.operators.similarity import semantic_dedup
-    from kafka_map_reduce_spark.operators.text import attach_hash_embed_arrow
+    from kafka_map_reduce_spark.operators.similarity import (
+        attach_hash_embed_with_unit,
+        semantic_dedup,
+    )
 
     # fanned out (r17): the eager emb checkpoint below otherwise
     # freezes the one-row-group scan's single partition into every
@@ -721,14 +723,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the embedding ONCE: count (the k probe), training,
     # assignment and both verify sides all consume it — without the
     # eager checkpoint each would re-run the hash-embed fold.
-    # attach_hash_embed_arrow IS the md5 face (bit-identical,
-    # tests/test_operators.py) computed without the JVM O(tokens x dim)
-    # HOF fold — the r9-measured 257.9 s linear wall at 5M docs drops
-    # to 27.0 s (SCALE_SPOT_r10), and the DuckDB twins replay the same
-    # md5 nibbles unchanged.
+    # The fused face (r18) is the md5 Arrow kernel (bit-identical to
+    # the JVM fold, tests/test_operators.py; the r9-measured 257.9 s
+    # linear wall at 5M docs drops to 27.0 s, SCALE_SPOT_r10) PLUS the
+    # bit-exact unit vector in the same Arrow stage, so semantic_dedup
+    # skips its separate normalize stage (unit_col below).
     emb = (
-        attach_hash_embed_arrow(d, "text", "embedding", dim=32)
-        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        attach_hash_embed_with_unit(d, "text", dim=32)
+        .select(F.col("doc_id").alias("vec_id"), "embedding", "__unit")
         .localCheckpoint(eager=True)
     )
     # Sizing via semantic_model_params (r10 verdict #4): k tracks the
@@ -753,6 +755,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_cluster_size=cap,
         init="spread",
         train_sample_mod=mod,
+        unit_col="__unit",
     ).orderBy("id_a", "id_b")
 
 
@@ -771,23 +774,24 @@ def q_dedup_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     build step materializes with the same frozen model (ingest against
     an empty index IS the build — one code path, no drift)."""
     from kafka_map_reduce_spark.operators.similarity import (
+        attach_hash_embed_with_unit,
         kmeans_fit,
         semantic_dedup_ingest,
     )
-    from kafka_map_reduce_spark.operators.text import attach_hash_embed_arrow
 
     emb = (
-        attach_hash_embed_arrow(
+        attach_hash_embed_with_unit(
             # fanned out (r17): same single-partition-checkpoint freeze
-            # as q_dedup_semantic; no-op at corpus scale
+            # as q_dedup_semantic; no-op at corpus scale. Fused
+            # embed+unit face (r18): both ingest calls below skip their
+            # Arrow normalize stage via unit_col.
             fan_out_scan(
                 load_table(spark, sf_dir, "documents"), key=("doc_id",)
             ),
             "text",
-            "embedding",
             dim=32,
         )
-        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .select(F.col("doc_id").alias("vec_id"), "embedding", "__unit")
         .localCheckpoint(eager=True)
     )
     old = emb.filter(F.col("vec_id") % 10 != 0)
@@ -806,11 +810,13 @@ def q_dedup_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     empty = spark.createDataFrame([], "id long, bkt int, __vn array<double>")
     _, index = semantic_dedup_ingest(
-        old, cents, empty, threshold=0.85, max_cluster_size=cap
+        old, cents, empty, threshold=0.85, max_cluster_size=cap,
+        unit_col="__unit",
     )
     index = index.localCheckpoint(eager=True)
     pairs, _ = semantic_dedup_ingest(
-        new, cents, index, threshold=0.85, max_cluster_size=cap
+        new, cents, index, threshold=0.85, max_cluster_size=cap,
+        unit_col="__unit",
     )
     return pairs.orderBy("id_a", "id_b")
 
@@ -920,11 +926,11 @@ def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (O(diameter) keyed shuffles); the keep-best argmax is
     one row_number window on cluster_id, and semantic clusters are
     bounded by max_cluster_size so the window key cannot concentrate."""
-    from kafka_map_reduce_spark.operators.similarity import semantic_dedup
-    from kafka_map_reduce_spark.operators.text import (
-        attach_hash_embed_arrow,
-        quality_score,
+    from kafka_map_reduce_spark.operators.similarity import (
+        attach_hash_embed_with_unit,
+        semantic_dedup,
     )
+    from kafka_map_reduce_spark.operators.text import quality_score
     from pyspark.sql.window import Window
 
     docs = _bounded_subset(
@@ -932,10 +938,13 @@ def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the Arrow md5 face: bit-identical to the JVM md5 fold the DuckDB
     # oracle below replays (pinned, tests/test_operators.py), so the
-    # hash row cannot move
+    # hash row cannot move; the r18 fused face adds the bit-exact unit
+    # vector in the same Arrow stage (semantic_dedup skips its
+    # normalize stage via unit_col — sims unchanged, the oracle hash
+    # row still cannot move, re-proved at sf0.01)
     emb = (
-        attach_hash_embed_arrow(docs, "text", "embedding", dim=32)
-        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        attach_hash_embed_with_unit(docs, "text", dim=32)
+        .select(F.col("doc_id").alias("vec_id"), "embedding", "__unit")
         .localCheckpoint(eager=True)
     )
     from kafka_map_reduce_spark.operators.similarity import (
@@ -952,6 +961,7 @@ def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_cluster_size=cap,
         init="spread",
         train_sample_mod=mod,
+        unit_col="__unit",
     ).select("id_a", "id_b")
     comp = D.connected_components(pairs, docs.select("doc_id")).select(
         F.col("id").alias("doc_id"), "cluster_id"

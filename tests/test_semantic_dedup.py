@@ -689,3 +689,63 @@ def test_flat_assign_tiled_regime_matches_full_argmin(spark):
     d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
     want = np.argmin(d2, axis=1)
     assert got == {i: int(want[i]) for i in range(len(V))}
+
+
+def test_fused_embed_unit_bit_parity_and_pairs(spark):
+    """r18 fusion pin: attach_hash_embed_with_unit (ONE Arrow stage)
+    must be bit-identical to attach_hash_embed_arrow + the
+    _normalize_arrow stage it replaces, and semantic_dedup fed
+    unit_col must return exactly the pairs (and sims) the unfused path
+    returns — the hash-oracled q_dedup_semantic_keep_best row depends
+    on this."""
+    from kafka_map_reduce_spark.operators.similarity import (
+        _normalize_arrow,
+        attach_hash_embed_with_unit,
+    )
+    from kafka_map_reduce_spark.operators.text import attach_hash_embed_arrow
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta tok{i} gamma delta tok{i * 7 % 13} end")
+            for i in range(60)
+        ]
+        + [(1000 + i, f"alpha beta tok{i} gamma delta tok{i * 7 % 13} end")
+           for i in range(0, 60, 5)],
+        "doc_id long, text string",
+    )
+    fused = attach_hash_embed_with_unit(docs, "text", dim=32)
+    unit = _normalize_arrow()
+    two_stage = attach_hash_embed_arrow(docs, "text", "embedding", dim=32)
+    two_stage = two_stage.select(
+        "doc_id",
+        "embedding",
+        unit(F.col("embedding")).alias("__unit"),
+    )
+    a = {
+        r["doc_id"]: (tuple(r["embedding"]), tuple(r["__unit"]))
+        for r in fused.collect()
+    }
+    b = {
+        r["doc_id"]: (tuple(r["embedding"]), tuple(r["__unit"]))
+        for r in two_stage.collect()
+    }
+    assert a == b  # bit-identical embeddings AND unit vectors
+
+    emb = fused.select(
+        F.col("doc_id").alias("vec_id"), "embedding", "__unit"
+    )
+    got_fused = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, threshold=0.95, n_clusters=4, iters=3, init="spread",
+            unit_col="__unit",
+        ).collect()
+    }
+    got_plain = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb.drop("__unit"), threshold=0.95, n_clusters=4, iters=3,
+            init="spread",
+        ).collect()
+    }
+    assert got_fused == got_plain and len(got_fused) >= 12
