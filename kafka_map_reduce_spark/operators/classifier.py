@@ -111,6 +111,13 @@ def logreg_fit(
     ``(w: array<double>)`` of length ``dim`` (bias folded into the
     features as a constant-1 component — see quality_features).
 
+    Divergence behavior (ADVICE r17): a fit that drives any weight
+    non-finite (an over-large ``lr``) RAISES ValueError mid-fit (from
+    ``_dlit``'s finite-literal guard) instead of silently completing
+    with NaN weights as the pre-r17 join-based loop did — the explicit
+    "learning rate diverged" signal is strictly safer than NaN scores
+    downstream.
+
     grad_j = mean((sigmoid(w.x) - y) * x_j) + l2 * w_j for j >= 1 (the
     bias at j = 0 is exempt from the penalty); the mean keeps
     ``lr`` corpus-size-independent. ``dim`` is explicit (not probed from

@@ -123,9 +123,12 @@ def fan_out_scan(df: DataFrame, key: tuple[str, ...] | None = None) -> DataFrame
 # and every query pays it once per table it touches (q_join_multiway:
 # five tables, ~0.4 s/rep). The memo holds METADATA only (StructType by
 # resolved path) — every run still scans the parquet data; nothing
-# result-shaped is cached. Keyed by full path; the testdata tables are
-# read-only and the bench's sf1 replicas are built before any read, so
-# a stale entry cannot occur within a process.
+# result-shaped is cached. Keyed by (full path, mtime) — ADVICE r17:
+# a path-only key would serve a stale schema to a process that
+# rewrites a table in place; the mtime component (one stat per read,
+# ~µs) invalidates the entry whenever the file or directory changes.
+# The testdata tables are read-only and the bench's sf1 replicas are
+# built before any read, so within the bench the key never churns.
 _SCHEMA_MEMO: dict = {}
 
 
@@ -139,10 +142,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = _SCHEMA_MEMO.get(path)
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = (path, None)  # let spark.read raise its own error
+    schema = _SCHEMA_MEMO.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_MEMO[path] = df.schema
+        _SCHEMA_MEMO[key] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
